@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the engine's public query inventory: one entry per
+  * operator from SURVEY.md §2 (relational parity surface) plus the
+  * LLM-data-pipeline extensions (dedup / similarity / text analysis /
+  * multimodal). `oracleSql` carries the DuckDB-equivalent SQL for
+  * every SQL-expressible query; the rest get rows-only checks.
+  */
 object SparkEntry {
+
+  /** All query groups, merged. Name collisions are a bug — each group
+    * owns a distinct q-number range / prefix. */
+  private lazy val defs: Map[String, QueryDef] =
+    operators.Relational.all ++
+      operators.TextOps.all ++
+      operators.DedupOps.all ++
+      operators.SimilarityOps.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.q1AggRollup.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (name, qd) => name -> qd.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    defs.collect { case (name, QueryDef(_, Some(sql))) => name -> sql }
 }

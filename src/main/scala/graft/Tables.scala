@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided TPC-H-ish testdata (TESTDATA.md).
+  *
+  * Each table is a single parquet file under `sfDir`. All query entry
+  * points receive `sfDir` so the same query runs at any scale factor.
+  * Reads go through `spark.read.parquet` so Catalyst gets full
+  * predicate pushdown / column pruning on every scan.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    * as a raw long (spark.sql.legacy.parquet.nanosAsLong=true — set in
+    * Verify/Bench/test sessions). Convert to a microsecond TimestampType
+    * here so every query sees a proper timestamp. Truncation ns→µs is
+    * order-preserving for whole-µs predicates, and all query orderings
+    * tiebreak on event_id, so semantics match a ns-native engine. */
+  private def withTimestamps(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000)
+            .cast(org.apache.spark.sql.types.LongType)))
+    else df
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame =
+    withTimestamps(load(s, d, "events"))
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

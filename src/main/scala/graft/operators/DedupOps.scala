@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact (hash group-by), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is a pure shuffle-on-key dataflow —
+  * no driver-side loops, no O(n²) cross joins. Candidate generation
+  * is always an equi-join on a derived key (content hash, shingle,
+  * LSH band, SimHash chunk), which Spark executes as a shuffled hash
+  * join partitioned by that key; only candidates get verified.
+  */
+object DedupOps {
+
+  /** Tokenized docs with ≥3 tokens: (doc_id, toks). */
+  private def tokenized(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= 3)
+
+  /** Distinct 3-token shingles per doc: (doc_id, s). */
+  private def shingles(df: DataFrame): DataFrame =
+    tokenized(df)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("s"))
+      .distinct()
+
+  /** Exact dedup via content-hash group-by (md5): one row per distinct
+    * content, with duplicate count and canonical (min) doc_id. The
+    * 100 TB pattern: hash is computed map-side, the shuffle is on the
+    * 16-byte digest, groups are tiny. */
+  val q40DedupExact: QueryDef = QueryDef.withOracle(
+    """SELECT md5(text) AS content_hash,
+      |  count(*) AS n_copies,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_doc
+      |FROM documents GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).cast("long").as("canonical_doc"))
+  }
+
+  /** N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.5. Candidate pairs
+    * come from the shingle equi-join (docs sharing ≥1 shingle);
+    * Jaccard = |∩| / (|A| + |B| − |∩|) from per-doc shingle counts.
+    * At scale: shuffle keys are shingles — frequent-shingle skew is
+    * the known hazard, mitigated by AQE skew-join (enabled in Bench)
+    * or a document-frequency cap on shingles. */
+  val q41NgramJaccard: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = doc_a
+      |JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin
+  ) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") /
+      (col("na") + col("nb") - col("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(jac, 3).as("jaccard"))
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands × 4 rows
+
+  /** Per-doc MinHash signature as array<long>: for seed i, the min of
+    * xxhash64(i || shingle) over the doc's shingle set. */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val sigCols: Seq[Column] = (0 until NumHashes).map { i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: 16 hashes, 4 bands of 4 rows. Docs sharing
+    * any band signature become candidate pairs; output the candidate
+    * pair with its MinHash-estimated Jaccard (fraction of matching
+    * signature positions) for pairs with estimate ≥ 0.25.
+    *
+    * Non-SQL-expressible (hash function is engine-specific) → rows-only
+    * check; exactness is covered by the ScalaTest spec against a
+    * brute-force Jaccard on the same corpus. */
+  val q42MinHashLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val sigs = minhashSignatures(shingles(Tables.documents(s, d))).cache()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+        s"b -> concat_ws(',', slice(sig, b * ${NumHashes / Bands} + 1, ${NumHashes / Bands})))"))
+        .as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_sig"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), p -> p)) / ${NumHashes}D")
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.25)
+  }
+
+  /** SimHash near-dup: 64-bit signature from token hashes (weighted
+    * bit-vote), candidates via 4×16-bit chunk banding (any identical
+    * chunk ⇒ hamming candidates, catches all pairs with distance ≤ 3
+    * by pigeonhole over 4 chunks), verified with exact hamming ≤ 3.
+    * Rows-only (engine-specific hash). */
+  val q43SimHash: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val toks = tokenized(Tables.documents(s, d))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // per (doc, bit) vote: +1 if bit set else -1, summed over tokens
+    val votes = toks.select(col("doc_id"), expr(
+      "transform(sequence(0, 63), b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)")
+      .as("bits"))
+    val sig = votes.groupBy(col("doc_id"))
+      .agg(expr("aggregate(collect_list(bits), " +
+        "transform(sequence(0, 63), b -> 0), " +
+        "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))").as("votes"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 63), 0L, " +
+          "(acc, b) -> CASE WHEN votes[b] > 0 THEN acc | (1L << b) ELSE acc END)")
+        .as("simhash"))
+      .cache()
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q40_dedup_exact" -> q40DedupExact,
+    "q41_ngram_jaccard" -> q41NgramJaccard,
+    "q42_minhash_lsh" -> q42MinHashLsh,
+    "q43_simhash" -> q43SimHash
+  )
+}

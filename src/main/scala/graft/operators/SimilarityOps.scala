@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float]
+  * column): brute-force cosine top-k as the exactness baseline and an
+  * LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: the query set is always the SMALL side and is
+  * broadcast; the corpus is scanned exactly once per search with no
+  * shuffle of the embedding vectors themselves (only (query, id,
+  * score) triples shuffle for the per-query top-k, which Spark plans
+  * as partial TakeOrdered per partition).
+  */
+object SimilarityOps {
+
+  /** Cosine similarity between two double-array columns, computed with
+    * codegen'd higher-order functions (no UDF). */
+  private def cosineExpr(aCol: String, bCol: String) = {
+    val dot = expr(s"aggregate(zip_with($aCol, $bCol, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    val na = expr(s"sqrt(aggregate(transform($aCol, x -> x * x), 0D, (acc, v) -> acc + v))")
+    val nb = expr(s"sqrt(aggregate(transform($bCol, x -> x * x), 0D, (acc, v) -> acc + v))")
+    dot / (na * nb)
+  }
+
+  private def corpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+  /** Brute-force cosine top-5 per query (query set = vec_id % 50 = 0,
+    * broadcast against the corpus scan). Ranking on the 6-dp-rounded
+    * score with vec_id tiebreak keeps the order deterministic and
+    * engine-agnostic. */
+  val q50AnnBrute: QueryDef = QueryDef.withOracle(
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q_emb, c.emb), 6) AS cosine
+      |  FROM q JOIN c ON q.q_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosineExpr("q_emb", "emb"), 6).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "neighbor_id", "cosine")
+  }
+
+  private val LshTables = 3 // L hash tables ...
+  private val LshBits = 4 // ... of k hyperplane bits each
+
+  /** Per-table bucket signatures as array<long> (length L). Plane
+    * (t, p) dimension weights are ±1 derived from xxhash64 of the
+    * plane/dimension index — deterministic on every executor, no RNG,
+    * no broadcast of plane matrices needed. */
+  private def bucketArray(embCol: String) = expr(
+    s"""transform(sequence(0, ${LshTables - 1}), t ->
+       |  aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
+       |    CASE WHEN aggregate(
+       |      zip_with($embCol,
+       |        sequence((t * ${LshBits} + p) * 1000,
+       |                 (t * ${LshBits} + p) * 1000 + size($embCol) - 1),
+       |        (x, i) -> x * (CASE WHEN (xxhash64(i) & 1) = 1 THEN 1D ELSE -1D END)),
+       |      0D, (a, v) -> a + v) > 0
+       |    THEN acc | (1L << p) ELSE acc END))""".stripMargin.replace("\n", " "))
+
+  /** LSH-bucketed ANN: L=3 hash tables of k=4 random-hyperplane bits.
+    * A corpus vector is a candidate for a query if they collide in ANY
+    * table; candidates are scored exactly, top-5 kept. At 100 TB the
+    * (table, bucket) equi-join shuffles only (id, bucket) pairs plus
+    * candidate vectors — each query probes ~L·n/2^k of the corpus
+    * instead of all of it; recall is tunable via L and k. */
+  val q51AnnLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val c = corpus(s, d).withColumn("buckets", bucketArray("emb"))
+    val cT = c.select(col("vec_id"), col("emb"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val q = cT.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("t"), col("bucket"))
+    val scored = cT.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosineExpr("q_emb", "emb"), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Per-label embedding statistics: count, mean L2 norm — the sanity
+    * rollup a pipeline runs before/after normalization. */
+  val q52EmbedStats: QueryDef = QueryDef.withOracle(
+    """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+      |  round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> x * x)))), 4) AS avg_norm
+      |FROM embeddings GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    corpus(s, d)
+      .select(col("label").cast("long").as("label"),
+        sqrt(expr("aggregate(transform(emb, x -> x * x), 0D, (a, v) -> a + v)"))
+          .as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("norm")), 4).as("avg_norm"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q50_ann_brute" -> q50AnnBrute,
+    "q51_ann_lsh" -> q51AnnLsh,
+    "q52_embed_stats" -> q52EmbedStats
+  )
+}
