@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Relational.all ++
       operators.TextOps.all ++
       operators.DedupOps.all ++
-      operators.SimilarityOps.all
+      operators.SimilarityOps.all ++
+      operators.SmartHomeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

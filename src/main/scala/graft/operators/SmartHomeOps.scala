@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.etl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end smart-home medallion pipeline exposed through the query
+  * gate: deterministic bronze fixtures (seeded, wall-clock-free) →
+  * BronzeToSilver → SilverToGold → dashboard queries. These are
+  * rows-only checks (inputs are generated, not the sfDir tables);
+  * exact numeric semantics are asserted by the ScalaTest suites
+  * against hand-computed values.
+  */
+object SmartHomeOps {
+
+  private val cfg = EtlConfig(
+    referenceInstant = Some(Fixtures.DefaultStart.plusSeconds(6 * 3600)))
+
+  private def silver(s: SparkSession): DataFrame =
+    BronzeToSilver.run(
+      Fixtures.bronzeTelemetry(s, nDevices = 10, rowsPerDevice = 200,
+        dirty = true),
+      Fixtures.deviceCatalog(s), cfg)
+
+  /** Bronze→Silver refinement (F2-F7, J1, ST4, W1-W3) on the dirty
+    * fixture: 2009 raw rows → 2005 clean silver rows. */
+  val q60Silver: QueryDef = QueryDef.rowsOnly { (s, _) =>
+    silver(s).select("device_id", "timestamp", "temperature", "power_usage",
+      "quality_score", "is_valid", "device_age_days",
+      "processing_delay_hours", "is_late_event", "temp_1h_avg",
+      "power_1h_avg", "energy_efficiency", "alert_frequency_1h")
+  }
+
+  /** Gold table 1: daily_energy_consumption (A1+A2). */
+  val q61GoldDailyEnergy: QueryDef = QueryDef.rowsOnly { (s, _) =>
+    SilverToGold.dailyEnergyConsumption(silver(s), cfg)
+  }
+
+  /** Gold table 2: device_health_metrics (A3+A4). */
+  val q62GoldDeviceHealth: QueryDef = QueryDef.rowsOnly { (s, _) =>
+    SilverToGold.deviceHealthMetrics(silver(s), cfg)
+  }
+
+  /** Gold table 3: daily_business_summary (A5+A6+J2), consuming the
+    * other two gold frames in memory like the reference
+    * (silver_to_gold.py:326-339). */
+  val q63GoldBusinessSummary: QueryDef = QueryDef.rowsOnly { (s, _) =>
+    val sil = silver(s).cache()
+    val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
+    val health = SilverToGold.deviceHealthMetrics(sil, cfg)
+    SilverToGold.dailyBusinessSummary(daily, health, cfg)
+  }
+
+  /** Dashboard query layer (A7/A8/F8/F9/O2/W4) over the gold frames:
+    * one row per dashboard panel, unioned. */
+  val q64Dashboard: QueryDef = QueryDef.rowsOnly { (s, _) =>
+    val sil = silver(s).cache()
+    val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
+    val health = SilverToGold.deviceHealthMetrics(sil, cfg)
+    val panels = Seq(
+      DashboardQueries.todayKpis(daily, cfg)
+        .select(lit("today_kpis").as("panel"), to_json(struct(col("*"))).as("payload")),
+      DashboardQueries.last24hKpis(sil, cfg)
+        .select(lit("last24h_kpis").as("panel"), to_json(struct(col("*"))).as("payload")),
+      DashboardQueries.energyByDeviceType(daily)
+        .select(lit("energy_by_type").as("panel"), to_json(struct(col("*"))).as("payload")),
+      DashboardQueries.healthGauge(health)
+        .select(lit("health_gauge").as("panel"), to_json(struct(col("*"))).as("payload")),
+      DashboardQueries.alertDistribution(sil)
+        .select(lit("alerts").as("panel"), to_json(struct(col("*"))).as("payload")))
+    panels.reduce(_ unionByName _)
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q60_smarthome_silver" -> q60Silver,
+    "q61_gold_daily_energy" -> q61GoldDailyEnergy,
+    "q62_gold_device_health" -> q62GoldDeviceHealth,
+    "q63_gold_business_summary" -> q63GoldBusinessSummary,
+    "q64_dashboard_panels" -> q64Dashboard
+  )
+}
