@@ -1,0 +1,206 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math (SURVEY §7.5.6).
+  *
+  * The built-in route — `aggregate(zip_with(...))` higher-order
+  * functions — is evaluated by the lambda interpreter per element:
+  * ~30M interpreted closures for a 100-query × 5k-corpus brute-force
+  * scan. These expressions run a tight primitive loop inside
+  * whole-stage codegen instead (preference order (b) of the build
+  * brief: custom Expression before custom operator). Both float and
+  * double array children are supported so raw `Array[Float]`
+  * embedding columns need no per-element cast projection.
+  *
+  * Accumulation is sequential in DOUBLE regardless of input width —
+  * the same contract as the DuckDB oracle's
+  * `list_cosine_similarity(CAST(x AS DOUBLE[]) ...)`, so results are
+  * bit-identical across engines.
+  */
+object VectorExpressions {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Σ aᵢ·bᵢ over two numeric arrays (double accumulation). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot needs array<float|double> inputs, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      val lf = elemIsFloat(left)
+      val rf = elemIsFloat(right)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lg = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val rg = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (x, y) =>
+        s"""
+           |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double s = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  s += ((double) $x.$lg(i)) * ((double) $y.$rg(i));
+           |}
+           |${ev.value} = s;
+         """.stripMargin)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Σ aᵢ² (squared L2 norm, double accumulation). */
+  case class SquaredNorm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_sqnorm needs array<float|double>, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      var s = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+        s += v * v
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val g = if (elemIsFloat(child)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, x =>
+        s"""
+           |int n = $x.numElements();
+           |double s = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double v = (double) $x.$g(i);
+           |  s += v * v;
+           |}
+           |${ev.value} = s;
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Random-hyperplane LSH signature: `tables` longs, each of `bits`
+    * sign bits. Plane (t,p) weight for dimension i is ±1 from a
+    * splitmix64-style hash of (t·bits+p)·dim+i — deterministic on
+    * every executor, no plane matrix to broadcast. One fused loop in
+    * codegen replaces ~L·k·dim interpreted lambda calls per row. */
+  case class HyperplaneSignature(child: Expression, tables: Int, bits: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_lsh_sig needs array<float|double>, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val f = elemIsFloat(child)
+      val n = x.numElements()
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var sig = 0L
+        var p = 0
+        while (p < bits) {
+          val plane = t * bits + p
+          var dot = 0.0
+          var i = 0
+          while (i < n) {
+            val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+            dot += v * VectorExpressions.planeWeight(plane, i)
+            i += 1
+          }
+          if (dot > 0) sig |= (1L << p)
+          p += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    // eval-based; the loop body is already primitive-tight and this
+    // node sits behind a projection, so interpreted eval costs one
+    // virtual call per row, not per element.
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** splitmix64 finalizer → ±1 weight for (plane, dim). */
+  @inline def planeWeight(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  // Column builders (wrap via the classic Column-from-Expression path)
+  private def asCol(e: Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def exprOf(c: Column): Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  def dot(a: Column, b: Column): Column = asCol(DotProduct(exprOf(a), exprOf(b)))
+  def sqnorm(a: Column): Column = asCol(SquaredNorm(exprOf(a)))
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot(a, b) / (sqrt(sqnorm(a)) * sqrt(sqnorm(b)))
+  }
+  def lshSignature(a: Column, tables: Int, bits: Int): Column =
+    asCol(HyperplaneSignature(exprOf(a), tables, bits))
+}

@@ -71,8 +71,15 @@ object DedupOps {
   ) { (s, d) =>
     val sh = shingles(Tables.documents(s, d)).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    // Document-frequency pruning: a shingle in exactly one doc cannot
+    // produce a pair — drop it before the self-join. On natural
+    // corpora most shingles are unique, so this shrinks the join
+    // input by an order of magnitude (semantically neutral).
+    val common = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("s")
+    val shC = sh.join(common, Seq("s"))
+    val a = shC.select(col("doc_id").as("doc_a"), col("s"))
+    val b = shC.select(col("doc_id").as("doc_b"), col("s"))
     val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
@@ -130,23 +137,16 @@ object DedupOps {
     * bit-vote), candidates via 4×16-bit chunk banding (any identical
     * chunk ⇒ hamming candidates, catches all pairs with distance ≤ 3
     * by pigeonhole over 4 chunks), verified with exact hamming ≤ 3.
-    * Rows-only (engine-specific hash). */
+    * Rows-only (engine-specific hash).
+    *
+    * Signatures come from the native SimHash64 expression — one pass
+    * over each doc's token array, map-only (no token explode, no
+    * shuffle before the banding join). */
   val q43SimHash: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    val toks = tokenized(Tables.documents(s, d))
-      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // per (doc, bit) vote: +1 if bit set else -1, summed over tokens
-    val votes = toks.select(col("doc_id"), expr(
-      "transform(sequence(0, 63), b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)")
-      .as("bits"))
-    val sig = votes.groupBy(col("doc_id"))
-      .agg(expr("aggregate(collect_list(bits), " +
-        "transform(sequence(0, 63), b -> 0), " +
-        "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))").as("votes"))
-      .select(col("doc_id"), expr(
-        "aggregate(sequence(0, 63), 0L, " +
-          "(acc, b) -> CASE WHEN votes[b] > 0 THEN acc | (1L << b) ELSE acc END)")
-        .as("simhash"))
+    val sig = tokenized(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhash(array_distinct(col("toks")))
+          .as("simhash"))
       .cache()
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(

@@ -1,35 +1,30 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (Array[Float]
-  * column): brute-force cosine top-k as the exactness baseline and an
-  * LSH-bucketed variant as the 100 TB scale path.
+  * column): brute-force cosine top-k as the exactness baseline and a
+  * multi-table LSH variant as the 100 TB scale path.
+  *
+  * Vector math runs through graft.functions.VectorExpressions —
+  * native Catalyst expressions with codegen'd primitive loops (double
+  * accumulation, bit-compatible with the DuckDB oracle) instead of
+  * interpreted higher-order lambdas.
   *
   * Scale design: the query set is always the SMALL side and is
-  * broadcast; the corpus is scanned exactly once per search with no
-  * shuffle of the embedding vectors themselves (only (query, id,
-  * score) triples shuffle for the per-query top-k, which Spark plans
-  * as partial TakeOrdered per partition).
+  * broadcast; the corpus is scanned once with no shuffle of the
+  * embedding vectors for brute force, and one bucket-keyed shuffle
+  * for LSH. Per-query top-k is a window over (query, score) triples —
+  * Spark plans partial TakeOrdered per partition.
   */
 object SimilarityOps {
 
-  /** Cosine similarity between two double-array columns, computed with
-    * codegen'd higher-order functions (no UDF). */
-  private def cosineExpr(aCol: String, bCol: String) = {
-    val dot = expr(s"aggregate(zip_with($aCol, $bCol, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    val na = expr(s"sqrt(aggregate(transform($aCol, x -> x * x), 0D, (acc, v) -> acc + v))")
-    val nb = expr(s"sqrt(aggregate(transform($bCol, x -> x * x), 0D, (acc, v) -> acc + v))")
-    dot / (na * nb)
-  }
-
   private def corpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
 
   /** Brute-force cosine top-5 per query (query set = vec_id % 50 = 0,
     * broadcast against the corpus scan). Ranking on the 6-dp-rounded
@@ -50,10 +45,11 @@ object SimilarityOps {
   ) { (s, d) =>
     val c = corpus(s, d)
     val q = c.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosineExpr("q_emb", "emb"), 6).as("cosine"))
+        round(VectorExpressions.cosine(col("q_emb"), col("embedding")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -64,38 +60,26 @@ object SimilarityOps {
   private val LshTables = 3 // L hash tables ...
   private val LshBits = 4 // ... of k hyperplane bits each
 
-  /** Per-table bucket signatures as array<long> (length L). Plane
-    * (t, p) dimension weights are ±1 derived from xxhash64 of the
-    * plane/dimension index — deterministic on every executor, no RNG,
-    * no broadcast of plane matrices needed. */
-  private def bucketArray(embCol: String) = expr(
-    s"""transform(sequence(0, ${LshTables - 1}), t ->
-       |  aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
-       |    CASE WHEN aggregate(
-       |      zip_with($embCol,
-       |        sequence((t * ${LshBits} + p) * 1000,
-       |                 (t * ${LshBits} + p) * 1000 + size($embCol) - 1),
-       |        (x, i) -> x * (CASE WHEN (xxhash64(i) & 1) = 1 THEN 1D ELSE -1D END)),
-       |      0D, (a, v) -> a + v) > 0
-       |    THEN acc | (1L << p) ELSE acc END))""".stripMargin.replace("\n", " "))
-
-  /** LSH-bucketed ANN: L=3 hash tables of k=4 random-hyperplane bits.
-    * A corpus vector is a candidate for a query if they collide in ANY
+  /** LSH-bucketed ANN: L=3 hash tables of k=4 random-hyperplane bits
+    * (one fused codegen loop per row computes all signatures). A
+    * corpus vector is a candidate for a query if they collide in ANY
     * table; candidates are scored exactly, top-5 kept. At 100 TB the
     * (table, bucket) equi-join shuffles only (id, bucket) pairs plus
     * candidate vectors — each query probes ~L·n/2^k of the corpus
     * instead of all of it; recall is tunable via L and k. */
   val q51AnnLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    val c = corpus(s, d).withColumn("buckets", bucketArray("emb"))
-    val cT = c.select(col("vec_id"), col("emb"),
+    val c = corpus(s, d).withColumn("buckets",
+      VectorExpressions.lshSignature(col("embedding"), LshTables, LshBits))
+    val cT = c.select(col("vec_id"), col("embedding"),
       posexplode(col("buckets")).as(Seq("t", "bucket")))
     val q = cT.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("t"), col("bucket"))
     val scored = cT.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(cosineExpr("q_emb", "emb"), 6).as("cosine"))
+        round(VectorExpressions.cosine(col("q_emb"), col("embedding")), 6)
+          .as("cosine"))
       .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -114,8 +98,7 @@ object SimilarityOps {
   ) { (s, d) =>
     corpus(s, d)
       .select(col("label").cast("long").as("label"),
-        sqrt(expr("aggregate(transform(emb, x -> x * x), 0D, (a, v) -> a + v)"))
-          .as("norm"))
+        sqrt(VectorExpressions.sqnorm(col("embedding"))).as("norm"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), round(avg(col("norm")), 4).as("avg_norm"))
   }
