@@ -1,0 +1,77 @@
+package graft.etl
+
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+
+/** Batch orchestration entry point — the run_etl.py equivalent
+  * (scripts/run_etl.py:123-143, SURVEY §2.9 ST7 / §7.2 M6).
+  *
+  * Usage:
+  *   runMain graft.etl.EtlRunner --lake <dir> [--fixtures]
+  *     [--hours-back 24] [--days-back 7] [--at 2025-07-15T06:00:00Z]
+  *
+  * `--fixtures` seeds the lake's Bronze layer from the deterministic
+  * generator first (demo/CI mode; production Bronze comes from the
+  * streaming ingest). One invocation = one full bronze→silver→gold
+  * pass ("--once" semantics); cadence is the scheduler's concern, not
+  * the engine's — every write is idempotent (partition overwrite), so
+  * any rerun cadence is safe.
+  */
+object EtlRunner {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) => k -> v
+    }.toMap ++ (if (args.contains("--fixtures")) Map("--fixtures" -> "true")
+                else Map.empty)
+    val lake = opts.getOrElse("--lake",
+      sys.env.getOrElse("GRAFT_LAKE", "/tmp/graft-lake"))
+    val hoursBack = opts.getOrElse("--hours-back", "24").toInt
+    val daysBack = opts.getOrElse("--days-back", "7").toInt
+    // fixtures are pinned at 2025-07-15; anchor lookbacks there unless
+    // --at overrides (wall-clock-free by default in demo mode)
+    val cfg = EtlConfig(referenceInstant =
+      opts.get("--at").map(Instant.parse)
+        .orElse(if (args.contains("--fixtures"))
+          Some(Fixtures.DefaultStart.plusSeconds(2 * 3600)) else None))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (opts.contains("--fixtures")) {
+      Lake.writeBronze(
+        Fixtures.bronzeTelemetry(spark, nDevices = 10, rowsPerDevice = 3600,
+          dirty = true), lake)
+      println(s"[etl] seeded fixture bronze at $lake")
+    }
+
+    val bronze = Lake.readBronze(spark, lake, hoursBack, cfg)
+      .drop("date") // re-derived on write
+    val catalog = Fixtures.deviceCatalog(spark)
+    val silver = BronzeToSilver.run(bronze, catalog, cfg)
+    Lake.writeSilver(silver, lake)
+
+    val silverBack = Lake.readSilver(spark, lake, daysBack, cfg).cache()
+    val daily = SilverToGold.dailyEnergyConsumption(silverBack, cfg)
+    val health = SilverToGold.deviceHealthMetrics(silverBack, cfg)
+    val summary = SilverToGold.dailyBusinessSummary(daily, health, cfg)
+    Lake.writeGold(daily, health, summary, lake)
+
+    val counts = Map(
+      "bronze" -> bronze.count(),
+      "silver" -> silverBack.count(),
+      "gold_daily_energy" -> daily.count(),
+      "gold_device_health" -> health.count(),
+      "gold_business_summary" -> summary.count())
+    println("[etl] " + counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    spark.stop()
+  }
+}

@@ -73,14 +73,16 @@ object Lake {
       .parquet(s"$root/bronze/telemetry")
       .filter(col("date") >= lit(java.sql.Date.valueOf(
         cutoff.atZone(java.time.ZoneOffset.UTC).toLocalDate)))
-      .filter(to_timestamp(col("timestamp")) >=
+      .filter(try_to_timestamp(col("timestamp")) >=
         lit(java.sql.Timestamp.from(cutoff)))
   }
 
   /** S4-as-batch: Bronze sink partitioned by event date. */
   def writeBronze(bronze: DataFrame, root: String): Unit =
     bronze
-      .withColumn("date", to_date(to_timestamp(col("timestamp"))))
+      // try_: raw bronze may carry unparseable timestamps (they land in
+      // a null date partition and die in Silver validation)
+      .withColumn("date", to_date(try_to_timestamp(col("timestamp"))))
       .repartition(col("date"))
       .write
       .partitionBy("date")

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support for the training-data pipeline surface:
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, plus batch decode / feature-extract / resize / frame-
+  * sample stages.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape,
+  * operator signatures — is real and tested. The actual codec calls
+  * are STUBBED with a deterministic fake (this container ships no
+  * image/audio libraries): `decodeBatch` is the single seam where a
+  * real implementation would call e.g. libjpeg/ffmpeg on each batch.
+  *
+  * Batching model: partitions stream through `mapPartitions` in
+  * groups of `batchSize` rows, the same shape a vectorized decode
+  * (Arrow batch / pandas UDF in PySpark, JNI batch call here) needs —
+  * per-batch setup cost is amortized, memory is bounded by
+  * batchSize × payload, and the operator composes with any upstream
+  * repartitioning (decode parallelism = partition count).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_bytes", LongType))))
+  ))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("duration_ms", IntegerType),
+    StructField("feature", ArrayType(FloatType, containsNull = false))
+  ))
+
+  /** STUB decode: a real build replaces the body of this function
+    * (only) with codec calls; everything around it — batching,
+    * schema, null handling — is production plumbing. The fake is
+    * deterministic in the payload bytes so tests can assert exact
+    * outputs. */
+  private def decodeBatch(batch: Seq[Row]): Seq[Row] = batch.map { r =>
+    val id = r.getLong(0)
+    val kind = r.getString(1)
+    val content = r.getAs[Array[Byte]](2)
+    // ??? real codec here — deterministic fake derived from bytes:
+    val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    val w = 64 + math.floorMod(h, 1024).toInt
+    val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+    val fmt = kind match {
+      case "image" => "png"
+      case "audio" => "wav"
+      case _ => "mp4"
+    }
+    val dur = if (kind == "image") 0 else 1000 + math.floorMod(h >> 20, 60000).toInt
+    val feature = Array.tabulate(8)(i =>
+      (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
+    Row(id, kind, w, ht, fmt, dur, feature)
+  }
+
+  /** Decode / feature-extract over a media table: batched
+    * mapPartitions, output schema `decodedSchema`. */
+  def decode(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    media
+      .select(col("media_id"), col("kind"), col("content"))
+      .mapPartitions(rows =>
+        rows.grouped(batchSize).flatMap(decodeBatch))(enc)
+  }
+
+  /** Resize stage (stub: recomputes target dims, a real build calls
+    * the scaler per batch). Shape: decoded → decoded. */
+  def resize(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    decoded
+      .withColumn("width", ceil(col("width") * scale).cast("int"))
+      .withColumn("height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame
+    * at `everyMs` spacing (posexplode of the frame index sequence —
+    * a generator, so it parallelizes row-wise and never materializes
+    * a frame list on the driver). */
+  def sampleFrames(decoded: DataFrame, everyMs: Int): DataFrame =
+    decoded.filter(col("kind") === "video")
+      .select(col("media_id"), col("width"), col("height"),
+        posexplode(sequence(lit(0), (col("duration_ms") / everyMs).cast("int")))
+          .as(Seq("frame_idx", "frame_ms_step")))
+      .select(col("media_id"), col("width"), col("height"),
+        col("frame_idx"), (col("frame_idx") * everyMs).as("frame_ms"))
+
+  /** Deterministic media fixture derived from the documents table:
+    * text bytes as payload, kind cycling image/audio/video. */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(col("source").as("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        .as("meta"))
+}

@@ -72,11 +72,33 @@ object SmartHomeOps {
     panels.reduce(_ unionByName _)
   }
 
+  /** J3 billing reconciliation — the join the reference declares but
+    * never wires up (SURVEY §2.3): gold energy vs billed totals per
+    * (user, month). */
+  val q65Billing: QueryDef = QueryDef.rowsOnly { (s, _) =>
+    val daily = SilverToGold.dailyEnergyConsumption(silver(s), cfg)
+    BillingJoin.reconcile(daily, BillingJoin.billingFixture(s))
+  }
+
+  /** Multimodal plumbing: binary payload column → batched decode stub
+    * → resize → video frame sampling (graft.multimodal). */
+  val q66Multimodal: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      s, graft.Tables.documents(s, d))
+    val decoded = graft.multimodal.Multimodal.decode(media, batchSize = 64)
+    val resized = graft.multimodal.Multimodal.resize(decoded, maxSide = 256)
+    val frames = graft.multimodal.Multimodal.sampleFrames(resized, everyMs = 5000)
+    frames.groupBy(col("media_id"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_ms")).as("last_frame_ms"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q60_smarthome_silver" -> q60Silver,
     "q61_gold_daily_energy" -> q61GoldDailyEnergy,
     "q62_gold_device_health" -> q62GoldDeviceHealth,
     "q63_gold_business_summary" -> q63GoldBusinessSummary,
-    "q64_dashboard_panels" -> q64Dashboard
+    "q64_dashboard_panels" -> q64Dashboard,
+    "q65_billing_reconciliation" -> q65Billing,
+    "q66_multimodal_pipeline" -> q66Multimodal
   )
 }
