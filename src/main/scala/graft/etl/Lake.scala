@@ -43,7 +43,11 @@ object Lake {
       cfg: EtlConfig = EtlConfig()): DataFrame = {
     val cutoff = java.sql.Date.valueOf(
       cfg.now.atZone(java.time.ZoneOffset.UTC).toLocalDate.minusDays(daysBack))
-    spark.read.parquet(s"$root/silver/energy_usage")
+    spark.read
+      // S6 semantics: skip corrupt files with a warning instead of
+      // failing the job (bronze_to_silver.py:96-101)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(s"$root/silver/energy_usage")
       .filter(col("date") >= lit(cutoff)) // partition pruning
   }
 
@@ -70,6 +74,7 @@ object Lake {
       cfg: EtlConfig = EtlConfig()): DataFrame = {
     val cutoff: Instant = cfg.now.minusSeconds(hoursBack * 3600L)
     spark.read.schema(Schemas.bronzeTelemetry.add("date", "date"))
+      .option("ignoreCorruptFiles", "true") // S6 corrupt-file skip
       .parquet(s"$root/bronze/telemetry")
       .filter(col("date") >= lit(java.sql.Date.valueOf(
         cutoff.atZone(java.time.ZoneOffset.UTC).toLocalDate)))
