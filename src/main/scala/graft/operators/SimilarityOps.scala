@@ -103,9 +103,54 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"), round(avg(col("norm")), 4).as("avg_norm"))
   }
 
+  /** IVF-style ANN: a deterministic subset of vectors acts as coarse
+    * centroids; every vector is assigned to its nearest centroid
+    * (inverted lists), queries probe their `nprobe`=2 nearest lists.
+    *
+    * The 100 TB shape: centroid table is tiny and broadcast; the
+    * corpus partitions by centroid id (the inverted index IS the
+    * partitioning), and a query touches nprobe partitions instead of
+    * the full corpus. Assignment cost is one broadcast-join scan —
+    * n·k codegen'd cosines, no shuffle of the vectors until the
+    * final list grouping. */
+  val q53AnnIvf: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val c = corpus(s, d)
+    val cents = c.filter(col("vec_id") % 31 === 1)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    def nearestCentroids(df: DataFrame, idCol: String, embCol: String,
+        keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_sim",
+          VectorExpressions.cosine(col(embCol), col("cent_emb")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= keep)
+        .drop("cent_emb", "cent_sim", "cent_rank")
+    }
+    // inverted lists: every vector → its nearest centroid
+    val assigned = nearestCentroids(c, "vec_id", "embedding", keep = 1)
+    // queries probe their 2 nearest lists
+    val probes = nearestCentroids(
+      c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", keep = 2)
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(VectorExpressions.cosine(col("q_emb"), col("embedding")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "neighbor_id", "cosine")
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
-    "q52_embed_stats" -> q52EmbedStats
+    "q52_embed_stats" -> q52EmbedStats,
+    "q53_ann_ivf" -> q53AnnIvf
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class SimilarityDedupSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("native dot/sqnorm match the higher-order-function reference") {
+    val e = Tables.embeddings(spark, dir).limit(50)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"),
+        col("embedding"))
+    val both = e.select(
+      VectorExpressions.sqnorm(col("embedding")).as("native"),
+      expr("aggregate(transform(emb, x -> x * x), 0D, (a, v) -> a + v)")
+        .as("hof"))
+    assert(both.filter(abs(col("native") - col("hof")) > 1e-12).count() == 0)
+  }
+
+  test("brute-force ANN matches a driver-side recomputation") {
+    val rows = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = SimilarityOps.q50AnnBrute.fn(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    got.foreach { case (qId, neighbors) =>
+      val expect = rows.keys.filter(_ != qId).toSeq
+        .map(id => id -> BigDecimal(cos(rows(qId), rows(id)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotIds = neighbors.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(gotIds == expect, s"query $qId")
+    }
+  }
+
+  test("LSH and IVF return exact scores for their candidates; recall > 0") {
+    val brute = SimilarityOps.q50AnnBrute.fn(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), col("cosine").as("c_brute"))
+    for (approx <- Seq(SimilarityOps.q51AnnLsh, SimilarityOps.q53AnnIvf)) {
+      val a = approx.fn(spark, dir)
+        .select(col("q_id"), col("neighbor_id"), col("cosine"))
+      // scores for overlapping pairs must be identical (same scorer)
+      val joined = a.join(brute, Seq("q_id", "neighbor_id"))
+      assert(joined.filter(col("cosine") =!= col("c_brute")).count() == 0)
+      assert(joined.count() > 0) // nonzero recall of true top-5
+    }
+  }
+
+  test("exact dedup partitions the corpus: group sizes sum to n_docs") {
+    val n = Tables.documents(spark, dir).count()
+    val dedup = DedupOps.q40DedupExact.fn(spark, dir)
+    assert(dedup.agg(sum("n_copies")).head().getLong(0) == n)
+  }
+
+  test("minhash estimate correlates with true jaccard on overlapping pairs") {
+    val est = DedupOps.q42MinHashLsh.fn(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val exact = DedupOps.q41NgramJaccard.fn(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val joined = est.join(exact, Seq("doc_a", "doc_b"))
+    // 16 hashes → σ ≈ 0.12; allow 4σ
+    assert(joined.filter(abs(col("est_jaccard") - col("jaccard")) > 0.5)
+      .count() == 0)
+  }
+
+  test("simhash: identical docs collide, hamming is symmetric-bounded") {
+    val pairs = DedupOps.q43SimHash.fn(spark, dir)
+    assert(pairs.filter(col("hamming") > 3).count() == 0)
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+}
