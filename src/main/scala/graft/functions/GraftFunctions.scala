@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's native expressions, so `spark.sql`
+  * users get them too:
+  *
+  *   graft_dot(a, b)        dot product over array<float|double>
+  *   graft_sqnorm(a)        squared L2 norm
+  *   graft_cosine(a, b)     cosine similarity
+  *   graft_simhash(tokens)  64-bit SimHash of array<string>
+  *
+  * Two registration paths:
+  *   - `GraftExtensions` via `spark.sql.extensions` /
+  *     `.withExtensions(...)` at session build time (production);
+  *   - `GraftFunctions.register(spark)` on a live session (tests,
+  *     notebooks).
+  */
+object GraftFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def binary(name: String)(mk: (Expression, Expression) => Expression)
+      : (String, Builder) =
+    name -> { args =>
+      require(args.length == 2, s"$name expects 2 arguments")
+      mk(args(0), args(1))
+    }
+
+  private def unary(name: String)(mk: Expression => Expression)
+      : (String, Builder) =
+    name -> { args =>
+      require(args.length == 1, s"$name expects 1 argument")
+      mk(args(0))
+    }
+
+  private val builders: Seq[(String, Builder)] = Seq(
+    binary("graft_dot")(VectorExpressions.DotProduct(_, _)),
+    unary("graft_sqnorm")(VectorExpressions.SquaredNorm(_)),
+    binary("graft_cosine") { (a, b) =>
+      import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      Divide(
+        VectorExpressions.DotProduct(a, b),
+        Multiply(Sqrt(VectorExpressions.SquaredNorm(a)),
+          Sqrt(VectorExpressions.SquaredNorm(b))))
+    },
+    unary("graft_simhash")(TextExpressions.SimHash64(_))
+  )
+
+  /** Register on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+
+  private[functions] def inject(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", name), b))
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(e)
+}
