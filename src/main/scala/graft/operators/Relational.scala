@@ -236,14 +236,18 @@ object Relational {
   /** A8 KPI scalars (dashboard/app.py:277-357): one-row summary —
     * sums + exact distinct counts over a time-filtered fact. */
   val q12KpiScalars: QueryDef = QueryDef.withOracle(
-    """SELECT round(sum(value), 2) AS total_value,
+    """SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_value,
       |  count(DISTINCT user_id) AS active_users,
       |  count(*) AS n_events
       |FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'""".stripMargin
   ) { (s, d) =>
+    // 2-dp values summed as exact integer cents: order-independent,
+    // identical in both engines at any SF
     Tables.events(s, d)
       .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp"))
-      .agg(round(sum(col("value")), 2).as("total_value"),
+      .agg((sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+        / 100.0).as("total_value"),
         countDistinct(col("user_id")).as("active_users"),
         count(lit(1)).as("n_events"))
   }
@@ -318,17 +322,18 @@ object Relational {
   val q17HealthFormula: QueryDef = QueryDef.withOracle(
     """SELECT user_id,
       |  count(*) AS n_events,
-      |  round(least(1.0,
+      |  floor(least(1.0,
       |    0.4 * (1 - avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END))
       |    + 0.3 * avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
-      |    + 0.3 * least(count(*) / 1000.0, 1.0)), 3) AS health_score,
-      |  round(least(1.0,
+      |    + 0.3 * least(count(*) / 1000.0, 1.0)) * 1000 + 0.5) / 1000
+      |    AS health_score,
+      |  floor(least(1.0,
       |    (1 - least(1.0,
       |      0.4 * (1 - avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END))
       |      + 0.3 * avg(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END)
       |      + 0.3 * least(count(*) / 1000.0, 1.0))) * 0.7
-      |    + avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) * 0.3), 3)
-      |    AS failure_probability
+      |    + avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) * 0.3)
+      |    * 1000 + 0.5) / 1000 AS failure_probability
       |FROM events GROUP BY user_id""".stripMargin
   ) { (s, d) =>
     val errRate = avg(when(col("event_type") === "error", 1.0).otherwise(0.0))
@@ -336,11 +341,14 @@ object Relational {
     val health = least(lit(1.0),
       lit(0.4) * (lit(1) - errRate) + lit(0.3) * purRate +
         lit(0.3) * least(count(lit(1)) / 1000.0, lit(1.0)))
+    // floor-rounding: the formula inputs are integer ratios, so both
+    // engines hold identical doubles — floor(x*k+0.5)/k can't diverge
+    // at half-boundaries the way round() does
     Tables.events(s, d).groupBy(col("user_id")).agg(
       count(lit(1)).as("n_events"),
-      round(health, 3).as("health_score"),
-      round(least(lit(1.0), (lit(1) - health) * 0.7 + errRate * 0.3), 3)
-        .as("failure_probability"))
+      (floor(health * 1000 + 0.5) / 1000).as("health_score"),
+      (floor(least(lit(1.0), (lit(1) - health) * 0.7 + errRate * 0.3) * 1000
+        + 0.5) / 1000).as("failure_probability"))
   }
 
   /** Anti join: customers with no orders (NOT EXISTS). */
@@ -381,53 +389,72 @@ object Relational {
 
   /** A1+A2 daily rollup + derived cost columns (silver_to_gold.py:
     * 95-122): date-keyed rollup, cost estimate at 0.12/kUnit, guarded
-    * ratio — the daily_energy_consumption shape on lineitem. */
+    * ratio — the daily_energy_consumption shape on lineitem.
+    *
+    * Exactness: prices carry 2 decimals → summed as integer cents
+    * (order-independent, engine-identical); quantities are integral
+    * doubles (exact sums). Derived ratios then floor-round identical
+    * doubles in both engines — no half-boundary divergence at any SF. */
   val q21DailyRollup: QueryDef = QueryDef.withOracle(
     """SELECT CAST(l_shipdate AS DATE) AS ship_date,
-      |  round(sum(l_extendedprice), 3) AS gross,
-      |  round(sum(l_quantity), 3) AS qty,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS gross,
+      |  sum(l_quantity) AS qty,
       |  count(*) AS n_lines,
-      |  round(round(sum(l_extendedprice), 3) / 1000 * 0.12, 2) AS cost_estimate,
-      |  CASE WHEN round(sum(l_quantity), 3) > 0
-      |       THEN round(round(sum(l_extendedprice), 3) / round(sum(l_quantity), 3), 3)
+      |  floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100.0) / 1000 * 0.12 * 100 + 0.5) / 100 AS cost_estimate,
+      |  CASE WHEN sum(l_quantity) > 0
+      |       THEN floor((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |            / 100.0) / sum(l_quantity) * 1000 + 0.5) / 1000
       |       ELSE 0.0 END AS avg_price_per_unit
       |FROM lineitem GROUP BY 1""".stripMargin
   ) { (s, d) =>
+    val cents = sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
     Tables.lineitem(s, d)
       .groupBy(to_date(col("l_shipdate")).as("ship_date"))
-      .agg(round(sum(col("l_extendedprice")), 3).as("gross"),
-        round(sum(col("l_quantity")), 3).as("qty"),
+      .agg((cents.cast("double") / 100.0).as("gross"),
+        sum(col("l_quantity")).as("qty"),
         count(lit(1)).as("n_lines"))
-      .withColumn("cost_estimate", round(col("gross") / 1000 * 0.12, 2))
+      .withColumn("cost_estimate",
+        floor(col("gross") / 1000 * 0.12 * 100 + 0.5) / 100)
       .withColumn("avg_price_per_unit",
-        when(col("qty") > 0, round(col("gross") / col("qty"), 3)).otherwise(0.0))
+        when(col("qty") > 0,
+          floor(col("gross") / col("qty") * 1000 + 0.5) / 1000).otherwise(0.0))
   }
 
   /** ST5 daily tumbling window ≡ group-by event date + type
     * (silver_to_gold.py:92; window($"ts","1 day") equivalence). */
   val q22DailyEvents: QueryDef = QueryDef.withOracle(
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
   ) { (s, d) =>
     Tables.events(s, d)
       .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+          / 100.0).as("total_value"))
   }
 
   /** A7 chart group-by + bool-fraction mean (app.py:365-367; is_valid
     * mean semantics — mean of a boolean = fraction true). */
   val q23BoolFraction: QueryDef = QueryDef.withOracle(
     """SELECT l_returnflag,
-      |  round(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END), 4)
-      |    AS frac_discounted,
-      |  round(avg(CASE WHEN l_tax > 0.04 THEN 1.0 ELSE 0.0 END), 4) AS frac_taxed
+      |  floor(avg(CASE WHEN l_discount > 0.05 THEN 1.0 ELSE 0.0 END)
+      |    * 10000 + 0.5) / 10000 AS frac_discounted,
+      |  floor(avg(CASE WHEN l_tax > 0.04 THEN 1.0 ELSE 0.0 END)
+      |    * 10000 + 0.5) / 10000 AS frac_taxed
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
   ) { (s, d) =>
+    // integer-ratio means → identical doubles in both engines →
+    // floor-rounding is boundary-safe (round() is not)
     Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
-      round(avg(when(col("l_discount") > 0.05, 1.0).otherwise(0.0)), 4)
-        .as("frac_discounted"),
-      round(avg(when(col("l_tax") > 0.04, 1.0).otherwise(0.0)), 4).as("frac_taxed"))
+      (floor(avg(when(col("l_discount") > 0.05, 1.0).otherwise(0.0)) * 10000
+        + 0.5) / 10000).as("frac_discounted"),
+      (floor(avg(when(col("l_tax") > 0.04, 1.0).otherwise(0.0)) * 10000
+        + 0.5) / 10000).as("frac_taxed"))
   }
 
   val all: Map[String, QueryDef] = Map(

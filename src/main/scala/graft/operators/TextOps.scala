@@ -20,17 +20,18 @@ object TextOps {
     """SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS n_char,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-      |        / len(string_split(text, ' ')), 3) AS avg_tok_len
+      |  floor(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 1000 + 0.5) / 1000 AS avg_tok_len
       |FROM documents""".stripMargin
   ) { (s, d) =>
     val nTok = size(split(col("text"), " ", -1))
+    // integer/integer ratio → floor-round (engine-identical doubles)
     Tables.documents(s, d).select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_char"),
       nTok.cast("long").as("n_tok"),
-      round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 3)
-        .as("avg_tok_len"))
+      (floor((length(col("text")) - (nTok - 1)).cast("double") / nTok * 1000
+        + 0.5) / 1000).as("avg_tok_len"))
   }
 
   /** Quality scoring in the reference's quality_score style
@@ -49,11 +50,12 @@ object TextOps {
       |SELECT doc_id,
       |  CAST(n_tok AS BIGINT) AS n_tok,
       |  CAST(n_uniq AS BIGINT) AS n_uniq,
-      |  round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
-      |  round(greatest(0.0, 1.0
+      |  floor(CAST(n_stop AS DOUBLE) / n_tok * 10000 + 0.5) / 10000 AS stop_ratio,
+      |  floor(greatest(0.0, 1.0
       |    - 0.3 * (CAST(n_stop AS DOUBLE) / n_tok)
       |    - (CASE WHEN n_tok < 20 THEN 0.2 ELSE 0.0 END)
-      |    - 0.2 * (1.0 - CAST(n_uniq AS DOUBLE) / n_tok)), 4) AS quality_score
+      |    - 0.2 * (1.0 - CAST(n_uniq AS DOUBLE) / n_tok)) * 10000 + 0.5) / 10000
+      |    AS quality_score
       |FROM t""".stripMargin
   ) { (s, d) =>
     val toks = split(col("text"), " ", -1)
@@ -61,29 +63,31 @@ object TextOps {
     val nUniq = size(array_distinct(toks))
     val nStop = size(filter(toks, x => x.isin("the", "a")))
     val stopRatio = nStop.cast("double") / nTok
+    // integer-ratio formula → floor-round (see q21/q23 rationale)
     Tables.documents(s, d).select(
       col("doc_id"),
       nTok.cast("long").as("n_tok"),
       nUniq.cast("long").as("n_uniq"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(greatest(lit(0.0), lit(1.0)
+      (floor(stopRatio * 10000 + 0.5) / 10000).as("stop_ratio"),
+      (floor(greatest(lit(0.0), lit(1.0)
         - lit(0.3) * stopRatio
         - when(nTok < 20, 0.2).otherwise(0.0)
-        - lit(0.2) * (lit(1.0) - nUniq.cast("double") / nTok)), 4)
-        .as("quality_score"))
+        - lit(0.2) * (lit(1.0) - nUniq.cast("double") / nTok)) * 10000 + 0.5)
+        / 10000).as("quality_score"))
   }
 
   /** Corpus rollup per language: volume, length stats, source spread.
     * (A7 chart group-by shape over the documents table.) */
   val q32LangStats: QueryDef = QueryDef.withOracle(
     """SELECT lang, count(*) AS n_docs,
-      |  round(avg(CAST(n_chars AS DOUBLE)), 3) AS avg_chars,
+      |  floor(avg(CAST(n_chars AS DOUBLE)) * 1000 + 0.5) / 1000 AS avg_chars,
       |  count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY lang""".stripMargin
   ) { (s, d) =>
     Tables.documents(s, d).groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
-      round(avg(col("n_chars").cast("double")), 3).as("avg_chars"),
+      (floor(avg(col("n_chars").cast("double")) * 1000 + 0.5) / 1000)
+        .as("avg_chars"),
       countDistinct(col("source")).as("n_sources"))
   }
 
