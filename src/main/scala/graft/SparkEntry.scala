@@ -16,6 +16,7 @@ object SparkEntry {
     * owns a distinct q-number range / prefix. */
   private lazy val defs: Map[String, QueryDef] =
     operators.Relational.all ++
+      operators.Relational2.all ++
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++

@@ -351,13 +351,16 @@ object Relational {
         + 0.5) / 1000).as("failure_probability"))
   }
 
-  /** Anti join: customers with no orders (NOT EXISTS). */
+  /** Anti join (NOT EXISTS): rich customers with no 1995 orders —
+    * filtered on both sides so the result is non-empty at every SF. */
   val q18AntiJoin: QueryDef = QueryDef.withOracle(
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE c_acctbal > 9000 AND NOT EXISTS
+      |  (SELECT 1 FROM orders
+      |   WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)""".stripMargin
   ) { (s, d) =>
-    val c = Tables.customer(s, d)
-    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+    val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine-completeness queries beyond the reference's own surface
+  * (SURVEY §2 notes these as absent in the reference — a complete
+  * standalone engine still ships them): lead/lag, ranking with ties,
+  * INTERSECT/EXCEPT, regexp scalars, HAVING with scalar subquery,
+  * approximate distinct.
+  */
+object Relational2 {
+
+  /** lead/lag offsets per key — inter-event deltas. 2-dp values make
+    * the delta exact double arithmetic in both engines. */
+  val q24LagLead: QueryDef = QueryDef.withOracle(
+    """SELECT event_id, user_id,
+      |  value - lag(value) OVER w AS delta_prev,
+      |  lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+      lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
+  /** rank with real ties (no id tiebreak): rank ≤ 3 per month selects
+    * the same tied set in both engines by definition. */
+  val q25Rank: QueryDef = QueryDef.withOracle(
+    """SELECT month, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey, o_totalprice,
+      |    rank() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m')
+      |                 ORDER BY o_totalprice DESC) AS rnk
+      |  FROM orders) WHERE rnk <= 3""".stripMargin
+  ) { (s, d) =>
+    val month = date_format(col("o_orderdate"), "yyyy-MM")
+    val w = Window.partitionBy(month).orderBy(col("o_totalprice").desc)
+    Tables.orders(s, d)
+      .select(month.as("month"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** INTERSECT (set semantics): suppliers of heavy lines ∩ suppliers
+    * with positive balance. */
+  val q26Intersect: QueryDef = QueryDef.withOracle(
+    """SELECT l_suppkey AS suppkey FROM lineitem WHERE l_quantity > 45
+      |INTERSECT
+      |SELECT s_suppkey AS suppkey FROM supplier WHERE s_acctbal > 0""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      .select(col("l_suppkey").as("suppkey"))
+      .intersect(Tables.supplier(s, d).filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey").as("suppkey")))
+  }
+
+  /** EXCEPT (set semantics): building-segment customers minus those
+    * in arrears (non-empty at every SF — the synthetic data covers
+    * every natural key domain, so key-level differences are empty). */
+  val q27Except: QueryDef = QueryDef.withOracle(
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_acctbal < 0""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .except(c.filter(col("c_acctbal") < 0).select("c_custkey"))
+  }
+
+  /** Regexp scalars: extract/replace/match over part names. */
+  val q28Regexp: QueryDef = QueryDef.withOracle(
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  CASE WHEN regexp_matches(p_name, 'r.d') THEN 1 ELSE 0 END AS has_rxd
+      |FROM part""".stripMargin
+  ) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      when(col("p_name").rlike("r.d"), 1).otherwise(0).as("has_rxd"))
+  }
+
+  /** HAVING against a scalar subquery: customers whose order volume
+    * exceeds 20× the global mean order price. */
+  val q29Having: QueryDef = QueryDef.withOracle(
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_custkey
+      |HAVING sum(o_totalprice) > (SELECT avg(o_totalprice) * 20 FROM orders)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val threshold = o.agg((avg(col("o_totalprice")) * 20).as("thr"))
+    o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("raw_total"))
+      .crossJoin(broadcast(threshold))
+      .filter(col("raw_total") > col("thr"))
+      .select(col("o_custkey"), round(col("raw_total"), 2).as("total"))
+  }
+
+  /** A5 at 100 TB: approx_count_distinct in place of exact nunique
+    * (SURVEY flags this as the acceptable semantic deviation at
+    * scale). HLL sketches differ across engines → rows-only; the
+    * spec asserts the estimate is within 5% of exact. */
+  val q2aApproxDistinct: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q24_lag_lead" -> q24LagLead,
+    "q25_rank" -> q25Rank,
+    "q26_intersect" -> q26Intersect,
+    "q27_except" -> q27Except,
+    "q28_regexp" -> q28Regexp,
+    "q29_having" -> q29Having,
+    "q2a_approx_distinct" -> q2aApproxDistinct
+  )
+}
