@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regressions: the scale properties the engine is
+  * designed around must survive refactors — filters/projections reach
+  * the scan, dims broadcast, top-k avoids global sorts, aggregates
+  * split partial/final, window rank limits push down.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q2: range filters and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
+    // pruned read schema — no columns beyond the 6 needed
+    val schemaLine = p.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!schemaLine.contains("l_shipdate") && !schemaLine.contains("l_tax"),
+      schemaLine)
+  }
+
+  test("q3/q4: dimension joins are broadcast, not shuffled") {
+    assert(plan("q3_join_broadcast_left").contains("BroadcastHashJoin"))
+    val p4 = plan("q4_join_multi")
+    assert(p4.contains("BroadcastHashJoin"), p4)
+    assert(!p4.contains("SortMergeJoin"), p4) // all dims fit broadcast here
+  }
+
+  test("q1: aggregation plans partial+final HashAggregate") {
+    val p = plan("q1_agg_rollup")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("q7: top-k is TakeOrderedAndProject (no global sort)") {
+    val p = plan("q7_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\nSort "), p)
+  }
+
+  test("q6: rank filter pushes WindowGroupLimit below the shuffle") {
+    val p = plan("q6_window_latest")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q50: query side broadcasts against a single corpus scan") {
+    val p = plan("q50_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    val p = plan("q2_filter_project")
+    assert(p.contains("[codegen id :"), p)
+  }
+}
