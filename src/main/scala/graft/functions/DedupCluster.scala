@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Turns near-duplicate PAIRS (from MinHash/SimHash/Jaccard candidate
+  * generation) into duplicate CLUSTERS with a canonical survivor —
+  * the step an actual dedup pipeline needs before dropping rows.
+  *
+  * Connected components via iterative label propagation: every doc
+  * starts labeled with itself; each round joins labels across edges
+  * and keeps the minimum seen. Rounds double the propagation radius,
+  * so `maxIter` = 10 covers component diameters ≤ 2^10 — near-dup
+  * clusters are almost always tiny, and the loop exits early at
+  * fixpoint. All driver-side logic is the loop counter; the data
+  * path is pure shuffled joins/aggregations (scales with edges, not
+  * with cluster count).
+  */
+object DedupCluster {
+
+  /** @param pairs edges as (doc_a, doc_b) columns
+    * @param docs  all doc ids as column `doc_id` (singletons keep
+    *              themselves as canonical)
+    * @return (doc_id, canonical_id) — canonical = min id in the
+    *         connected component */
+  def canonicalize(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("canonical_id"))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      // neighbor's current label, min over (own, neighbors')
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("canonical_id", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_label")).as("min_n_label"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"),
+            coalesce(col("min_n_label"), col("canonical_id")))
+            .as("canonical_id"))
+        .cache()
+      val diff = next.alias("n").join(labels.alias("l"), "doc_id")
+        .filter(col("n.canonical_id") =!= col("l.canonical_id")).count()
+      labels.unpersist()
+      labels = next
+      changed = diff > 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup removal: keep one row per cluster (the canonical
+    * doc), given a pair-producing candidate stage. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val canon = canonicalize(
+      docs.select(col(idCol).as("doc_id")), pairs)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(canon, Seq(idCol), "left_semi")
+  }
+}
