@@ -67,7 +67,52 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Order-sensitive 64-bit rolling (polynomial) fingerprint over an
+    * array<string> token column: h = Σ xxh64(tokᵢ)·B^(n−1−i) with
+    * wrap-around multiplication — two docs match iff their token
+    * SEQUENCES match (unlike the set-based md5 fingerprint). One
+    * pass, map-only. */
+  case class RollingFingerprint(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    private val Base = 1099511628211L // FNV prime
+
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_fingerprint needs array<string>, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      var h = 0L
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val tokHash = if (arr.isNullAt(i)) 0L else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes(), 42L)
+        }
+        h = h * Base + tokHash
+        i += 1
+      }
+      java.lang.Long.valueOf(h)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def simhash(tokens: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       SimHash64(org.apache.spark.sql.GraftColumnBridge.expression(tokens)))
+
+  def rollingFingerprint(tokens: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      RollingFingerprint(org.apache.spark.sql.GraftColumnBridge.expression(tokens)))
 }

@@ -164,10 +164,37 @@ object DedupOps {
       .filter(col("hamming") <= 3)
   }
 
+  /** Embedding-cosine near-dup: vector pairs above a similarity
+    * threshold, candidates from the multi-table hyperplane LSH
+    * buckets (same signatures as the ANN path) — the embedding-space
+    * member of the dedup family. Threshold 0.3 suits the synthetic
+    * corpus (random gaussians top out near 0.5 pairwise; a real
+    * near-dup corpus would use ~0.9). Rows-only (engine-specific
+    * plane hashes). */
+  val q44EmbedNearDup: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    import graft.functions.VectorExpressions
+    val c = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(VectorExpressions.lshSignature(col("embedding"), 3, 4))
+          .as(Seq("t", "bucket")))
+    val a = c.select(col("t"), col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = c.select(col("t"), col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorExpressions.cosine(col("emb_a"), col("emb_b")), 6)
+          .as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= 0.3)
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q40_dedup_exact" -> q40DedupExact,
     "q41_ngram_jaccard" -> q41NgramJaccard,
     "q42_minhash_lsh" -> q42MinHashLsh,
-    "q43_simhash" -> q43SimHash
+    "q43_simhash" -> q43SimHash,
+    "q44_embed_neardup" -> q44EmbedNearDup
   )
 }

@@ -141,11 +141,48 @@ object TextOps {
           .otherwise("und").as("predicted_lang"))
   }
 
+  /** BPE-ish token estimation via regex unit counting (letters runs,
+    * single digits, single punctuation — the coarse shape of a BPE
+    * pre-tokenizer), alongside whitespace tokens for comparison. */
+  val q35TokenEstimate: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)
+      |    AS bpe_units,
+      |  floor(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) * 1000 + 0.5) / 1000 AS units_per_token
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    val ws = size(split(col("text"), " ", -1))
+    val units = size(expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      ws.cast("long").as("ws_tokens"),
+      units.cast("long").as("bpe_units"),
+      (floor(units.cast("double") / ws * 1000 + 0.5) / 1000)
+        .as("units_per_token"))
+  }
+
+  /** Order-sensitive rolling-hash fingerprint (native expression):
+    * detects exact token-sequence duplicates in one map-only pass.
+    * Rows-only (engine-specific hash); grouped so the output is the
+    * duplicate-sequence histogram. */
+  val q36RollingFingerprint: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.rollingFingerprint(
+          split(col("text"), " ", -1)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,
     "q32_lang_stats" -> q32LangStats,
     "q33_fingerprint" -> q33Fingerprint,
-    "q34_lang_id" -> q34LangId
+    "q34_lang_id" -> q34LangId,
+    "q35_token_estimate" -> q35TokenEstimate,
+    "q36_rolling_fingerprint" -> q36RollingFingerprint
   )
 }
