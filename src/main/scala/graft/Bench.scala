@@ -44,10 +44,18 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a failed query must be visible as -1, never reported as
+            // a (fast) success with its failure duration
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Double.NaN
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -21,10 +21,11 @@ object Tables {
     * tiebreak on event_id, so semantics match a ns-native engine. */
   private def withTimestamps(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integral `div`, not `/`: double division of ~1.7e18 ns epochs
+      // loses up to ~200 ns (53-bit mantissa) before truncation
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000)
-            .cast(org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")

@@ -48,6 +48,13 @@ object DashboardQueries {
         bround(sum(col("energy_cost_estimate")), 2).as("total_cost"))
       .orderBy(col("date"))
 
+  /** app.py:506-543 device-health scatter: one point per device,
+    * health vs failure probability, sized by alerts. */
+  def deviceHealthScatter(deviceHealth: DataFrame): DataFrame =
+    deviceHealth.select("device_id", "device_type", "health_score",
+      "failure_probability", "total_alerts", "uptime_percentage")
+      .orderBy(col("health_score"))
+
   /** app.py:351 global device-health gauge (mean health score). */
   def healthGauge(deviceHealth: DataFrame): DataFrame =
     deviceHealth.agg(

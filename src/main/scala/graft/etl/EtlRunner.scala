@@ -20,10 +20,23 @@ import org.apache.spark.sql.SparkSession
   */
 object EtlRunner {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) => k -> v
-    }.toMap ++ (if (args.contains("--fixtures")) Map("--fixtures" -> "true")
-                else Map.empty)
+    // flag-aware parsing: --fixtures takes no value, everything else
+    // is --key value (sliding(2,2) would misalign after a bare flag)
+    val opts = {
+      val m = scala.collection.mutable.Map[String, String]()
+      var i = 0
+      while (i < args.length) {
+        args(i) match {
+          case "--fixtures" => m += "--fixtures" -> "true"; i += 1
+          case k if k.startsWith("--") && i + 1 < args.length =>
+            m += k -> args(i + 1); i += 2
+          case other =>
+            System.err.println(s"[etl] ignoring unrecognized argument: $other")
+            i += 1
+        }
+      }
+      m.toMap
+    }
     val lake = opts.getOrElse("--lake",
       sys.env.getOrElse("GRAFT_LAKE", "/tmp/graft-lake"))
     val hoursBack = opts.getOrElse("--hours-back", "24").toInt

@@ -41,17 +41,29 @@ object Fixtures {
     case _ => (0.1, 0.5)
   }
 
+  /** Single source of the per-device dimension attributes — catalog
+    * and telemetry generators MUST agree for the enrichment join to
+    * behave (one derivation, not two copies). */
+  private final case class Device(id: String, typ: String, user: String,
+      loc: String, maker: String, model: String, installed: java.time.LocalDate)
+
+  private def device(i: Int, nDevices: Int): Device = {
+    val (mk, md) = makers((i - 1) % makers.size)
+    Device(
+      f"device_$i%03d",
+      deviceTypes((i - 1) % deviceTypes.size),
+      if (i <= (nDevices + 1) / 2) "user_001" else "user_002",
+      locations((i - 1) % locations.size),
+      mk, md,
+      java.time.LocalDate.of(2024, 1, 15).plusDays(i - 1))
+  }
+
   /** 10-row device catalog (config/device_catalog.csv semantics). */
   def deviceCatalog(spark: SparkSession, nDevices: Int = 10): DataFrame = {
     val rows = (1 to nDevices).map { i =>
-      val t = deviceTypes((i - 1) % deviceTypes.size)
-      val (mk, md) = makers((i - 1) % makers.size)
-      Row(
-        f"device_$i%03d", t,
-        if (i <= (nDevices + 1) / 2) "user_001" else "user_002",
-        locations((i - 1) % locations.size),
-        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 15).plusDays(i - 1)),
-        mk, md)
+      val dv = device(i, nDevices)
+      Row(dv.id, dv.typ, dv.user, dv.loc,
+        java.sql.Date.valueOf(dv.installed), dv.maker, dv.model)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), Schemas.deviceCatalog)
@@ -64,19 +76,13 @@ object Fixtures {
   def bronzeTelemetry(spark: SparkSession, nDevices: Int = 10,
       rowsPerDevice: Int = 120, start: Instant = DefaultStart,
       seed: Long = 42L, dirty: Boolean = false): DataFrame = {
-    val catalog = (1 to nDevices).map { i =>
-      val t = deviceTypes((i - 1) % deviceTypes.size)
-      val (mk, md) = makers((i - 1) % makers.size)
-      (f"device_$i%03d", t,
-        if (i <= (nDevices + 1) / 2) "user_001" else "user_002",
-        locations((i - 1) % locations.size), mk, md)
-    }
+    val catalog = (1 to nDevices).map(device(_, nDevices))
 
     def round2(x: Double) = math.rint(x * 100) / 100
     def round3(x: Double) = math.rint(x * 1000) / 1000
 
     val rows = catalog.zipWithIndex.flatMap {
-      case ((id, typ, user, loc, mk, md), di) =>
+      case (Device(id, typ, user, loc, mk, md, _), di) =>
         val rnd = new Random(seed + di)
         val (tLo, tHi) = tempRange(typ)
         val (pLo, pHi) = powerRange(typ)

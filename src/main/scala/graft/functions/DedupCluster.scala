@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Connected components via iterative label propagation: every doc
   * starts labeled with itself; each round joins labels across edges
-  * and keeps the minimum seen. Rounds double the propagation radius,
-  * so `maxIter` = 10 covers component diameters ≤ 2^10 — near-dup
-  * clusters are almost always tiny, and the loop exits early at
-  * fixpoint. All driver-side logic is the loop counter; the data
-  * path is pure shuffled joins/aggregations (scales with edges, not
-  * with cluster count).
+  * and keeps the minimum seen. The minimum label spreads ONE hop per
+  * round (linear, not pointer-jumping), so `maxIter` bounds the
+  * component diameter that is guaranteed to converge; near-dup
+  * clusters are almost always tiny and the loop exits early at
+  * fixpoint, but a non-converged run is reported loudly rather than
+  * returned silently. All driver-side logic is the loop counter; the
+  * data path is pure shuffled joins/aggregations (scales with edges,
+  * not with cluster count).
   */
 object DedupCluster {
 
@@ -24,7 +26,7 @@ object DedupCluster {
     * @return (doc_id, canonical_id) — canonical = min id in the
     *         connected component */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -55,6 +57,10 @@ object DedupCluster {
       i += 1
     }
     edges.unpersist()
+    if (changed)
+      throw new IllegalStateException(
+        s"DedupCluster.canonicalize did not converge in $maxIter rounds — " +
+          "a component has diameter > maxIter; raise maxIter")
     labels
   }
 

@@ -84,9 +84,13 @@ object Multimodal {
   def resize(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    // outer least(): ceil on a float product can land on maxSide+1
+    // when the ratio rounds up by one ulp
     decoded
-      .withColumn("width", ceil(col("width") * scale).cast("int"))
-      .withColumn("height", ceil(col("height") * scale).cast("int"))
+      .withColumn("width",
+        least(lit(maxSide), ceil(col("width") * scale).cast("int")))
+      .withColumn("height",
+        least(lit(maxSide), ceil(col("height") * scale).cast("int")))
   }
 
   /** Frame sampling for video rows: one output row per sampled frame

@@ -70,16 +70,19 @@ object Relational {
     * (bronze_to_silver.py:178-211): fact ⟕ small dim. */
   val q3JoinBroadcastLeft: QueryDef = QueryDef.withOracle(
     """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS mktsegment,
-      |  round(sum(o_totalprice), 2) AS total_price,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_price,
       |  count(*) AS n_orders
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
   ) { (s, d) =>
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
+    // 2-dp prices summed as exact integer cents (order-independent)
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("mktsegment"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+      .agg((sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("double") / 100.0).as("total_price"),
         count(lit(1)).as("n_orders"))
   }
 
@@ -173,14 +176,16 @@ object Relational {
   val q8DistinctAgg: QueryDef = QueryDef.withOracle(
     """SELECT strftime(o_orderdate, '%Y-%m') AS month,
       |  count(DISTINCT o_custkey) AS active_customers,
-      |  round(sum(o_totalprice), 2) AS total_price,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_price,
       |  count(*) AS n_orders
       |FROM orders GROUP BY 1""".stripMargin
   ) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(countDistinct(col("o_custkey")).as("active_customers"),
-        round(sum(col("o_totalprice")), 2).as("total_price"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total_price"),
         count(lit(1)).as("n_orders"))
   }
 
@@ -258,14 +263,16 @@ object Relational {
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
       |  CAST(month(o_orderdate) AS BIGINT) AS mo,
       |  count(*) AS n,
-      |  round(sum(o_totalprice), 2) AS total
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total
       |FROM orders GROUP BY 1, 2""".stripMargin
   ) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
         month(col("o_orderdate")).cast("long").as("mo"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total"))
   }
 
   /** §2.8 string scalars: upper/length/substring/concat. */
@@ -305,8 +312,8 @@ object Relational {
     """SELECT c_mktsegment,
       |  count(*) AS n,
       |  count(CASE WHEN c_acctbal >= 0 THEN c_acctbal END) AS n_nonneg,
-      |  round(sum(coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0)), 2)
-      |    AS sum_bal
+      |  CAST(sum(CAST(floor(coalesce(CASE WHEN c_acctbal >= 0 THEN c_acctbal END,
+      |    0.0) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
       |FROM customer GROUP BY c_mktsegment""".stripMargin
   ) { (s, d) =>
     Tables.customer(s, d)
@@ -314,7 +321,8 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
         count(col("bal")).as("n_nonneg"),
-        round(sum(coalesce(col("bal"), lit(0.0))), 2).as("sum_bal"))
+        (sum(floor(coalesce(col("bal"), lit(0.0)) * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("sum_bal"))
   }
 
   /** A4 health-score formula shape (silver_to_gold.py:153-199):

@@ -89,17 +89,22 @@ object Relational2 {
   /** HAVING against a scalar subquery: customers whose order volume
     * exceeds 20× the global mean order price. */
   val q29Having: QueryDef = QueryDef.withOracle(
-    """SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+    """SELECT o_custkey,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total
       |FROM orders GROUP BY o_custkey
-      |HAVING sum(o_totalprice) > (SELECT avg(o_totalprice) * 20 FROM orders)""".stripMargin
+      |HAVING CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |  > (SELECT avg(o_totalprice) * 20 FROM orders)""".stripMargin
   ) { (s, d) =>
     val o = Tables.orders(s, d)
     val threshold = o.agg((avg(col("o_totalprice")) * 20).as("thr"))
+    // exact cents sums on both the output and the HAVING comparison
     o.groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice")).as("raw_total"))
+      .agg((sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("double") / 100.0).as("total"))
       .crossJoin(broadcast(threshold))
-      .filter(col("raw_total") > col("thr"))
-      .select(col("o_custkey"), round(col("raw_total"), 2).as("total"))
+      .filter(col("total") > col("thr"))
+      .select(col("o_custkey"), col("total"))
   }
 
   /** A5 at 100 TB: approx_count_distinct in place of exact nunique

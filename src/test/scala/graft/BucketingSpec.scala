@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 
 /** Bucketed co-located joins: pre-shuffling both fact tables into the
@@ -10,9 +12,12 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpec {
 
+  private def countShuffles(df: DataFrame): Int = {
+    val plan: SparkPlan = df.queryExecution.executedPlan
+    plan.collect { case e: ShuffleExchangeLike => e }.size
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
-    // warehouse.dir is a static conf — tables land in the session's
-    // default warehouse and are dropped (and the dir removed) below
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
 
@@ -23,33 +28,36 @@ class BucketingSpec extends SparkSpec {
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("o_b")
 
-    // disable broadcast so the join must pick a shuffle-free
-    // sort-merge over the co-bucketed layout
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // disable broadcast (the join must exercise the bucket layout) and
+    // AQE (so executedPlan is final and shuffle nodes are countable)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val joined = spark.table("li_b")
-        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"))
-      val plan = joined.queryExecution
-        .explainString(ExplainMode.fromString("formatted"))
-      // join itself needs no Exchange: buckets align
-      val joinSection = plan.substring(0, plan.indexOf("HashAggregate"))
-      assert(plan.contains("SortMergeJoin"), plan)
-      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
-        plan)
-      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
-        plan)
-      // and the result matches the unbucketed join
-      val expect = Tables.lineitem(spark, sf("sf0.001"))
-        .join(Tables.orders(spark, sf("sf0.001")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
-      assert(joined.exceptAll(expect).count() == 0 &&
-        expect.exceptAll(joined).count() == 0)
+      def query(li: DataFrame, o: DataFrame): DataFrame =
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+
+      val bucketed = query(spark.table("li_b"), spark.table("o_b"))
+      val unbucketed = query(Tables.lineitem(spark, sf("sf0.001")),
+        Tables.orders(spark, sf("sf0.001")))
+
+      assert(bucketed.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"), bucketed.queryExecution.executedPlan)
+      // co-bucketed: only the groupBy shuffles (1); unbucketed: both
+      // join sides shuffle too (3)
+      assert(countShuffles(bucketed) == 1,
+        bucketed.queryExecution.executedPlan)
+      assert(countShuffles(unbucketed) == 3,
+        unbucketed.queryExecution.executedPlan)
+      // and results agree
+      assert(bucketed.exceptAll(unbucketed).count() == 0 &&
+        unbucketed.exceptAll(bucketed).count() == 0)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS o_b")
       val wh = new java.io.File("spark-warehouse")
