@@ -48,6 +48,20 @@ object DashboardQueries {
         bround(sum(col("energy_cost_estimate")), 2).as("total_cost"))
       .orderBy(col("date"))
 
+  /** 100 TB variant of the KPI row: approx_count_distinct (HLL++)
+    * in place of exact distinct — the SURVEY A5 note's acceptable
+    * deviation when device/user cardinality is large enough that the
+    * exact distinct's shuffle dominates. */
+  def todayKpisApprox(dailyEnergy: DataFrame,
+      cfg: EtlConfig = EtlConfig(), rsd: Double = 0.02): DataFrame = {
+    val today = java.sql.Date.valueOf(
+      cfg.now.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    dailyEnergy.filter(col("date") === lit(today)).agg(
+      bround(sum(col("energy_consumption_wh_sum")) / 1000, 2).as("total_energy_kwh"),
+      bround(sum(col("energy_cost_estimate")), 2).as("total_cost"),
+      approx_count_distinct(col("device_id"), rsd).as("active_devices"))
+  }
+
   /** app.py:506-543 device-health scatter: one point per device,
     * health vs failure probability, sized by alerts. */
   def deviceHealthScatter(deviceHealth: DataFrame): DataFrame =

@@ -60,10 +60,13 @@ object EtlRunner {
     spark.sparkContext.setLogLevel("WARN")
 
     if (opts.contains("--fixtures")) {
+      val nDevices = opts.getOrElse("--devices", "10").toInt
+      val rowsPerDevice = opts.getOrElse("--rows-per-device", "3600").toInt
       Lake.writeBronze(
-        Fixtures.bronzeTelemetry(spark, nDevices = 10, rowsPerDevice = 3600,
-          dirty = true), lake)
-      println(s"[etl] seeded fixture bronze at $lake")
+        Fixtures.bronzeTelemetry(spark, nDevices = nDevices,
+          rowsPerDevice = rowsPerDevice, dirty = true), lake)
+      println(s"[etl] seeded fixture bronze at $lake " +
+        s"($nDevices devices × $rowsPerDevice rows)")
     }
 
     val bronze = Lake.readBronze(spark, lake, hoursBack, cfg)

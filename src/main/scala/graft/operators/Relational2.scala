@@ -118,7 +118,49 @@ object Relational2 {
         countDistinct(col("o_custkey")).as("exact_customers"))
   }
 
+  /** Sessionization: gap-based session assignment per user (30-min
+    * inactivity closes a session) via nested windows — lag for the
+    * gap flag, running sum for the session index, then a per-session
+    * rollup. Timestamps compare as exact epoch integers, so the
+    * session boundaries are deterministic across engines. */
+  val q2bSessionize: QueryDef = QueryDef.withOracle(
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS session_value
+      |FROM sessions GROUP BY user_id, session_idx""".stripMargin
+  ) { (s, d) =>
+    // epoch MICROSECONDS on both sides: DuckDB's epoch() returns
+    // fractional seconds while Spark's unix_timestamp truncates —
+    // integer µs compare identically
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          > 1800000000L || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+          / 100.0).as("session_value"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q2b_sessionize" -> q2bSessionize,
     "q24_lag_lead" -> q24LagLead,
     "q25_rank" -> q25Rank,
     "q26_intersect" -> q26Intersect,
