@@ -91,5 +91,13 @@ class SilverToGoldSpec extends SparkSpec {
     val live = DashboardQueries.liveTelemetry(silver, hoursBack = 24,
       limit = 100, cfg = cfg)
     assert(live.count() == 100)
+    // approx KPI variant agrees with exact at tiny cardinality
+    val approx = DashboardQueries.todayKpisApprox(daily, cfg).head()
+    assert(approx.getAs[Long]("active_devices") == 5)
+    assert(approx.getAs[Double]("total_cost") == kpi.getAs[Double]("total_cost"))
+    // scatter: one point per device, all columns present
+    val scatter = DashboardQueries.deviceHealthScatter(health)
+    assert(scatter.count() == 5)
+    assert(scatter.columns.contains("failure_probability"))
   }
 }

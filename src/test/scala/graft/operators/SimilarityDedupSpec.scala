@@ -77,4 +77,38 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(pairs.filter(col("hamming") > 3).count() == 0)
     assert(pairs.filter(col("doc_a") >= col("doc_b")).count() == 0)
   }
+
+  test("native sketch expressions are deterministic and sane") {
+    import graft.functions.{TextExpressions, VectorExpressions}
+    val toks = Tables.documents(spark, dir).limit(50)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+    // run twice: same signatures (pure functions of input)
+    val a = toks.select(col("doc_id"),
+      TextExpressions.simhash(col("t")).as("sh"),
+      TextExpressions.rollingFingerprint(col("t")).as("fp"))
+    val b = toks.select(col("doc_id"),
+      TextExpressions.simhash(col("t")).as("sh"),
+      TextExpressions.rollingFingerprint(col("t")).as("fp"))
+    assert(a.exceptAll(b).count() == 0)
+    // rolling fingerprint is order-sensitive: reversed tokens differ
+    // (for docs with >1 distinct token arrangement)
+    val rev = toks.select(col("doc_id"),
+      TextExpressions.rollingFingerprint(col("t")).as("fp"),
+      TextExpressions.rollingFingerprint(reverse(col("t"))).as("fp_rev"))
+    assert(rev.filter(col("fp") =!= col("fp_rev")).count() > 0)
+    // LSH signatures: array length = tables, stable across runs
+    val e = Tables.embeddings(spark, dir).limit(20)
+      .select(VectorExpressions.lshSignature(col("embedding"), 3, 4).as("sig"))
+    assert(e.filter(size(col("sig")) =!= 3).count() == 0)
+    assert(e.filter(expr("exists(sig, s -> s < 0 OR s > 15)")).count() == 0)
+  }
+
+  test("query group maps have no name collisions") {
+    val groups = Seq(
+      Relational.all, Relational2.all, TextOps.all, DedupOps.all,
+      SimilarityOps.all, SmartHomeOps.all)
+    val total = groups.map(_.size).sum
+    assert(graft.SparkEntry.queries.size == total,
+      s"collision: merged ${graft.SparkEntry.queries.size} != sum $total")
+  }
 }
