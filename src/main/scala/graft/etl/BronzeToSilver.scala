@@ -94,10 +94,21 @@ object BronzeToSilver {
 
   /** bronze_to_silver.py:239-275 (W1-W3) — per-device 60-row rolling
     * mean/sum (min_periods=1 ≡ rowsBetween(-59, 0)), energy
-    * efficiency, alert flags. */
+    * efficiency, alert flags.
+    *
+    * `cfg.timeBasedWindows` switches the frame to a true trailing
+    * hour by event time (rangeBetween over epoch seconds) — the
+    * semantics the reference's "_1h_" names promise; its 60-ROW frame
+    * only matches at exactly 1 msg/min (SURVEY §7.5.3). */
   def derivedMetrics(df: DataFrame, cfg: EtlConfig = EtlConfig()): DataFrame = {
-    val w = Window.partitionBy(col("device_id")).orderBy(col("timestamp"))
-      .rowsBetween(-(cfg.rollingWindowRows - 1), 0)
+    val w =
+      if (cfg.timeBasedWindows)
+        Window.partitionBy(col("device_id"))
+          .orderBy(unix_timestamp(col("timestamp")))
+          .rangeBetween(-(cfg.rollingWindowSeconds - 1), 0)
+      else
+        Window.partitionBy(col("device_id")).orderBy(col("timestamp"))
+          .rowsBetween(-(cfg.rollingWindowRows - 1), 0)
     df.withColumn("temp_1h_avg", avg(col("temperature")).over(w))
       .withColumn("power_1h_avg", avg(col("power_usage")).over(w))
       .withColumn("energy_efficiency",

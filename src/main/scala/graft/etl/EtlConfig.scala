@@ -14,6 +14,8 @@ final case class EtlConfig(
     baseCharge: Double = 15.00, // config.py:47
     watermarkHours: Int = 48, // bronze_to_silver.py:213 detect_late_events
     rollingWindowRows: Int = 60, // bronze_to_silver.py:249 rolling(window=60)
+    timeBasedWindows: Boolean = false, // true → real trailing-hour frames
+    rollingWindowSeconds: Long = 3600, // frame span when timeBasedWindows
     tempRangeMin: Double = -50, // bronze_to_silver.py:140 validation ranges
     tempRangeMax: Double = 100,
     powerRangeMax: Double = 10000,

@@ -159,8 +159,53 @@ object Relational2 {
           / 100.0).as("session_value"))
   }
 
+  /** ROLLUP grouping sets: per (flag, status), per flag subtotals, and
+    * the grand total in one pass (absent from the reference; standard
+    * engine surface). Cents-exact sums keep subtotal rows
+    * engine-identical. */
+  val q2cRollup: QueryDef = QueryDef.withOracle(
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_price
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total_price"))
+  }
+
+  /** Time-RANGE window: sum/count over the preceding hour by event
+    * TIME (not row count) — the semantics the reference's "_1h_"
+    * column names promise but implement as 60 rows
+    * (bronze_to_silver.py:249, SURVEY §7.5.3). Ordering on exact
+    * epoch microseconds makes the frame engine-identical. */
+  val q2dTimeRangeWindow: QueryDef = QueryDef.withOracle(
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_prev_hour,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+      |    AS value_prev_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_prev_hour"),
+      (sum(floor(col("value") * 100 + 0.5).cast("long")).over(w)
+        .cast("double") / 100.0).as("value_prev_hour"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2b_sessionize" -> q2bSessionize,
+    "q2c_rollup" -> q2cRollup,
+    "q2d_time_range_window" -> q2dTimeRangeWindow,
     "q24_lag_lead" -> q24LagLead,
     "q25_rank" -> q25Rank,
     "q26_intersect" -> q26Intersect,
