@@ -202,10 +202,50 @@ object Relational2 {
         .cast("double") / 100.0).as("value_prev_hour"))
   }
 
+  /** Exact interpolated quantiles (percentile ≡ DuckDB quantile_cont).
+    * Quartiles of INTEGER quantities interpolate with binary-exact
+    * fractions (0.25/0.5/0.75), so results are engine-identical;
+    * float-valued quantiles would need the approx variant. */
+  val q2eQuantiles: QueryDef = QueryDef.withOracle(
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+      |  quantile_cont(l_quantity, 0.5) AS qty_median,
+      |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+      expr("percentile(l_quantity, 0.5)").as("qty_median"),
+      expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+      count(lit(1)).as("n"))
+  }
+
+  /** PIVOT: long→wide reshape with a fixed value list (Spark's pivot
+    * operator; oracle as filtered aggregates). */
+  val q2fPivot: QueryDef = QueryDef.withOracle(
+    """SELECT l_linestatus,
+      |  count(*) FILTER (l_returnflag = 'A') AS flag_a,
+      |  count(*) FILTER (l_returnflag = 'N') AS flag_n,
+      |  count(*) FILTER (l_returnflag = 'R') AS flag_r
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("A", "flag_a")
+      .withColumnRenamed("N", "flag_n")
+      .withColumnRenamed("R", "flag_r")
+      .na.fill(0L, Seq("flag_a", "flag_n", "flag_r"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2b_sessionize" -> q2bSessionize,
     "q2c_rollup" -> q2cRollup,
     "q2d_time_range_window" -> q2dTimeRangeWindow,
+    "q2e_quantiles" -> q2eQuantiles,
+    "q2f_pivot" -> q2fPivot,
     "q24_lag_lead" -> q24LagLead,
     "q25_rank" -> q25Rank,
     "q26_intersect" -> q26Intersect,
