@@ -103,9 +103,11 @@ object BronzeToSilver {
   def derivedMetrics(df: DataFrame, cfg: EtlConfig = EtlConfig()): DataFrame = {
     val w =
       if (cfg.timeBasedWindows)
+        // microsecond resolution: unix_timestamp would truncate to
+        // whole seconds and misplace sub-second events at the frame edge
         Window.partitionBy(col("device_id"))
-          .orderBy(unix_timestamp(col("timestamp")))
-          .rangeBetween(-(cfg.rollingWindowSeconds - 1), 0)
+          .orderBy(unix_micros(col("timestamp")))
+          .rangeBetween(-(cfg.rollingWindowSeconds * 1000000L - 1), 0)
       else
         Window.partitionBy(col("device_id")).orderBy(col("timestamp"))
           .rowsBetween(-(cfg.rollingWindowRows - 1), 0)

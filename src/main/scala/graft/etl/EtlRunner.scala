@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   runMain graft.etl.EtlRunner --lake <dir> [--fixtures]
+  *     [--devices 10] [--rows-per-device 3600]
   *     [--hours-back 24] [--days-back 7] [--at 2025-07-15T06:00:00Z]
   *
   * `--fixtures` seeds the lake's Bronze layer from the deterministic

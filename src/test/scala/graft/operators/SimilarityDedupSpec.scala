@@ -80,7 +80,9 @@ class SimilarityDedupSpec extends SparkSpec {
 
   test("native sketch expressions are deterministic and sane") {
     import graft.functions.{TextExpressions, VectorExpressions}
-    val toks = Tables.documents(spark, dir).limit(50)
+    // orderBy pins the sample: a bare limit() can pick different rows
+    // on each of the plan's evaluations
+    val toks = Tables.documents(spark, dir).orderBy("doc_id").limit(50)
       .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
     // run twice: same signatures (pure functions of input)
     val a = toks.select(col("doc_id"),
@@ -97,7 +99,7 @@ class SimilarityDedupSpec extends SparkSpec {
       TextExpressions.rollingFingerprint(reverse(col("t"))).as("fp_rev"))
     assert(rev.filter(col("fp") =!= col("fp_rev")).count() > 0)
     // LSH signatures: array length = tables, stable across runs
-    val e = Tables.embeddings(spark, dir).limit(20)
+    val e = Tables.embeddings(spark, dir).orderBy("vec_id").limit(20)
       .select(VectorExpressions.lshSignature(col("embedding"), 3, 4).as("sig"))
     assert(e.filter(size(col("sig")) =!= 3).count() == 0)
     assert(e.filter(expr("exists(sig, s -> s < 0 OR s > 15)")).count() == 0)
