@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSession
   * `--fixtures` seeds the lake's Bronze layer from the deterministic
   * generator first (demo/CI mode; production Bronze comes from the
   * streaming ingest). One invocation = one full bronze→silver→gold
-  * pass ("--once" semantics); cadence is the scheduler's concern, not
-  * the engine's — every write is idempotent (partition overwrite), so
-  * any rerun cadence is safe.
+  * pass ("--once" semantics). `--interval-seconds N --iterations K`
+  * reruns the pass K times on an N-second cadence (run_etl.py's
+  * scheduler loop, ST7) — every write is idempotent (partition
+  * overwrite), so any rerun cadence is safe and reprocessing never
+  * duplicates rows (the ST8 fix).
   */
 object EtlRunner {
   def main(args: Array[String]): Unit = {
@@ -70,25 +72,38 @@ object EtlRunner {
         s"($nDevices devices × $rowsPerDevice rows)")
     }
 
-    val bronze = Lake.readBronze(spark, lake, hoursBack, cfg)
-      .drop("date") // re-derived on write
-    val catalog = Fixtures.deviceCatalog(spark)
-    val silver = BronzeToSilver.run(bronze, catalog, cfg)
-    Lake.writeSilver(silver, lake)
+    val catalog = opts.get("--catalog-csv")
+      .map(Lake.readDeviceCatalog(spark, _))
+      .getOrElse(Fixtures.deviceCatalog(spark))
 
-    val silverBack = Lake.readSilver(spark, lake, daysBack, cfg).cache()
-    val daily = SilverToGold.dailyEnergyConsumption(silverBack, cfg)
-    val health = SilverToGold.deviceHealthMetrics(silverBack, cfg)
-    val summary = SilverToGold.dailyBusinessSummary(daily, health, cfg)
-    Lake.writeGold(daily, health, summary, lake)
+    def onePass(): Unit = {
+      val bronze = Lake.readBronze(spark, lake, hoursBack, cfg)
+        .drop("date") // re-derived on write
+      val silver = BronzeToSilver.run(bronze, catalog, cfg)
+      Lake.writeSilver(silver, lake)
 
-    val counts = Map(
-      "bronze" -> bronze.count(),
-      "silver" -> silverBack.count(),
-      "gold_daily_energy" -> daily.count(),
-      "gold_device_health" -> health.count(),
-      "gold_business_summary" -> summary.count())
-    println("[etl] " + counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      val silverBack = Lake.readSilver(spark, lake, daysBack, cfg).cache()
+      val daily = SilverToGold.dailyEnergyConsumption(silverBack, cfg)
+      val health = SilverToGold.deviceHealthMetrics(silverBack, cfg)
+      val summary = SilverToGold.dailyBusinessSummary(daily, health, cfg)
+      Lake.writeGold(daily, health, summary, lake)
+
+      val counts = Map(
+        "bronze" -> bronze.count(),
+        "silver" -> silverBack.count(),
+        "gold_daily_energy" -> daily.count(),
+        "gold_device_health" -> health.count(),
+        "gold_business_summary" -> summary.count())
+      silverBack.unpersist()
+      println("[etl] " + counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
+    }
+
+    val iterations = opts.getOrElse("--iterations", "1").toInt
+    val intervalS = opts.getOrElse("--interval-seconds", "0").toLong
+    for (it <- 1 to iterations) {
+      onePass()
+      if (it < iterations && intervalS > 0) Thread.sleep(intervalS * 1000)
+    }
     spark.stop()
   }
 }

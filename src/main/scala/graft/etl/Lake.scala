@@ -82,6 +82,23 @@ object Lake {
         lit(java.sql.Timestamp.from(cutoff)))
   }
 
+  /** S3: device-catalog CSV scan with the declared schema
+    * (bronze_to_silver.py:29-36; header CSV, 10 rows). DATE-typed
+    * installation_date is what makes the age computation work where
+    * the reference's string-vs-tz subtraction silently failed. */
+  def readDeviceCatalog(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(Schemas.deviceCatalog)
+      .csv(path)
+
+  /** Billing CSV (config/billing_data.csv shape, SURVEY J3). */
+  def readBillingData(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(Schemas.billingData)
+      .csv(path)
+
   /** S4-as-batch: Bronze sink partitioned by event date. */
   def writeBronze(bronze: DataFrame, root: String): Unit =
     bronze
