@@ -240,12 +240,46 @@ object Relational2 {
       .na.fill(0L, Seq("flag_a", "flag_n", "flag_r"))
   }
 
+  /** As-of join (graft.functions.AsOfJoin): each purchase event is
+    * matched with the user's latest signup at-or-before its time —
+    * one union + window pass, no range join. Oracle is DuckDB's
+    * native ASOF JOIN. Output timestamps ride as epoch micros
+    * (engine-identical integers). */
+  val q2gAsofJoin: QueryDef = QueryDef.withOracle(
+    """WITH purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |signups AS (
+      |  SELECT user_id, ts AS signup_ts, value AS signup_value FROM events
+      |  WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+      |  s.signup_value,
+      |  CAST(epoch_us(s.signup_ts) AS BIGINT) AS signup_ts_us
+      |FROM purchases p ASOF LEFT JOIN signups s
+      |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts""".stripMargin
+  ) { (s, d) =>
+    val events = Tables.events(s, d)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("sv"),
+        unix_micros(col("ts")).as("s_us"))
+    graft.functions.AsOfJoin.asof(
+      purchases, signups, Seq("user_id"), "ts", "ts",
+      Seq("sv" -> "signup_value", "s_us" -> "signup_ts_us"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("signup_value"), col("signup_ts_us"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2b_sessionize" -> q2bSessionize,
     "q2c_rollup" -> q2cRollup,
     "q2d_time_range_window" -> q2dTimeRangeWindow,
     "q2e_quantiles" -> q2eQuantiles,
     "q2f_pivot" -> q2fPivot,
+    "q2g_asof_join" -> q2gAsofJoin,
     "q24_lag_lead" -> q24LagLead,
     "q25_rank" -> q25Rank,
     "q26_intersect" -> q26Intersect,

@@ -105,6 +105,23 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(e.filter(expr("exists(sig, s -> s < 0 OR s > 15)")).count() == 0)
   }
 
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    import graft.functions.AsOfJoin
+    def ts(s: Int) = new java.sql.Timestamp(1000L * s)
+    val left = Seq((1L, ts(10), "l1"), (1L, ts(20), "l2"), (2L, ts(5), "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(15), 150.0), (2L, ts(6), 60.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asof(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "asof_v"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("l1").contains(100.0)) // same-instant right row visible
+    assert(out("l2").contains(150.0)) // latest ≤ 20 is 15
+    assert(out("l3").isEmpty) // no right row ≤ 5 → null
+  }
+
   test("query group maps have no name collisions") {
     val groups = Seq(
       Relational.all, Relational2.all, TextOps.all, DedupOps.all,
