@@ -33,6 +33,9 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payload: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val clash = payload.map(_._2).filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"asof payload output names collide with left columns: $clash")
     // tagged union: right rows sort BEFORE left rows at equal ts so a
     // same-instant right row is visible to the left row (ts >= s.ts)
     val taggedRight = right.select(
