@@ -18,6 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Deterministic smart-home bronze fixture → parquet, so the
+    // driver's DuckDB oracle can re-derive silver/gold (q60-q63) from
+    // the same bytes Spark consumed (SmartHomeOracle.fixtureDir).
+    val fx = operators.SmartHomeOracle.fixtureDir
+    etl.Fixtures.bronzeTelemetry(spark, nDevices = 10, rowsPerDevice = 200,
+      dirty = true).write.mode("overwrite")
+      .parquet(s"$fx/smarthome_bronze.parquet")
+    etl.Fixtures.deviceCatalog(spark).write.mode("overwrite")
+      .parquet(s"$fx/device_catalog.parquet")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

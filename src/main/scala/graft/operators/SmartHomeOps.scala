@@ -32,33 +32,48 @@ object SmartHomeOps {
         Fixtures.deviceCatalog(s), cfg).cache())
 
   /** Bronze→Silver refinement (F2-F7, J1, ST4, W1-W3) on the dirty
-    * fixture: 2009 raw rows → 2005 clean silver rows. */
-  val q60Silver: QueryDef = QueryDef.rowsOnly { (s, _) =>
-    silver(s).select("device_id", "timestamp", "temperature", "power_usage",
-      "quality_score", "is_valid", "device_age_days",
-      "processing_delay_hours", "is_late_event", "temp_1h_avg",
-      "power_1h_avg", "energy_efficiency", "alert_frequency_1h")
+    * fixture: 2009 raw rows → 2003 clean silver rows (6 dirty drops:
+    * null-user, bad-ts, 3 out-of-range, 1 duplicate). DuckDB oracle
+    * re-derives the refinement from the bronze fixture parquet
+    * (SmartHomeOracle.q60Sql). */
+  val q60Silver: QueryDef = QueryDef.withOracle(SmartHomeOracle.q60Sql) {
+    (s, _) =>
+      silver(s).select("device_id", "timestamp", "temperature", "power_usage",
+        "quality_score", "is_valid", "device_age_days",
+        "processing_delay_hours", "is_late_event", "temp_1h_avg",
+        "power_1h_avg", "energy_efficiency", "alert_frequency_1h")
   }
 
   /** Gold table 1: daily_energy_consumption (A1+A2). */
-  val q61GoldDailyEnergy: QueryDef = QueryDef.rowsOnly { (s, _) =>
-    SilverToGold.dailyEnergyConsumption(silver(s), cfg)
-  }
+  val q61GoldDailyEnergy: QueryDef =
+    QueryDef.withOracle(SmartHomeOracle.q61Sql) { (s, _) =>
+      SilverToGold.dailyEnergyConsumption(silver(s), cfg)
+    }
 
   /** Gold table 2: device_health_metrics (A3+A4). */
-  val q62GoldDeviceHealth: QueryDef = QueryDef.rowsOnly { (s, _) =>
-    SilverToGold.deviceHealthMetrics(silver(s), cfg)
-  }
+  val q62GoldDeviceHealth: QueryDef =
+    QueryDef.withOracle(SmartHomeOracle.q62Sql) { (s, _) =>
+      SilverToGold.deviceHealthMetrics(silver(s), cfg)
+    }
 
   /** Gold table 3: daily_business_summary (A5+A6+J2), consuming the
     * other two gold frames in memory like the reference
-    * (silver_to_gold.py:326-339). */
-  val q63GoldBusinessSummary: QueryDef = QueryDef.rowsOnly { (s, _) =>
-    val sil = silver(s)
-    val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
-    val health = SilverToGold.deviceHealthMetrics(sil, cfg)
-    SilverToGold.dailyBusinessSummary(daily, health, cfg)
-  }
+    * (silver_to_gold.py:326-339).
+    *
+    * The inputs are 10-row frames whose global/date aggregates would
+    * otherwise merge per-partition partials in nondeterministic fetch
+    * order — harmless semantically, but the oracle must reproduce the
+    * float fold bit-for-bit, so pin a single partition sorted by
+    * device_id (the order SmartHomeOracle.q63Sql folds in). */
+  val q63GoldBusinessSummary: QueryDef =
+    QueryDef.withOracle(SmartHomeOracle.q63Sql) { (s, _) =>
+      val sil = silver(s)
+      val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
+        .coalesce(1).sortWithinPartitions("device_id")
+      val health = SilverToGold.deviceHealthMetrics(sil, cfg)
+        .coalesce(1).sortWithinPartitions("device_id")
+      SilverToGold.dailyBusinessSummary(daily, health, cfg)
+    }
 
   /** Dashboard query layer (A7/A8/F8/F9/O2/W4) over the gold frames:
     * one row per dashboard panel, unioned. */
