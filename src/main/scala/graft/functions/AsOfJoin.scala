@@ -36,35 +36,43 @@ object AsOfJoin {
     val clash = payload.map(_._2).filter(leftCols.contains)
     require(clash.isEmpty,
       s"asof payload output names collide with left columns: $clash")
+    val dupDst = payload.map(_._2).diff(payload.map(_._2).distinct)
+    require(dupDst.isEmpty,
+      s"asof payload output names must be distinct, got duplicates: $dupDst")
+    val reserved = (leftCols ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"asof reserves the __ column-name prefix for its tagged union: $reserved")
     // tagged union: right rows sort BEFORE left rows at equal ts so a
-    // same-instant right row is visible to the left row (ts >= s.ts)
+    // same-instant right row is visible to the left row (ts >= s.ts).
+    // The payload travels as ONE struct per right row — always
+    // non-null for right rows even when every field is null — so
+    // last(ignoreNulls) carries the whole matched row: a legitimately
+    // NULL payload value is preserved, and multiple payload columns
+    // can never mix values from different right rows.
     val taggedRight = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        payload.map { case (src, dst) => col(src).as(s"__p_$dst") } ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          struct(payload.map { case (src, dst) => col(src).as(dst) }: _*)
+            .as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c))
           .map(c => lit(null).as(s"__l_$c")): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        payload.map { case (_, dst) => lit(null).as(s"__p_$dst") } ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(taggedRight.schema("__p").dataType).as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c))
           .map(c => col(c).as(s"__l_$c")): _*)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, (_, dst)) =>
-        df.withColumn(s"__c_$dst",
-          last(col(s"__p_$dst"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         keyCols.map(col) ++
           leftCols.filterNot(keyCols.contains)
             .map(c => col(s"__l_$c").as(c)) ++
-          payload.map { case (_, dst) => col(s"__c_$dst").as(dst) }: _*)
+          payload.map { case (_, dst) => col("__c").getField(dst).as(dst) }: _*)
   }
 }

@@ -21,7 +21,7 @@ object DedupOps {
       .filter(size(col("toks")) >= 3)
 
   /** Distinct 3-token shingles per doc: (doc_id, s). */
-  private def shingles(df: DataFrame): DataFrame =
+  private[operators] def shingles(df: DataFrame): DataFrame =
     tokenized(df)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
@@ -44,46 +44,42 @@ object DedupOps {
         min(col("doc_id")).cast("long").as("canonical_doc"))
   }
 
-  /** N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.5. Candidate pairs
-    * come from the shingle equi-join (docs sharing ≥1 shingle);
-    * Jaccard = |∩| / (|A| + |B| − |∩|) from per-doc shingle counts.
-    * At scale: shuffle keys are shingles — frequent-shingle skew is
-    * the known hazard, mitigated by AQE skew-join (enabled in Bench)
-    * or a document-frequency cap on shingles. */
-  val q41NgramJaccard: QueryDef = QueryDef.withOracle(
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
-      |FROM inter
-      |JOIN cnt ca ON ca.doc_id = doc_a
-      |JOIN cnt cb ON cb.doc_id = doc_b
-      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin
-  ) { (s, d) =>
+  /** Default upper document-frequency cap for shingles in the n-gram
+    * Jaccard join. A shingle appearing in D docs contributes D² rows
+    * to the candidate self-join on ONE shuffle key — AQE skew-join
+    * splits the partition but not the quadratic blowup, so stop-phrase
+    * shingles must be dropped before the join (standard df-cap
+    * practice; a recall trade: overlap carried only by ubiquitous
+    * shingles is no longer counted). 1000 caps any single key's
+    * contribution at 1M rows while leaving every shingle of the test
+    * corpus intact (max df there is 25). */
+  val DefaultMaxShingleDf: Long = 1000L
+
+  /** N-gram (3-shingle) Jaccard near-dup pairs ≥ `minJaccard` over any
+    * document frame with (doc_id, text). Candidate pairs come from the
+    * shingle equi-join (docs sharing ≥1 surviving shingle); Jaccard =
+    * |∩| / (|A| + |B| − |∩|) from per-doc shingle counts, where the
+    * intersection counts only shingles with df in [2, maxDf] —
+    * singletons can't pair, ubiquitous shingles are the skew hazard —
+    * and |A|, |B| are the true (uncapped) shingle-set sizes, so the
+    * reported value is a lower bound of true Jaccard that is exact
+    * whenever no shared shingle exceeds the cap. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
+      maxDf: Long = DefaultMaxShingleDf): DataFrame = {
     // Shingles ride as 64-bit xxhash64 keys through the dedup/join
     // pipeline: ~4× narrower shuffle rows and integer comparisons in
     // the joins. Exactness: verified collision-free on the frozen test
     // corpus at every SF (27k distinct shingles); in general the
     // collision bound is |shingles|²/2⁶⁵ — at 1e9 shingles ~3% chance
     // of ONE merged shingle pair, which perturbs one Jaccard by ~1/|A|.
-    val sh = shingles(Tables.documents(s, d))
+    val sh = shingles(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Document-frequency pruning: a shingle in exactly one doc cannot
-    // produce a pair — drop it before the self-join. On natural
-    // corpora most shingles are unique, so this shrinks the join
-    // input by an order of magnitude (semantically neutral).
+    // Document-frequency band: df=1 shingles cannot produce a pair
+    // (an order-of-magnitude prune on natural corpora), df>maxDf
+    // shingles would each put df² rows on one join key.
     val common = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("h")
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("h")
     val shC = sh.join(common, Seq("h"))
     val a = shC.select(col("doc_id").as("doc_a"), col("h"))
     val b = shC.select(col("doc_id").as("doc_b"), col("h"))
@@ -94,9 +90,35 @@ object DedupOps {
     inter
       .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .filter(jac >= 0.5)
+      .filter(jac >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(jac, 3).as("jaccard"))
   }
+
+  /** Gate query for [[ngramJaccardPairs]] at the default threshold and
+    * df-cap; the oracle applies the identical df band. */
+  val q41NgramJaccard: QueryDef = QueryDef.withOracle(
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+      |  WHERE df >= 2 AND df <= $DefaultMaxShingleDf),
+      |shf AS (SELECT sh.* FROM sh JOIN common USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 3) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = doc_a
+      |JOIN cnt cb ON cb.doc_id = doc_b
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5""".stripMargin
+  ) { (s, d) => ngramJaccardPairs(Tables.documents(s, d)) }
 
   private val NumHashes = 16
   private val Bands = 4 // 4 bands × 4 rows

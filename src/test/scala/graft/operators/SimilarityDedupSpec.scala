@@ -122,6 +122,64 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(out("l3").isEmpty) // no right row ≤ 5 → null
   }
 
+  test("as-of join: matched row's nulls preserved, payload columns never mix rows") {
+    import spark.implicits._
+    import graft.functions.AsOfJoin
+    def ts(s: Int) = new java.sql.Timestamp(1000L * s)
+    val left = Seq((1L, ts(20), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(10), Some(1.0), "x"),
+      (1L, ts(15), None: Option[Double], "y")) // matched row: v NULL
+      .toDF("k", "t", "v", "w")
+    val row = AsOfJoin.asof(left, right, Seq("k"), "t", "t",
+      Seq("v" -> "av", "w" -> "aw")).select("av", "aw").head()
+    // both payload columns come from the ts=15 row: av must be the
+    // matched row's NULL, not the stale 1.0 from ts=10
+    assert(row.isNullAt(0) && row.getString(1) == "y")
+
+    // guard rails: duplicate payload dst names and reserved __ prefix
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, Seq("k"), "t", "t",
+        Seq("v" -> "p", "w" -> "p"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left.withColumnRenamed("tag", "__tag"), right,
+        Seq("k"), "t", "t", Seq("v" -> "av"))
+    }
+  }
+
+  test("shingle df-cap bounds the candidate join input under a hot shingle") {
+    import spark.implicits._
+    // 1000 docs share one stop-phrase shingle; their remaining shingles
+    // are unique. Plus one genuine near-dup pair.
+    val hot = (1 to 1000).map(i => (i.toLong, s"the quick fox u${i}a u${i}b"))
+    val dup = Seq(
+      (2001L, "alpha beta gamma delta epsilon"),
+      (2002L, "alpha beta gamma delta zeta"))
+    val docs = (hot ++ dup).toDF("doc_id", "text")
+
+    // Join-input audit: Σ df² over shingles surviving the df band is
+    // the exact row count the candidate self-join produces per key.
+    val dfCounts = DedupOps.shingles(docs).groupBy("s").count()
+      .select(col("count").as("df")).cache()
+    val joinRows = (lo: Long, hi: Long) =>
+      dfCounts.filter(col("df") >= lo && col("df") <= hi)
+        .agg(coalesce(sum(col("df") * col("df")), lit(0L))).head().getLong(0)
+    assert(joinRows(2, Long.MaxValue) >= 1000L * 1000L,
+      "uncapped hot shingle must imply a 1M-row join input")
+    assert(joinRows(2, 100) <= 100L,
+      "df-capped join input must exclude the hot key entirely")
+
+    // Semantics under the cap: the hot-shingle megagroup yields no
+    // pairs (pairwise jaccard 1/5 is sub-threshold anyway); the true
+    // near-dup pair survives (its shared shingles have df=2).
+    val pairs = DedupOps.ngramJaccardPairs(docs, minJaccard = 0.5, maxDf = 100)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2001L, 2002L)))
+    assert(pairs.head.getDouble(2) == 0.5) // 2 shared / (3 + 3 - 2)
+  }
+
   test("query group maps have no name collisions") {
     val groups = Seq(
       Relational.all, Relational2.all, TextOps.all, DedupOps.all,
