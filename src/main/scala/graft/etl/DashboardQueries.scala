@@ -38,6 +38,48 @@ object DashboardQueries {
       countDistinct(col("device_id")).as("active_devices"))
   }
 
+  /** app.py:277-357 headline KPI row with the full A8 fallback chain:
+    * gold daily rows for today → silver last-24h → latest business
+    * summary → zeros; device health gauge attached independently.
+    *
+    * Control flow mirrors the reference's driver-side emptiness
+    * branches (a probe on the date-pruned gold frame, not a data
+    * scan): gold-empty and gold-without-today both land on the silver
+    * 24 h computation, and the summary override fires only when the
+    * chain still reads 0 kWh — exactly create_kpi_metrics' logic. */
+  def kpis(dailyEnergy: DataFrame, silver: DataFrame,
+      businessSummary: DataFrame, deviceHealth: DataFrame,
+      cfg: EtlConfig = EtlConfig()): DataFrame = {
+    val today = java.sql.Date.valueOf(
+      cfg.now.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    val base =
+      if (!dailyEnergy.filter(col("date") === lit(today)).isEmpty)
+        todayKpis(dailyEnergy, cfg)
+      else last24hKpis(silver, cfg) // empty silver → null aggs → zeros below
+    val summaryLatest = latestBusinessSummary(businessSummary).select(
+      col("total_energy_kwh").as("__s_kwh"),
+      col("total_cost_estimate").as("__s_cost"),
+      col("active_devices").as("__s_dev"))
+    val healthRow = deviceHealth
+      .agg((avg(col("health_score")) * 100).as("__h")) // app.py:351 gauge
+    val summaryFallback = col("total_energy_kwh") === 0.0 &&
+      col("__s_kwh").isNotNull
+    base.select(
+      coalesce(col("total_energy_kwh"), lit(0.0)).as("total_energy_kwh"),
+      coalesce(col("total_cost"), lit(0.0)).as("total_cost"),
+      coalesce(col("active_devices"), lit(0L)).as("active_devices"))
+      .join(broadcast(summaryLatest), lit(true), "left")
+      .join(broadcast(healthRow), lit(true), "left")
+      .select(
+        when(summaryFallback, col("__s_kwh"))
+          .otherwise(col("total_energy_kwh")).as("total_energy_kwh"),
+        when(summaryFallback, col("__s_cost"))
+          .otherwise(col("total_cost")).as("total_cost"),
+        when(summaryFallback, col("__s_dev"))
+          .otherwise(col("active_devices")).as("active_devices"),
+        coalesce(col("__h"), lit(0.0)).as("avg_health"))
+  }
+
   /** app.py:365-367 energy by device type (A7 bar chart). */
   def energyByDeviceType(dailyEnergy: DataFrame): DataFrame =
     dailyEnergy.groupBy(col("device_type"))

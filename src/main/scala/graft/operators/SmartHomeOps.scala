@@ -81,7 +81,10 @@ object SmartHomeOps {
     val sil = silver(s)
     val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
     val health = SilverToGold.deviceHealthMetrics(sil, cfg)
+    val summary = SilverToGold.dailyBusinessSummary(daily, health, cfg)
     val panels = Seq(
+      DashboardQueries.kpis(daily, sil, summary, health, cfg)
+        .select(lit("kpi_chain").as("panel"), to_json(struct(col("*"))).as("payload")),
       DashboardQueries.todayKpis(daily, cfg)
         .select(lit("today_kpis").as("panel"), to_json(struct(col("*"))).as("payload")),
       DashboardQueries.last24hKpis(sil, cfg)

@@ -82,6 +82,43 @@ class SilverToGoldSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("A8 KPI fallback chain: gold-today, silver-24h, business-summary branches") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, java.sql.Date, Double, Double, Long)]
+      .toDF("device_id", "date", "energy_consumption_wh_sum",
+        "energy_cost_estimate", "total_readings")
+    val emptySilver = silver.filter(lit(false))
+    val emptySummary = summary.filter(lit(false))
+    val emptyHealth = health.filter(lit(false))
+
+    // branch 1: gold has today's rows → gold KPIs
+    val fromGold = DashboardQueries.kpis(daily, emptySilver, summary, health, cfg).head()
+    val goldExpect = DashboardQueries.todayKpis(daily, cfg).head()
+    assert(fromGold.getDouble(0) == goldExpect.getDouble(0))
+    assert(fromGold.getLong(2) == goldExpect.getLong(2))
+    assert(fromGold.getDouble(3) > 0) // health gauge attached
+
+    // branch 2: no gold → silver last-24h
+    val fromSilver = DashboardQueries.kpis(empty, silver, summary, health, cfg).head()
+    val silverExpect = DashboardQueries.last24hKpis(silver, cfg).head()
+    assert(fromSilver.getDouble(0) == silverExpect.getDouble(0))
+    assert(fromSilver.getDouble(1) == silverExpect.getDouble(1))
+
+    // branch 3: no gold, no silver → latest business summary row
+    val fromSummary = DashboardQueries.kpis(empty, emptySilver, summary, health, cfg).head()
+    val summaryExpect = DashboardQueries.latestBusinessSummary(summary).head()
+    assert(fromSummary.getDouble(0) ==
+      summaryExpect.getAs[Double]("total_energy_kwh"))
+    assert(fromSummary.getDouble(1) ==
+      summaryExpect.getAs[Double]("total_cost_estimate"))
+
+    // everything empty → zeros (reference's zeroed dict)
+    val zeros = DashboardQueries.kpis(empty, emptySilver, emptySummary,
+      emptyHealth, cfg).head()
+    assert(zeros.getDouble(0) == 0.0 && zeros.getLong(2) == 0L &&
+      zeros.getDouble(3) == 0.0)
+  }
+
   test("dashboard queries return coherent panels") {
     val kpi = DashboardQueries.todayKpis(daily, cfg).head()
     assert(kpi.getAs[Long]("active_devices") == 5)
