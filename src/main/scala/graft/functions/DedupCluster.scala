@@ -23,10 +23,15 @@ object DedupCluster {
   /** @param pairs edges as (doc_a, doc_b) columns
     * @param docs  all doc ids as column `doc_id` (singletons keep
     *              themselves as canonical)
+    * @param checkpointEvery truncate plan lineage with an eager
+    *              localCheckpoint every N rounds — without it each
+    *              round's plan nests the previous round's joins, and a
+    *              deep component (diameter ≫ 5) grows the optimizer's
+    *              input linearly until planning dominates runtime
     * @return (doc_id, canonical_id) — canonical = min id in the
     *         connected component */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, checkpointEvery: Int = 5): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -52,7 +57,12 @@ object DedupCluster {
       val diff = next.alias("n").join(labels.alias("l"), "doc_id")
         .filter(col("n.canonical_id") =!= col("l.canonical_id")).count()
       labels.unpersist()
-      labels = next
+      labels =
+        if ((i + 1) % checkpointEvery == 0) {
+          val cp = next.localCheckpoint(true) // eager: cuts lineage here
+          next.unpersist()
+          cp
+        } else next
       changed = diff > 0
       i += 1
     }

@@ -43,28 +43,77 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType, containsNull = false))
   ))
 
-  /** STUB decode: a real build replaces the body of this function
-    * (only) with codec calls; everything around it — batching,
-    * schema, null handling — is production plumbing. The fake is
-    * deterministic in the payload bytes so tests can assert exact
-    * outputs. */
+  /** Real image decode via the JDK's javax.imageio (no external deps):
+    * container format + true dimensions from the stream header, pixel
+    * data only for the feature histogram. Returns None when no
+    * registered reader recognizes the bytes — the caller falls back to
+    * the deterministic fake so non-image payloads (and the text-byte
+    * fixture) keep flowing instead of failing the partition. */
+  private def decodeImage(content: Array[Byte]): Option[(Int, Int, String, Array[Float])] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          // 8-bin luminance histogram, normalized — a real (tiny)
+          // feature a downstream trainer could consume
+          val bins = new Array[Float](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              bins(math.min(7, (lum / 32).toInt)) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toFloat
+          Some((w, h, fmt, bins.map(_ / n)))
+        } finally reader.dispose()
+      }
+    } catch { case _: java.io.IOException => None }
+    finally iis.close()
+  }
+
+  /** Batch decode: the image path is REAL (javax.imageio); audio and
+    * video remain a deterministic fake — this is the single seam where
+    * a real build would call e.g. ffmpeg per batch; everything around
+    * it (batching, schema, null handling) is production plumbing. The
+    * fake is deterministic in the payload bytes so tests can assert
+    * exact outputs. */
   private def decodeBatch(batch: Seq[Row]): Seq[Row] = batch.map { r =>
     val id = r.getLong(0)
     val kind = r.getString(1)
     val content = r.getAs[Array[Byte]](2)
-    // ??? real codec here — deterministic fake derived from bytes:
-    val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-    val fmt = kind match {
-      case "image" => "png"
-      case "audio" => "wav"
-      case _ => "mp4"
+    val real =
+      if (kind == "image") decodeImage(content).map {
+        case (w, h, fmt, feature) => Row(id, kind, w, h, fmt, 0, feature)
+      } else None // ??? real audio/video codec here
+    real.getOrElse {
+      // deterministic fake derived from the payload bytes
+      val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val fmt = kind match {
+        case "image" => "png"
+        case "audio" => "wav"
+        case _ => "mp4"
+      }
+      val dur = if (kind == "image") 0 else 1000 + math.floorMod(h >> 20, 60000).toInt
+      val feature = Array.tabulate(8)(i =>
+        (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
+      Row(id, kind, w, ht, fmt, dur, feature)
     }
-    val dur = if (kind == "image") 0 else 1000 + math.floorMod(h >> 20, 60000).toInt
-    val feature = Array.tabulate(8)(i =>
-      (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
-    Row(id, kind, w, ht, fmt, dur, feature)
   }
 
   /** Decode / feature-extract over a media table: batched

@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q25: rank()-filter also gets partial+final WindowGroupLimit") {
+    // rank (not just row_number) must push the per-group top-k below
+    // the window exchange: a Partial WindowGroupLimit on the map side
+    // caps each partition's contribution at k rows per group
+    val p = plan("q25_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains(", 3, Partial"), p)
+    assert(p.contains(", 3, Final"), p)
+  }
+
   test("q50: query side broadcasts against a single corpus scan") {
     val p = plan("q50_ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

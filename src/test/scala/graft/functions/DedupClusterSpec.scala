@@ -19,6 +19,19 @@ class DedupClusterSpec extends SparkSpec {
     assert(Seq(30L, 31L, 32L).forall(canon(_) == 30L))
   }
 
+  test("deep chain (diameter 14) converges through lineage checkpoints") {
+    import spark.implicits._
+    // a 15-node path needs 14 propagation rounds — several checkpoint
+    // cycles at the default checkpointEvery=5 — and must still reach
+    // the global minimum label at every node
+    val n = 15
+    val docs = (1L to n.toLong).toDF("doc_id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val canon = DedupCluster.canonicalize(docs, pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n.toLong).forall(canon(_) == 1L), canon)
+  }
+
   test("dropNearDuplicates keeps exactly one row per cluster") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "b"), (4L, "c"), (5L, "c'"))

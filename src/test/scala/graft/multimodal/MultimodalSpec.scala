@@ -19,6 +19,36 @@ class MultimodalSpec extends SparkSpec {
     assert(media.select("kind").distinct().count() == 3)
   }
 
+  test("real PNG bytes decode to true dimensions, format, and histogram") {
+    import spark.implicits._
+    // paint a 31×17 PNG: left half black, right half white
+    val img = new java.awt.image.BufferedImage(31, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 31)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val media = Seq((1L, "image", png), (2L, "image", "not an image".getBytes))
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.decode(media).orderBy("media_id").collect()
+
+    val real = rows(0)
+    assert(real.getInt(2) == 31 && real.getInt(3) == 17) // true dims
+    assert(real.getString(4) == "png" && real.getInt(5) == 0)
+    val hist = real.getSeq[Float](6)
+    // 16 of 31 columns black (bin 0), 15 white (bin 7), nothing between
+    assert(math.abs(hist.head - 16f / 31f) < 1e-6)
+    assert(math.abs(hist.last - 15f / 31f) < 1e-6)
+    assert(hist.slice(1, 7).forall(_ == 0f))
+    assert(math.abs(hist.sum - 1f) < 1e-5)
+
+    // undecodable image payloads fall back to the deterministic fake
+    val fake = rows(1)
+    assert(fake.getInt(2) >= 64 && fake.getString(4) == "png")
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)
