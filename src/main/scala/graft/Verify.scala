@@ -27,6 +27,18 @@ object Verify {
       .parquet(s"$fx/smarthome_bronze.parquet")
     etl.Fixtures.deviceCatalog(spark).write.mode("overwrite")
       .parquet(s"$fx/device_catalog.parquet")
+    // Engine-specific sketch fixtures (LSH buckets, MinHash/SimHash
+    // signatures): the hash values are data the oracle starts from;
+    // everything downstream — banding, joins, scoring, ranking — is
+    // re-derived independently in DuckDB (q42/q43/q44/q51). Tagged
+    // per-SF so checks at different scale factors never cross wires.
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    operators.SimilarityOps.lshBucketsFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/lsh_buckets.parquet")
+    operators.DedupOps.minhashSigFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/minhash_sigs.parquet")
+    operators.DedupOps.simhashFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/simhash_sigs.parquet")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -47,7 +59,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SFTAG__", sfTag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

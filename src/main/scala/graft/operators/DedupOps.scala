@@ -135,16 +135,50 @@ object DedupOps {
         array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Per-doc MinHash signatures over the corpus — the engine-specific
+    * piece of q42 (xxhash64 seeds live in the engine). Verify dumps it
+    * so the DuckDB oracle can re-derive banding, candidate join, and
+    * the estimate from the signatures alone. */
+  def minhashSigFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    minhashSignatures(shingles(Tables.documents(s, d)))
+
+  /** Per-doc SimHash signatures — q43's engine-specific piece. */
+  def simhashFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    tokenized(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhash(array_distinct(col("toks")))
+          .as("simhash"))
+
   /** MinHash + LSH banding: 16 hashes, 4 bands of 4 rows. Docs sharing
     * any band signature become candidate pairs; output the candidate
     * pair with its MinHash-estimated Jaccard (fraction of matching
     * signature positions) for pairs with estimate ≥ 0.25.
     *
-    * Non-SQL-expressible (hash function is engine-specific) → rows-only
-    * check; exactness is covered by the ScalaTest spec against a
-    * brute-force Jaccard on the same corpus. */
-  val q42MinHashLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    val sigs = minhashSignatures(shingles(Tables.documents(s, d))).cache()
+    * The hash function is engine-specific, so the oracle starts from
+    * the dumped signature fixture and independently recomputes the
+    * banding join, dedup, estimate, and threshold in DuckDB. */
+  val q42MinHashLsh: QueryDef = QueryDef.withOracle(
+    s"""WITH sg AS (
+      |  SELECT doc_id, sig FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/minhash_sigs.parquet/*.parquet')),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band, sig[b*4+1:b*4+4] AS band_sig
+      |  FROM sg, LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |    AS est_jaccard
+      |FROM pairs
+      |WHERE CAST(list_sum(list_transform(range(1, 17),
+      |  i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |  >= 0.25""".stripMargin
+  ) { (s, d) =>
+    val sigs = minhashSigFrame(s, d).cache()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
         s"b -> concat_ws(',', slice(sig, b * ${NumHashes / Bands} + 1, ${NumHashes / Bands})))"))
@@ -170,13 +204,26 @@ object DedupOps {
     *
     * Signatures come from the native SimHash64 expression — one pass
     * over each doc's token array, map-only (no token explode, no
-    * shuffle before the banding join). */
-  val q43SimHash: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    val sig = tokenized(Tables.documents(s, d))
-      .select(col("doc_id"),
-        graft.functions.TextExpressions.simhash(array_distinct(col("toks")))
-          .as("simhash"))
-      .cache()
+    * shuffle before the banding join). Oracle: DuckDB re-derives the
+    * chunk banding, candidate join, and exact hamming from the dumped
+    * signature fixture ((h >> k) & 65535 is fill-agnostic, so
+    * arithmetic-shift semantics agree across engines). */
+  val q43SimHash: QueryDef = QueryDef.withOracle(
+    s"""WITH sh AS (
+      |  SELECT doc_id, simhash FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/simhash_sigs.parquet/*.parquet')),
+      |ch AS (
+      |  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS chunk_val
+      |  FROM sh, LATERAL (SELECT unnest([0,1,2,3]) AS c) g),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.simhash AS sim_a, b.simhash AS sim_b
+      |  FROM ch a JOIN ch b
+      |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+      |    AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+      |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin
+  ) { (s, d) =>
+    val sig = simhashFrame(s, d).cache()
     val chunked = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
@@ -198,9 +245,25 @@ object DedupOps {
     * buckets (same signatures as the ANN path) — the embedding-space
     * member of the dedup family. Threshold 0.3 suits the synthetic
     * corpus (random gaussians top out near 0.5 pairwise; a real
-    * near-dup corpus would use ~0.9). Rows-only (engine-specific
-    * plane hashes). */
-  val q44EmbedNearDup: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * near-dup corpus would use ~0.9). Oracle: candidate pairs are
+    * re-derived in DuckDB from the dumped bucket fixture (shared with
+    * q51 — same signature expression), then scored independently with
+    * list_cosine_similarity (bit-compatible with the native cosine). */
+  val q44EmbedNearDup: QueryDef = QueryDef.withOracle(
+    s"""WITH b AS (
+      |  SELECT * FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/lsh_buckets.parquet/*.parquet')),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      |  FROM b a JOIN b b2
+      |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+      |SELECT vec_a, vec_b,
+      |  round(list_cosine_similarity(ca.emb, cb.emb), 6) AS cosine
+      |FROM pairs
+      |JOIN c ca ON ca.vec_id = vec_a
+      |JOIN c cb ON cb.vec_id = vec_b
+      |WHERE round(list_cosine_similarity(ca.emb, cb.emb), 6) >= 0.3""".stripMargin
+  ) { (s, d) =>
     import graft.functions.VectorExpressions
     val c = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),

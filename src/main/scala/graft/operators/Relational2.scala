@@ -109,13 +109,27 @@ object Relational2 {
 
   /** A5 at 100 TB: approx_count_distinct in place of exact nunique
     * (SURVEY flags this as the acceptable semantic deviation at
-    * scale). HLL sketches differ across engines → rows-only; the
-    * spec asserts the estimate is within 5% of exact. */
-  val q2aApproxDistinct: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    * scale). The HLL++ sketch value is engine-specific, so the oracle
+    * checks the accuracy CONTRACT instead: the exact count per month
+    * hash-matches, and the estimate must sit within the 5% relative
+    * tolerance for every month (DuckDB asserts the same column as a
+    * constant TRUE — any out-of-tolerance month breaks the hash).
+    * HLL is deterministic for a frozen input, so this is stable. */
+  val q2aApproxDistinct: QueryDef = QueryDef.withOracle(
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  TRUE AS hll_within_5pct
+      |FROM orders GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    // rsd 0.01 → the 5% contract sits at 5 standard errors; the
+    // default 0.05 sketch breaches 5% on ~1/3 of months (1σ)
+    val approx = approx_count_distinct(col("o_custkey"), 0.01)
+    val exact = countDistinct(col("o_custkey"))
     Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
-        countDistinct(col("o_custkey")).as("exact_customers"))
+      .agg(exact.as("exact_customers"),
+        (abs(approx.cast("double") - exact.cast("double")) /
+          exact.cast("double") <= 0.05).as("hll_within_5pct"))
   }
 
   /** Sessionization: gap-based session assignment per user (30-min

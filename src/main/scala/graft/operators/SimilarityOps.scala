@@ -60,18 +60,53 @@ object SimilarityOps {
   private val LshTables = 3 // L hash tables ...
   private val LshBits = 4 // ... of k hyperplane bits each
 
+  /** One fused codegen pass: every (vector, table) row with its LSH
+    * bucket, embedding carried alongside. */
+  private def bucketed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    corpus(s, d).select(col("vec_id"), col("embedding"),
+      posexplode(VectorExpressions.lshSignature(col("embedding"),
+        LshTables, LshBits)).as(Seq("t", "bucket")))
+
+  /** Exploded hyperplane-LSH bucket assignments (vec_id, t, bucket) —
+    * the ONLY engine-specific piece of the LSH paths (the hyperplanes
+    * live in the native expression). Verify dumps this frame to
+    * parquet so the DuckDB oracle can independently re-derive the
+    * candidate join, scoring, and ranking of q51/q44 from it. */
+  def lshBucketsFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    bucketed(s, d).select("vec_id", "t", "bucket")
+
   /** LSH-bucketed ANN: L=3 hash tables of k=4 random-hyperplane bits
     * (one fused codegen loop per row computes all signatures). A
     * corpus vector is a candidate for a query if they collide in ANY
     * table; candidates are scored exactly, top-5 kept. At 100 TB the
     * (table, bucket) equi-join shuffles only (id, bucket) pairs plus
     * candidate vectors — each query probes ~L·n/2^k of the corpus
-    * instead of all of it; recall is tunable via L and k. */
-  val q51AnnLsh: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    val c = corpus(s, d).withColumn("buckets",
-      VectorExpressions.lshSignature(col("embedding"), LshTables, LshBits))
-    val cT = c.select(col("vec_id"), col("embedding"),
-      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    * instead of all of it; recall is tunable via L and k.
+    *
+    * Oracle: DuckDB recomputes candidates/scores/ranks from the dumped
+    * bucket fixture — everything but the hash itself is re-derived. */
+  val q51AnnLsh: QueryDef = QueryDef.withOracle(
+    s"""WITH b AS (
+      |  SELECT * FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/lsh_buckets.parquet/*.parquet')),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, t, bucket FROM b WHERE vec_id % 50 = 0),
+      |cand AS (
+      |  SELECT DISTINCT q.q_id, b.vec_id AS neighbor_id
+      |  FROM b JOIN q ON b.t = q.t AND b.bucket = q.bucket
+      |  WHERE q.q_id <> b.vec_id),
+      |scored AS (
+      |  SELECT q_id, neighbor_id,
+      |    round(list_cosine_similarity(cq.emb, cn.emb), 6) AS cosine
+      |  FROM cand
+      |  JOIN c cq ON cq.vec_id = q_id
+      |  JOIN c cn ON cn.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    val cT = bucketed(s, d)
     val q = cT.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("t"), col("bucket"))
@@ -113,7 +148,39 @@ object SimilarityOps {
     * the full corpus. Assignment cost is one broadcast-join scan —
     * n·k codegen'd cosines, no shuffle of the vectors until the
     * final list grouping. */
-  val q53AnnIvf: QueryDef = QueryDef.rowsOnly { (s, d) =>
+  val q53AnnIvf: QueryDef = QueryDef.withOracle(
+    // fully SQL-expressible: centroid choice (vec_id % 31 = 1),
+    // nearest-centroid assignment, probe lists, and scoring are all
+    // deterministic math — DuckDB's sequential list_cosine_similarity
+    // is bit-compatible with the native cosine expression, and ties in
+    // the centroid ordering break on cent_id in both engines
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 31 = 1),
+      |ac AS (
+      |  SELECT c.vec_id, c.emb, cent_id,
+      |    list_cosine_similarity(c.emb, cent_emb) AS cent_sim
+      |  FROM c CROSS JOIN cents),
+      |assigned AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+      |    FROM ac) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, emb AS q_emb, cent_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+      |    FROM ac WHERE vec_id % 50 = 0) WHERE rn <= 2),
+      |scored AS (
+      |  SELECT q_id, a.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q_emb, a.emb), 6) AS cosine
+      |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+      |  WHERE p.q_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
     val c = corpus(s, d)
     val cents = c.filter(col("vec_id") % 31 === 1)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
