@@ -102,8 +102,10 @@ object Lake {
   /** S4-as-batch: Bronze sink partitioned by event date. */
   def writeBronze(bronze: DataFrame, root: String): Unit =
     bronze
-      // try_: raw bronze may carry unparseable timestamps (they land in
-      // a null date partition and die in Silver validation)
+      // try_: raw bronze may carry unparseable timestamps; they land in
+      // the null date partition, which readBronze's date >= cutoff
+      // predicate excludes — such rows are retained for audit but never
+      // reach Silver (they would fail timestamp validation regardless)
       .withColumn("date", to_date(try_to_timestamp(col("timestamp"))))
       .repartition(col("date"))
       .write

@@ -20,16 +20,26 @@ object SmartHomeOps {
   // One cached silver per session: the q6x queries all consume the
   // same deterministic fixture pipeline; rebuilding it per query would
   // just re-run identical generation + windows (mirrors the
-  // reference's one-load / many-aggregates shape).
+  // reference's one-load / many-aggregates shape). The entry (and its
+  // session reference) is evicted when the owning application ends so
+  // long-lived multi-session JVMs don't pin dead sessions.
   private val silverCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
   private def silver(s: SparkSession): DataFrame =
-    silverCache.computeIfAbsent(s, s =>
+    silverCache.computeIfAbsent(s, s => {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            silverCache.remove(s); ()
+          }
+        })
       BronzeToSilver.run(
         Fixtures.bronzeTelemetry(s, nDevices = 10, rowsPerDevice = 200,
           dirty = true),
-        Fixtures.deviceCatalog(s), cfg).cache())
+        Fixtures.deviceCatalog(s), cfg).cache()
+    })
 
   /** Bronze→Silver refinement (F2-F7, J1, ST4, W1-W3) on the dirty
     * fixture: 2009 raw rows → 2003 clean silver rows (6 dirty drops:

@@ -6,7 +6,8 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 For each query dumped by graft.Verify, run its oracle SQL in DuckDB over
 the same parquet tables, then compare: column names (sorted), row count,
 and a hash of the value matrix (rows sorted by all columns, doubles
-rendered at 12 significant digits). Mismatches print a diff sample.
+rendered at 9 significant digits — canon()'s %.9g; keep the two in
+sync). Mismatches print a diff sample.
 Queries without oracle SQL get a rows>0 check only.
 """
 import json
