@@ -75,15 +75,22 @@ object DedupOps {
     val sh = shingles(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Document-frequency band: df=1 shingles cannot produce a pair
-    // (an order-of-magnitude prune on natural corpora), df>maxDf
-    // shingles would each put df² rows on one join key.
-    val common = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf).select("h")
-    val shC = sh.join(common, Seq("h"))
-    val a = shC.select(col("doc_id").as("doc_a"), col("h"))
-    val b = shC.select(col("doc_id").as("doc_b"), col("h"))
-    val inter = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+    // Candidate pairs by per-shingle EXPANSION instead of a self-join:
+    // one shuffle groups postings per shingle key, the df band
+    // [2, maxDf] filters in the same aggregate (df=1 cannot pair;
+    // df>maxDf is the skew hazard), and the i<j pair generators run
+    // map-side. The cap is what makes collect_list safe: a posting
+    // list is at most maxDf ids, so executor memory per key is bounded
+    // by construction — versus the self-join shape, this saves the df
+    // pre-aggregation, the semi-join back onto the postings, and the
+    // big a⋈b shuffle.
+    val inter = sh
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") /
       (col("na") + col("nb") - col("i"))
