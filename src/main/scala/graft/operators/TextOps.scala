@@ -176,6 +176,124 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
   }
 
+  /** Deterministic train/val/test corpus split — the first operator of
+    * any training run. Hash-based (md5 of the doc id → 256 buckets:
+    * 80/10/10), so membership is stable under corpus growth and
+    * repartitioning, unlike row-number or random splits. Entirely
+    * map-side until the tiny per-split rollup. */
+  val q37TrainSplit: QueryDef = QueryDef.withOracle(
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 205 THEN 'train'
+      |            WHEN bucket < 230 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc
+      |FROM b GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      .select(
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test").as("split"),
+        col("doc_id"), col("text"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ", -1)).cast("long")).as("total_tokens"),
+        min(col("doc_id")).cast("long").as("first_doc"))
+  }
+
+  /** Curation sampling: top-3 docs per predicted language by quality
+    * score (q34's classifier × q31's scorer × a per-group top-k).
+    * The rank()-style filter plans partial+final WindowGroupLimit, so
+    * each partition ships at most k rows per language to the window
+    * shuffle — the scale shape for "best N examples per class". */
+  val q38CurateTopK: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a'))) AS n_stop,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'of'))) AS sc_en,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('la', 'el', 'de'))) AS sc_es,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('der', 'die', 'das'))) AS sc_de
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CASE WHEN sc_en >= sc_es AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
+      |         WHEN sc_es > sc_en AND sc_es >= sc_de THEN 'es'
+      |         WHEN sc_de > sc_en AND sc_de > sc_es THEN 'de'
+      |         ELSE 'und' END AS predicted_lang,
+      |    floor(greatest(0.0, 1.0
+      |      - 0.3 * (CAST(n_stop AS DOUBLE) / n_tok)
+      |      - (CASE WHEN n_tok < 20 THEN 0.2 ELSE 0.0 END)
+      |      - 0.2 * (1.0 - CAST(n_uniq AS DOUBLE) / n_tok)) * 10000 + 0.5) / 10000
+      |      AS quality_score
+      |  FROM t)
+      |SELECT predicted_lang, rank, doc_id, quality_score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY predicted_lang
+      |    ORDER BY quality_score DESC, doc_id) AS rank
+      |  FROM scored) WHERE rank <= 3""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ", -1)
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val nStop = size(filter(toks, x => x.isin("the", "a")))
+    val scEn = size(filter(toks, x => x.isin("the", "a", "of")))
+    val scEs = size(filter(toks, x => x.isin("la", "el", "de")))
+    val scDe = size(filter(toks, x => x.isin("der", "die", "das")))
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(scEn >= scEs && scEn >= scDe && scEn > 0, "en")
+        .when(scEs > scEn && scEs >= scDe, "es")
+        .when(scDe > scEn && scDe > scEs, "de")
+        .otherwise("und").as("predicted_lang"),
+      (floor(greatest(lit(0.0), lit(1.0)
+        - lit(0.3) * (nStop.cast("double") / nTok)
+        - when(nTok < 20, 0.2).otherwise(0.0)
+        - lit(0.2) * (lit(1.0) - nUniq.cast("double") / nTok)) * 10000 + 0.5)
+        / 10000).as("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("predicted_lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("predicted_lang", "rank", "doc_id", "quality_score")
+  }
+
+  /** Vocabulary statistics: top-100 trigram shingles by document
+    * frequency (desc, shingle tiebreak) — the rollup a tokenizer/
+    * vocabulary build starts from. Plans TakeOrderedAndProject: each
+    * partition ships only its local top-100, never a global sort. */
+  val q39VocabTopK: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g)
+      |SELECT s AS shingle, count(*) AS df
+      |FROM sh GROUP BY s
+      |ORDER BY df DESC, s LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    DedupOps.shingles(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .groupBy(col("s").as("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(100)
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,
@@ -183,6 +301,9 @@ object TextOps {
     "q33_fingerprint" -> q33Fingerprint,
     "q34_lang_id" -> q34LangId,
     "q35_token_estimate" -> q35TokenEstimate,
-    "q36_rolling_fingerprint" -> q36RollingFingerprint
+    "q36_rolling_fingerprint" -> q36RollingFingerprint,
+    "q37_train_split" -> q37TrainSplit,
+    "q38_curate_topk" -> q38CurateTopK,
+    "q39_vocab_topk" -> q39VocabTopK
   )
 }

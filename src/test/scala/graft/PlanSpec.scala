@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains(", 3, Final"), p)
   }
 
+  test("q38/q39: curation top-k and vocab top-k keep their scale shapes") {
+    // per-language top-k: partial WindowGroupLimit caps each partition's
+    // contribution before the window shuffle
+    val p38 = plan("q38_curate_topk")
+    assert(p38.contains("WindowGroupLimit"), p38)
+    // global top-100: TakeOrderedAndProject, never a global sort
+    val p39 = plan("q39_vocab_topk")
+    assert(p39.contains("TakeOrderedAndProject"), p39)
+    assert(!p39.contains("\nSort "), p39)
+  }
+
   test("q50: query side broadcasts against a single corpus scan") {
     val p = plan("q50_ann_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
