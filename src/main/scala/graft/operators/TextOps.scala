@@ -294,6 +294,87 @@ object TextOps {
       .limit(100)
   }
 
+  /** Decontamination: test-split documents whose content fingerprint
+    * (q33's order-insensitive token-set md5) also appears in the train
+    * split — the overlap a pretraining pipeline must drop before
+    * evaluation means anything. Scale shape: a semi-join keyed on the
+    * 16-byte digest; both sides are map-side projections of the same
+    * scan, so the only shuffle carries (digest) pairs. */
+  val q45Decontaminate: QueryDef = QueryDef.withOracle(
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |      AS fp,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bucket
+      |  FROM documents)
+      |SELECT doc_id, fp AS fingerprint FROM f
+      |WHERE bucket >= 230
+      |  AND fp IN (SELECT fp FROM f WHERE bucket < 205)""".stripMargin
+  ) { (s, d) =>
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(
+      split(col("text"), " ", -1)))))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    val f = Tables.documents(s, d)
+      .select(col("doc_id"), fp.as("fingerprint"), bucket.as("bucket"))
+    f.filter(col("bucket") >= 230) // test split (q37's banding)
+      .join(f.filter(col("bucket") < 205).select(col("fingerprint")),
+        Seq("fingerprint"), "left_semi")
+      .select("doc_id", "fingerprint")
+  }
+
+  /** Document packing: stream each (split, shard)'s documents in
+    * doc_id order and cut fixed token-budget bins by cumulative
+    * offset — how pretraining sequences are packed from a corpus.
+    * Rolled up per bin. Scale shape: the running sum parallelizes
+    * across (split, shard) window partitions — sharding is what keeps
+    * the sequential scan per partition bounded at 100 TB (shard count
+    * scales with the corpus; 8 here), and the cumulative sum is exact
+    * integer arithmetic so the binning is engine-agnostic. */
+  val q46DocPack: QueryDef = QueryDef.withOracle(
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bucket,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN bucket < 205 THEN 'train'
+      |         WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+      |    bucket % 8 AS shard
+      |  FROM b),
+      |packed AS (
+      |  SELECT split, shard, n_tok,
+      |    CAST(floor((sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id)
+      |          - n_tok) / 8192) AS BIGINT) AS bin
+      |  FROM s)
+      |SELECT split, CAST(shard AS BIGINT) AS shard, bin,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+      |FROM packed GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, d) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      size(split(col("text"), " ", -1)).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test").as("split"),
+        (col("bucket") % 8).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+    base
+      // 8192 = 2^13: the double division is exact, so floor is
+      // engine-agnostic (DuckDB's double→BIGINT cast would round)
+      .withColumn("bin",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 8192))
+      .groupBy(col("split"), col("shard").cast("long").as("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("bin_tokens"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,
@@ -304,6 +385,8 @@ object TextOps {
     "q36_rolling_fingerprint" -> q36RollingFingerprint,
     "q37_train_split" -> q37TrainSplit,
     "q38_curate_topk" -> q38CurateTopK,
-    "q39_vocab_topk" -> q39VocabTopK
+    "q39_vocab_topk" -> q39VocabTopK,
+    "q45_decontaminate" -> q45Decontaminate,
+    "q46_doc_pack" -> q46DocPack
   )
 }
