@@ -27,6 +27,8 @@ object Verify {
       .parquet(s"$fx/smarthome_bronze.parquet")
     etl.Fixtures.deviceCatalog(spark).write.mode("overwrite")
       .parquet(s"$fx/device_catalog.parquet")
+    etl.BillingJoin.billingFixture(spark).write.mode("overwrite")
+      .parquet(s"$fx/billing.parquet")
     // Engine-specific sketch fixtures (LSH buckets, MinHash/SimHash
     // signatures): the hash values are data the oracle starts from;
     // everything downstream — banding, joins, scoring, ranking — is

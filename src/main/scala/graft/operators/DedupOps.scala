@@ -272,20 +272,30 @@ object DedupOps {
       |WHERE round(list_cosine_similarity(ca.emb, cb.emb), 6) >= 0.3""".stripMargin
   ) { (s, d) =>
     import graft.functions.VectorExpressions
-    val c = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
+    // Candidates as IDS ONLY through the bucket self-join — the wide
+    // embedding arrays never ride the bucket shuffle; they are
+    // attached afterwards by two vec_id joins against the corpus scan.
+    // At 100 TB that's the difference between shuffling (id, bucket)
+    // pairs and shuffling every vector L times.
+    val sig = Tables.embeddings(s, d)
+      .select(col("vec_id"),
         posexplode(VectorExpressions.lshSignature(col("embedding"), 3, 4))
           .as(Seq("t", "bucket")))
-    val a = c.select(col("t"), col("bucket"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = c.select(col("t"), col("bucket"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("t", "bucket"))
+    val pairs = sig.select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("vec_b")),
+        Seq("t", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val emb = Tables.embeddings(s, d)
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(VectorExpressions.cosine(col("emb_a"), col("emb_b")), 6)
           .as("cosine"))
-      .distinct()
       .filter(col("cosine") >= 0.3)
   }
 

@@ -110,10 +110,14 @@ object SmartHomeOps {
 
   /** J3 billing reconciliation — the join the reference declares but
     * never wires up (SURVEY §2.3): gold energy vs billed totals per
-    * (user, month). */
-  val q65Billing: QueryDef = QueryDef.rowsOnly { (s, _) =>
-    val daily = SilverToGold.dailyEnergyConsumption(silver(s), cfg)
-    BillingJoin.reconcile(daily, BillingJoin.billingFixture(s))
+    * (user, month). Daily input pinned to one device_id-sorted
+    * partition so the per-user float fold matches the oracle's
+    * ORDER BY device_id (same rationale as q63). */
+  val q65Billing: QueryDef = QueryDef.withOracle(SmartHomeOracle.q65Sql) {
+    (s, _) =>
+      val daily = SilverToGold.dailyEnergyConsumption(silver(s), cfg)
+        .coalesce(1).sortWithinPartitions("device_id")
+      BillingJoin.reconcile(daily, BillingJoin.billingFixture(s))
   }
 
   /** Multimodal plumbing: binary payload column → batched decode stub

@@ -243,6 +243,34 @@ object SmartHomeOracle {
     * health global means attached to every row. Fold order is
     * device_id, matching the coalesce(1)+sortWithinPartitions feed in
     * SmartHomeOps.q63. */
+  /** J3 billing reconciliation (q65): metered energy per (user, month)
+    * from the daily gold rollup vs the billed totals. The billing dim
+    * is dumped by Verify (SF-independent); fold order is device_id,
+    * matching the pinned feed in SmartHomeOps.q65. */
+  val q65Sql: String =
+    s"""$silverCte$dailyCte, billing AS (
+       |  SELECT * FROM read_parquet('$fixtureDir/billing.parquet/*.parquet')
+       |), metered AS (
+       |  SELECT user_id, strftime("date", '%Y-%m') AS billing_period,
+       |    ${duckBround(foldSum("energy_consumption_wh_sum", "device_id") +
+                         " / 1000", 3)} AS metered_kwh,
+       |    ${duckBround(foldSum("energy_cost_estimate", "device_id"), 2)}
+       |      AS metered_cost
+       |  FROM daily2 GROUP BY 1, 2
+       |)
+       |SELECT m.user_id, m.billing_period, m.metered_kwh, m.metered_cost,
+       |  b.total_usage_kwh AS billed_kwh,
+       |  b.total_cost AS billed_cost,
+       |  CASE WHEN b.total_usage_kwh IS NOT NULL
+       |    THEN ${duckBround("m.metered_kwh - b.total_usage_kwh", 3)} END
+       |    AS kwh_delta,
+       |  CASE WHEN b.total_cost IS NOT NULL
+       |    THEN ${duckBround(
+               "m.metered_cost + coalesce(b.base_charge, 0.0::DOUBLE)" +
+               " - b.total_cost", 2)} END AS cost_delta
+       |FROM metered m LEFT JOIN billing b
+       |  ON m.user_id = b.user_id AND m.billing_period = b.billing_period""".stripMargin
+
   val q63Sql: String =
     s"""$silverCte$dailyCte$healthCte, summraw AS (
        |  SELECT "date",
