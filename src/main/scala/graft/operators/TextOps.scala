@@ -375,6 +375,46 @@ object TextOps {
         sum(col("n_tok")).cast("long").as("bin_tokens"))
   }
 
+  /** Within-document repetition scoring (the Gopher-style repetition
+    * filter): fraction of trigram positions whose trigram already
+    * occurred earlier in the document. High ratios mark boilerplate /
+    * degenerate text a pretraining corpus drops. Map-only — token
+    * arrays never leave their row, so the operator scales as a pure
+    * scan projection. */
+  val q47Repetition: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id,
+      |    len(tk) - 2 AS n_tri,
+      |    len(list_distinct(list_transform(range(1, len(tk) - 1),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS n_uniq
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+      |  CAST(n_uniq AS BIGINT) AS n_uniq,
+      |  floor(CAST(n_tri - n_uniq AS DOUBLE) / n_tri * 10000 + 0.5) / 10000
+      |    AS rep_ratio,
+      |  (CAST(n_tri - n_uniq AS DOUBLE) / n_tri) <= 0.2 AS keep
+      |FROM g""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ", -1)
+    val tris = expr("transform(sequence(0, size(tk) - 3), " +
+      "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), (size(col("tk")) - 2).as("n_tri"),
+        size(array_distinct(tris)).as("n_uniq"))
+    val dupRatio = (col("n_tri") - col("n_uniq")).cast("double") / col("n_tri")
+    base.select(
+      col("doc_id"),
+      col("n_tri").cast("long").as("n_tri"),
+      col("n_uniq").cast("long").as("n_uniq"),
+      (floor(dupRatio * 10000 + 0.5) / 10000).as("rep_ratio"),
+      (dupRatio <= 0.2).as("keep"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,
@@ -387,6 +427,7 @@ object TextOps {
     "q38_curate_topk" -> q38CurateTopK,
     "q39_vocab_topk" -> q39VocabTopK,
     "q45_decontaminate" -> q45Decontaminate,
-    "q46_doc_pack" -> q46DocPack
+    "q46_doc_pack" -> q46DocPack,
+    "q47_repetition" -> q47Repetition
   )
 }
