@@ -52,7 +52,8 @@ object Multimodal {
   private def decodeImage(content: Array[Byte]): Option[(Int, Int, String, Array[Float])] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(content))
-    try {
+    if (iis == null) None // no registered stream SPI
+    else try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {
@@ -81,7 +82,12 @@ object Multimodal {
           Some((w, h, fmt, bins.map(_ / n)))
         } finally reader.dispose()
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // imageio readers throw RuntimeExceptions (AIOOBE, IAE, NASE, …)
+      // on recognized-but-corrupt payloads — any decode failure must
+      // fall back to the fake, never kill the task
+      case scala.util.control.NonFatal(_) => None
+    }
     finally iis.close()
   }
 

@@ -85,8 +85,12 @@ object DedupOps {
     // pre-aggregation, the semi-join back onto the postings, and the
     // big a⋈b shuffle.
     val inter = sh
+      // collect_set, not collect_list: if two shingles of one doc
+      // collide to the same h, the doc must not appear twice (a
+      // duplicate would emit an invalid (X, X) self-pair and inflate
+      // X's intersections)
       .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
       .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
       .select(col("doc_a"),

@@ -115,8 +115,10 @@ object SmartHomeOps {
     * ORDER BY device_id (same rationale as q63). */
   val q65Billing: QueryDef = QueryDef.withOracle(SmartHomeOracle.q65Sql) {
     (s, _) =>
+      // (device_id, date) is daily's unique key — device_id alone is
+      // not a total order once a fixture spans multiple dates
       val daily = SilverToGold.dailyEnergyConsumption(silver(s), cfg)
-        .coalesce(1).sortWithinPartitions("device_id")
+        .coalesce(1).sortWithinPartitions("device_id", "date")
       BillingJoin.reconcile(daily, BillingJoin.billingFixture(s))
   }
 

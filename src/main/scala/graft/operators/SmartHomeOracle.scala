@@ -44,10 +44,15 @@ package graft.operators
 object SmartHomeOracle {
 
   /** Where Verify writes the deterministic bronze fixture for the
-    * driver's DuckDB process to read. Absolute so the oracle SQL works
-    * regardless of the checker's working directory; under target/ so
-    * it is never committed. */
-  val fixtureDir = "/root/repo/target/verify_fixtures"
+    * driver's DuckDB process to read. Absolute (resolved from the
+    * launch directory, overridable via -Dgraft.fixture.dir) so the
+    * oracle SQL works regardless of the checker's working directory;
+    * under target/ so it is never committed. The oracle SQL strings
+    * embed the path at class-init inside the same JVM that writes the
+    * fixtures, so the dumped oracle_sql.json always points where that
+    * run actually wrote. */
+  val fixtureDir: String = sys.props.getOrElse("graft.fixture.dir",
+    new java.io.File("target/verify_fixtures").getAbsolutePath)
 
   private val bronzeGlob = s"$fixtureDir/smarthome_bronze.parquet/*.parquet"
   private val catalogGlob = s"$fixtureDir/device_catalog.parquet/*.parquet"
@@ -252,9 +257,9 @@ object SmartHomeOracle {
        |  SELECT * FROM read_parquet('$fixtureDir/billing.parquet/*.parquet')
        |), metered AS (
        |  SELECT user_id, strftime("date", '%Y-%m') AS billing_period,
-       |    ${duckBround(foldSum("energy_consumption_wh_sum", "device_id") +
-                         " / 1000", 3)} AS metered_kwh,
-       |    ${duckBround(foldSum("energy_cost_estimate", "device_id"), 2)}
+       |    ${duckBround(foldSum("energy_consumption_wh_sum",
+                         "device_id, \"date\"") + " / 1000", 3)} AS metered_kwh,
+       |    ${duckBround(foldSum("energy_cost_estimate", "device_id, \"date\""), 2)}
        |      AS metered_cost
        |  FROM daily2 GROUP BY 1, 2
        |)

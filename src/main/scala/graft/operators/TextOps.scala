@@ -176,6 +176,16 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
   }
 
+  /** md5-based 256-way bucket of a doc id — the shared banding under
+    * the q37/q45/q46 split operators (train < 205, val < 230, else
+    * test). One definition: a banding change must hit the three Scala
+    * sites and their oracle SQL together. */
+  private def docBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+
+  private def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
+
   /** Deterministic train/val/test corpus split — the first operator of
     * any training run. Hash-based (md5 of the doc id → 256 buckets:
     * 80/10/10), so membership is stable under corpus growth and
@@ -194,15 +204,9 @@ object TextOps {
       |  CAST(min(doc_id) AS BIGINT) AS first_doc
       |FROM b GROUP BY 1""".stripMargin
   ) { (s, d) =>
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
-      16, 10).cast("int")
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), bucket.as("bucket"))
-      .select(
-        when(col("bucket") < 205, "train")
-          .when(col("bucket") < 230, "val")
-          .otherwise("test").as("split"),
-        col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), docBucket.as("bucket"))
+      .select(splitOf(col("bucket")).as("split"), col("doc_id"), col("text"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ", -1)).cast("long")).as("total_tokens"),
@@ -313,10 +317,8 @@ object TextOps {
   ) { (s, d) =>
     val fp = md5(concat_ws(" ", array_sort(array_distinct(
       split(col("text"), " ", -1)))))
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
-      16, 10).cast("int")
     val f = Tables.documents(s, d)
-      .select(col("doc_id"), fp.as("fingerprint"), bucket.as("bucket"))
+      .select(col("doc_id"), fp.as("fingerprint"), docBucket.as("bucket"))
     f.filter(col("bucket") >= 230) // test split (q37's banding)
       .join(f.filter(col("bucket") < 205).select(col("fingerprint")),
         Seq("fingerprint"), "left_semi")
@@ -352,16 +354,12 @@ object TextOps {
       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
       |FROM packed GROUP BY 1, 2, 3""".stripMargin
   ) { (s, d) =>
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
-      16, 10).cast("int")
     val base = Tables.documents(s, d).select(
       col("doc_id"),
-      bucket.as("bucket"),
+      docBucket.as("bucket"),
       size(split(col("text"), " ", -1)).as("n_tok"))
       .select(col("doc_id"), col("n_tok"),
-        when(col("bucket") < 205, "train")
-          .when(col("bucket") < 230, "val")
-          .otherwise("test").as("split"),
+        splitOf(col("bucket")).as("split"),
         (col("bucket") % 8).as("shard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))

@@ -42,11 +42,28 @@ object SilverRefinery {
     // dates), not data — the collect is bounded by the batch's date
     // span. Unparseable timestamps yield a null date; those rows die
     // in Silver validation and refine no partition.
-    val dates = batch
+    val batchDates = batch
       .select(to_date(try_to_timestamp(col("timestamp"))).as("d"))
       .filter(col("d").isNotNull).distinct()
       .collect().map(_.getDate(0).toLocalDate)
-    if (dates.nonEmpty) {
+    if (batchDates.nonEmpty) {
+      // A late row for day D also stales day D+1..D+contextDays rows
+      // whose frames reach back into D, so the rewrite set extends
+      // FORWARD to those dates — but only where the lake already holds
+      // them (a forward date with no bronze yet has nothing to fix).
+      val forward = batchDates
+        .flatMap(d => (1 to contextDays).map(d.plusDays(_)))
+        .distinct.diff(batchDates)
+      val existingForward =
+        if (forward.isEmpty) Seq.empty
+        else spark.read
+          .schema(Schemas.bronzeTelemetry.add("date", "date"))
+          .option("ignoreCorruptFiles", "true")
+          .parquet(s"$lakeRoot/bronze/telemetry")
+          .filter(col("date").isin(forward.map(java.sql.Date.valueOf): _*))
+          .select("date").distinct()
+          .collect().map(_.getDate(0).toLocalDate).toSeq
+      val dates = batchDates ++ existingForward
       val ctx = dates
         .flatMap(d => (0 to contextDays).map(b => d.minusDays(b)))
         .distinct.map(d => java.sql.Date.valueOf(d))
@@ -58,8 +75,8 @@ object SilverRefinery {
         .drop("date")
       val silver = BronzeToSilver.run(bronze, catalog, cfg)
       val affected = dates.map(d => java.sql.Date.valueOf(d))
-      // context rows are recomputed for frame context only — their own
-      // (possibly edge-truncated) values are NOT written back
+      // backward-context rows are recomputed for frame context only —
+      // their own (possibly edge-truncated) values are NOT written back
       Lake.writeSilver(
         silver.filter(to_date(col("timestamp")).isin(affected: _*)), lakeRoot)
     }

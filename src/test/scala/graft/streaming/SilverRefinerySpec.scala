@@ -67,4 +67,38 @@ class SilverRefinerySpec extends SparkSpec {
       df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
     assert(multiset(streamed) == multiset(batch))
   }
+
+  test("late rows for day D also rewrite day D+1's boundary frames") {
+    val lake = java.nio.file.Files.createTempDirectory("graft-refinery3").toString
+    val start = java.time.Instant.parse("2025-07-15T23:58:00Z")
+    val cfg = EtlConfig(referenceInstant = Some(start.plusSeconds(2 * 3600)))
+    val catalog = Fixtures.deviceCatalog(spark, 2)
+    val full = Fixtures.bronzeTelemetry(spark, nDevices = 2,
+      rowsPerDevice = 240, start = start).cache()
+    // withhold day 1's final 20 rows (seconds 100-119); batch 1 still
+    // contains ALL of day 2, whose first rows' frames reach into them
+    val lateLo = start.plusSeconds(100).toString
+    val lateHi = start.plusSeconds(120).toString
+    val late = full.filter(col("timestamp") >= lit(lateLo) &&
+      col("timestamp") < lit(lateHi))
+    val onTime = full.filter(col("timestamp") < lit(lateLo) ||
+      col("timestamp") >= lit(lateHi))
+
+    Lake.writeBronze(onTime, lake)
+    SilverRefinery.runOnce(spark, lake, catalog, cfg)
+    late.withColumn("date", to_date(try_to_timestamp(col("timestamp"))))
+      .write.partitionBy("date").mode("append")
+      .parquet(s"$lake/bronze/telemetry")
+    SilverRefinery.runOnce(spark, lake, catalog, cfg)
+
+    val streamed = Lake.readSilver(spark, lake, daysBack = 7, cfg).drop("date")
+    val batch = BronzeToSilver.run(
+      Lake.readBronze(spark, lake, hoursBack = 48, cfg).drop("date"),
+      Fixtures.deviceCatalog(spark, 2), cfg)
+      .select(streamed.columns.map(col): _*)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed.count() == 2 * 240)
+    assert(multiset(streamed) == multiset(batch))
+  }
 }
