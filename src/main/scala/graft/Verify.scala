@@ -41,6 +41,12 @@ object Verify {
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/minhash_sigs.parquet")
     operators.DedupOps.simhashFrame(spark, sfDir)
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/simhash_sigs.parquet")
+    operators.TextOps.rollingFpFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/rolling_fps.parquet")
+    multimodal.Multimodal.decode(
+      multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir)))
+      .select("media_id", "kind", "width", "height", "duration_ms")
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/decoded_media.parquet")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

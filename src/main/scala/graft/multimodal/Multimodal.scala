@@ -135,17 +135,22 @@ object Multimodal {
   }
 
   /** Resize stage (stub: recomputes target dims, a real build calls
-    * the scaler per batch). Shape: decoded → decoded. */
+    * the scaler per batch). Shape: decoded → decoded.
+    *
+    * Both dims are replaced in ONE withColumns so the shared `scale`
+    * expression binds to the ORIGINAL width/height for both — chained
+    * withColumn calls would re-resolve `scale` inside the height
+    * expression against the already-resized width, inflating the
+    * height of landscape media (833×310 → 256×256 instead of 256×96;
+    * caught by the q66 DuckDB oracle). */
   def resize(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
     // outer least(): ceil on a float product can land on maxSide+1
     // when the ratio rounds up by one ulp
-    decoded
-      .withColumn("width",
-        least(lit(maxSide), ceil(col("width") * scale).cast("int")))
-      .withColumn("height",
-        least(lit(maxSide), ceil(col("height") * scale).cast("int")))
+    decoded.withColumns(Map(
+      "width" -> least(lit(maxSide), ceil(col("width") * scale).cast("int")),
+      "height" -> least(lit(maxSide), ceil(col("height") * scale).cast("int"))))
   }
 
   /** Frame sampling for video rows: one output row per sampled frame

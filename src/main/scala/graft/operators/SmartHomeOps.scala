@@ -86,26 +86,54 @@ object SmartHomeOps {
     }
 
   /** Dashboard query layer (A7/A8/F8/F9/O2/W4) over the gold frames:
-    * one row per dashboard panel, unioned. */
-  val q64Dashboard: QueryDef = QueryDef.rowsOnly { (s, _) =>
-    val sil = silver(s)
-    val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
-    val health = SilverToGold.deviceHealthMetrics(sil, cfg)
-    val summary = SilverToGold.dailyBusinessSummary(daily, health, cfg)
-    val panels = Seq(
-      DashboardQueries.kpis(daily, sil, summary, health, cfg)
-        .select(lit("kpi_chain").as("panel"), to_json(struct(col("*"))).as("payload")),
-      DashboardQueries.todayKpis(daily, cfg)
-        .select(lit("today_kpis").as("panel"), to_json(struct(col("*"))).as("payload")),
-      DashboardQueries.last24hKpis(sil, cfg)
-        .select(lit("last24h_kpis").as("panel"), to_json(struct(col("*"))).as("payload")),
-      DashboardQueries.energyByDeviceType(daily)
-        .select(lit("energy_by_type").as("panel"), to_json(struct(col("*"))).as("payload")),
-      DashboardQueries.healthGauge(health)
-        .select(lit("health_gauge").as("panel"), to_json(struct(col("*"))).as("payload")),
-      DashboardQueries.alertDistribution(sil)
-        .select(lit("alerts").as("panel"), to_json(struct(col("*"))).as("payload")))
-    panels.reduce(_ unionByName _)
+    * every panel unpivoted to (panel, metric, value) rows so the whole
+    * layer is one hash-comparable frame the DuckDB oracle re-derives
+    * (SmartHomeOracle.q64Sql). Inputs are pinned to single sorted
+    * partitions so the panel aggregates' float folds are
+    * deterministic (same rationale as q63/q65). */
+  val q64Dashboard: QueryDef = QueryDef.withOracle(SmartHomeOracle.q64Sql) {
+    (s, _) =>
+      val sil = silver(s)
+      // cache the pinned frames: six panels (plus the kpi chain's
+      // emptiness probe) re-read them
+      val silP = sil.coalesce(1).sortWithinPartitions("device_id", "timestamp")
+        .cache()
+      val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
+        .coalesce(1).sortWithinPartitions("device_id", "date").cache()
+      val health = SilverToGold.deviceHealthMetrics(sil, cfg)
+        .coalesce(1).sortWithinPartitions("device_id").cache()
+      val summary = SilverToGold.dailyBusinessSummary(daily, health, cfg)
+      def unpivot(panel: String, df: org.apache.spark.sql.DataFrame,
+          metrics: (String, org.apache.spark.sql.Column)*): org.apache.spark.sql.DataFrame =
+        df.select(explode(map(metrics.flatMap { case (m, c) =>
+          Seq(lit(m), c.cast("double")) }: _*)).as(Seq("metric", "value")))
+          .select(lit(panel).as("panel"), col("metric"), col("value"))
+      val kpiCols = Seq(
+        "total_energy_kwh" -> col("total_energy_kwh"),
+        "total_cost" -> col("total_cost"),
+        "active_devices" -> col("active_devices"))
+      Seq(
+        unpivot("kpi_chain",
+          DashboardQueries.kpis(daily, silP, summary, health, cfg),
+          kpiCols :+ ("avg_health" -> col("avg_health")): _*),
+        unpivot("today_kpis", DashboardQueries.todayKpis(daily, cfg), kpiCols: _*),
+        unpivot("last24h_kpis", DashboardQueries.last24hKpis(silP, cfg), kpiCols: _*),
+        DashboardQueries.energyByDeviceType(daily)
+          .select(lit("energy_by_type").as("panel"),
+            col("device_type").as("metric"),
+            col("total_energy_kwh").cast("double").as("value")),
+        unpivot("health_gauge", DashboardQueries.healthGauge(health),
+          "avg_health_score" -> col("avg_health_score"),
+          "avg_failure_risk" -> col("avg_failure_risk"),
+          "total_alerts" -> col("total_alerts")),
+        DashboardQueries.alertDistribution(silP)
+          .select(col("alert"), col("n"), col("n_devices"))
+          .select(lit("alerts").as("panel"),
+            explode(map(
+              concat(col("alert"), lit("/n")), col("n").cast("double"),
+              concat(col("alert"), lit("/n_devices")),
+              col("n_devices").cast("double"))).as(Seq("metric", "value")))
+      ).reduce(_ unionByName _)
   }
 
   /** J3 billing reconciliation — the join the reference declares but
@@ -122,16 +150,21 @@ object SmartHomeOps {
       BillingJoin.reconcile(daily, BillingJoin.billingFixture(s))
   }
 
-  /** Multimodal plumbing: binary payload column → batched decode stub
-    * → resize → video frame sampling (graft.multimodal). */
-  val q66Multimodal: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    val media = graft.multimodal.Multimodal.mediaFromDocuments(
-      s, graft.Tables.documents(s, d))
-    val decoded = graft.multimodal.Multimodal.decode(media, batchSize = 64)
-    val resized = graft.multimodal.Multimodal.resize(decoded, maxSide = 256)
-    val frames = graft.multimodal.Multimodal.sampleFrames(resized, everyMs = 5000)
-    frames.groupBy(col("media_id"), col("width"), col("height"))
-      .agg(count(lit(1)).as("n_frames"), max(col("frame_ms")).as("last_frame_ms"))
+  /** Multimodal plumbing: binary payload column → batched decode
+    * (real for images, fake seam for audio/video) → resize → video
+    * frame sampling (graft.multimodal). The decode output is the
+    * engine-specific piece; Verify dumps it so the oracle re-derives
+    * the resize arithmetic, frame sampling, and rollup in DuckDB
+    * (SmartHomeOracle.q66Sql). */
+  val q66Multimodal: QueryDef = QueryDef.withOracle(SmartHomeOracle.q66Sql) {
+    (s, d) =>
+      val media = graft.multimodal.Multimodal.mediaFromDocuments(
+        s, graft.Tables.documents(s, d))
+      val decoded = graft.multimodal.Multimodal.decode(media, batchSize = 64)
+      val resized = graft.multimodal.Multimodal.resize(decoded, maxSide = 256)
+      val frames = graft.multimodal.Multimodal.sampleFrames(resized, everyMs = 5000)
+      frames.groupBy(col("media_id"), col("width"), col("height"))
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_ms")).as("last_frame_ms"))
   }
 
   val all: Map[String, QueryDef] = Map(

@@ -276,6 +276,91 @@ object SmartHomeOracle {
        |FROM metered m LEFT JOIN billing b
        |  ON m.user_id = b.user_id AND m.billing_period = b.billing_period""".stripMargin
 
+  /** Dashboard panel layer (q64): every panel re-derived over the
+    * silver/daily/health CTEs and unpivoted to (panel, metric, value)
+    * — today's KPIs, the silver 24 h fallback numbers, energy by
+    * device type, the health gauge, alert distribution, and the A8
+    * kpi-chain (which resolves to the gold-today branch on this
+    * fixture, health gauge attached unrounded). Fold orders match the
+    * pinned single-partition feeds in SmartHomeOps.q64. */
+  val q64Sql: String =
+    s"""$silverCte$dailyCte$healthCte, tk AS (
+       |  SELECT
+       |    ${duckBround(foldSum("energy_consumption_wh_sum",
+                         "device_id, \"date\"") + " / 1000", 2)} AS kwh,
+       |    ${duckBround(foldSum("energy_cost_estimate",
+                         "device_id, \"date\""), 2)} AS cost,
+       |    count(DISTINCT device_id) AS dev
+       |  FROM daily2 WHERE "date" = DATE '2025-07-15'
+       |), l24 AS (
+       |  SELECT
+       |    ${duckBround(foldSum("energy_consumption_wh",
+                         "device_id, ts") + " / 1000", 2)} AS kwh,
+       |    ${duckBround(foldSum("energy_consumption_wh", "device_id, ts") +
+                         " / 1000 * 0.12::DOUBLE", 2)} AS cost,
+       |    count(DISTINCT device_id) AS dev
+       |  FROM silver WHERE ts >= TIMESTAMP '2025-07-14 06:00:00'
+       |), ebt AS (
+       |  SELECT device_type,
+       |    ${duckBround(foldSum("energy_consumption_wh_sum",
+                         "device_id, \"date\"") + " / 1000", 3)} AS kwh
+       |  FROM daily2 GROUP BY 1
+       |), hgr AS (
+       |  SELECT
+       |    ${foldSum("health_score", "device_id")} AS h_sum,
+       |    ${foldSum("failure_probability", "device_id")} AS f_sum,
+       |    count(*) AS cnt,
+       |    CAST(sum(total_alerts) AS DOUBLE) AS alerts
+       |  FROM dh
+       |), al AS (
+       |  SELECT alert, count(*) AS n, count(DISTINCT device_id) AS nd
+       |  FROM silver WHERE alert <> 'none' GROUP BY 1
+       |)
+       |SELECT 'kpi_chain' AS panel, 'total_energy_kwh' AS metric, kwh AS value FROM tk
+       |UNION ALL SELECT 'kpi_chain', 'total_cost', cost FROM tk
+       |UNION ALL SELECT 'kpi_chain', 'active_devices', CAST(dev AS DOUBLE) FROM tk
+       |UNION ALL SELECT 'kpi_chain', 'avg_health',
+       |  (h_sum / CAST(cnt AS DOUBLE)) * 100 FROM hgr
+       |UNION ALL SELECT 'today_kpis', 'total_energy_kwh', kwh FROM tk
+       |UNION ALL SELECT 'today_kpis', 'total_cost', cost FROM tk
+       |UNION ALL SELECT 'today_kpis', 'active_devices', CAST(dev AS DOUBLE) FROM tk
+       |UNION ALL SELECT 'last24h_kpis', 'total_energy_kwh', kwh FROM l24
+       |UNION ALL SELECT 'last24h_kpis', 'total_cost', cost FROM l24
+       |UNION ALL SELECT 'last24h_kpis', 'active_devices', CAST(dev AS DOUBLE) FROM l24
+       |UNION ALL SELECT 'energy_by_type', device_type, kwh FROM ebt
+       |UNION ALL SELECT 'health_gauge', 'avg_health_score',
+       |  ${duckBround("h_sum / CAST(cnt AS DOUBLE)", 3)} FROM hgr
+       |UNION ALL SELECT 'health_gauge', 'avg_failure_risk',
+       |  ${duckBround("f_sum / CAST(cnt AS DOUBLE)", 3)} FROM hgr
+       |UNION ALL SELECT 'health_gauge', 'total_alerts', alerts FROM hgr
+       |UNION ALL SELECT 'alerts', alert || '/n', CAST(n AS DOUBLE) FROM al
+       |UNION ALL SELECT 'alerts', alert || '/n_devices', CAST(nd AS DOUBLE) FROM al""".stripMargin
+
+  /** Multimodal pipeline rollup (q66) from the dumped decode output:
+    * the oracle re-derives the resize arithmetic (identical IEEE op
+    * sequence: 256/max side as double, ceil of the scaled dim — the
+    * quotient and products are computed by the same ops in both
+    * engines, so the ceil boundary cases agree bitwise), the 5 s frame
+    * sampling (count = trunc(duration/5000)+1), and the group-by. */
+  val q66Sql: String =
+    s"""WITH dec AS (
+       |  SELECT * FROM read_parquet('$fixtureDir/sf___SFTAG__/decoded_media.parquet/*.parquet')),
+       |r AS (
+       |  -- resized dims under fresh names: DuckDB's lateral column
+       |  -- aliasing would otherwise resolve `width` inside the height
+       |  -- expression to the just-computed alias, not dec's column
+       |  SELECT media_id, duration_ms,
+       |    least(256, CAST(ceil(width * sc) AS INTEGER)) AS new_w,
+       |    least(256, CAST(ceil(height * sc) AS INTEGER)) AS new_h
+       |  FROM (SELECT *, least(1.0::DOUBLE,
+       |          256 / CAST(greatest(width, height) AS DOUBLE)) AS sc
+       |        FROM dec WHERE kind = 'video'))
+       |SELECT media_id, new_w AS width, new_h AS height,
+       |  CAST(floor(duration_ms / 5000.0) AS BIGINT) + 1 AS n_frames,
+       |  CAST(CAST(floor(duration_ms / 5000.0) AS BIGINT) * 5000 AS INTEGER)
+       |    AS last_frame_ms
+       |FROM r""".stripMargin
+
   val q63Sql: String =
     s"""$silverCte$dailyCte$healthCte, summraw AS (
        |  SELECT "date",

@@ -163,15 +163,25 @@ object TextOps {
         .as("units_per_token"))
   }
 
-  /** Order-sensitive rolling-hash fingerprint (native expression):
-    * detects exact token-sequence duplicates in one map-only pass.
-    * Rows-only (engine-specific hash); grouped so the output is the
-    * duplicate-sequence histogram. */
-  val q36RollingFingerprint: QueryDef = QueryDef.rowsOnly { (s, d) =>
+  /** Per-doc rolling fingerprints — q36's engine-specific piece,
+    * dumped by Verify for the oracle. */
+  def rollingFpFrame(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.TextExpressions.rollingFingerprint(
           split(col("text"), " ", -1)).as("fp"))
+
+  /** Order-sensitive rolling-hash fingerprint (native expression):
+    * detects exact token-sequence duplicates in one map-only pass,
+    * grouped into the duplicate-sequence histogram. The hash is
+    * engine-specific (xxhash64 token folds), so the oracle starts from
+    * the dumped fingerprint fixture and re-derives the histogram. */
+  val q36RollingFingerprint: QueryDef = QueryDef.withOracle(
+    s"""SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_doc
+      |FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/rolling_fps.parquet/*.parquet')
+      |GROUP BY fp""".stripMargin
+  ) { (s, d) =>
+    rollingFpFrame(s, d)
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
   }

@@ -68,6 +68,13 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.filter(greatest(col("width"), col("height")) > 256)
       .count() == 0)
     assert(resized.filter(col("width") < 1 || col("height") < 1).count() == 0)
+    // exact scaling: both dims must shrink by the SAME original-dims
+    // factor (a chained-withColumn resize recomputed the height scale
+    // against the already-resized width — q66's oracle caught it)
+    import spark.implicits._
+    val one = Seq((1L, "video", 833, 310)).toDF("media_id", "kind", "width", "height")
+    val r = Multimodal.resize(one, maxSide = 256).select("width", "height").head()
+    assert(r.getInt(0) == 256 && r.getInt(1) == 96, r)
   }
 
   test("frame sampling explodes one row per 5s frame for videos only") {
