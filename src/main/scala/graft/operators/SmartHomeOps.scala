@@ -32,13 +32,32 @@ object SmartHomeOps {
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            silverCache.remove(s); ()
+            silverCache.remove(s); pinnedCache.remove(s); ()
           }
         })
       BronzeToSilver.run(
         Fixtures.bronzeTelemetry(s, nDevices = 10, rowsPerDevice = 200,
           dirty = true),
         Fixtures.deviceCatalog(s), cfg).cache()
+    })
+
+  /** Session-scoped pinned frames shared by q63/q64/q65: silver, the
+    * daily rollup, and device health, each coalesced to ONE partition
+    * sorted by its unique key so every float fold over them is
+    * deterministic and matches the oracles' ORDER BY. Cached once per
+    * session (several panels and three queries re-read them), evicted
+    * with the silver cache on application end. */
+  private val pinnedCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, (DataFrame, DataFrame, DataFrame)]()
+
+  private def pinned(s: SparkSession): (DataFrame, DataFrame, DataFrame) =
+    pinnedCache.computeIfAbsent(s, s => {
+      val sil = silver(s)
+      (sil.coalesce(1).sortWithinPartitions("device_id", "timestamp").cache(),
+        SilverToGold.dailyEnergyConsumption(sil, cfg)
+          .coalesce(1).sortWithinPartitions("device_id", "date").cache(),
+        SilverToGold.deviceHealthMetrics(sil, cfg)
+          .coalesce(1).sortWithinPartitions("device_id").cache())
     })
 
   /** Bronze→Silver refinement (F2-F7, J1, ST4, W1-W3) on the dirty
@@ -77,11 +96,7 @@ object SmartHomeOps {
     * device_id (the order SmartHomeOracle.q63Sql folds in). */
   val q63GoldBusinessSummary: QueryDef =
     QueryDef.withOracle(SmartHomeOracle.q63Sql) { (s, _) =>
-      val sil = silver(s)
-      val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
-        .coalesce(1).sortWithinPartitions("device_id")
-      val health = SilverToGold.deviceHealthMetrics(sil, cfg)
-        .coalesce(1).sortWithinPartitions("device_id")
+      val (_, daily, health) = pinned(s)
       SilverToGold.dailyBusinessSummary(daily, health, cfg)
     }
 
@@ -93,15 +108,7 @@ object SmartHomeOps {
     * deterministic (same rationale as q63/q65). */
   val q64Dashboard: QueryDef = QueryDef.withOracle(SmartHomeOracle.q64Sql) {
     (s, _) =>
-      val sil = silver(s)
-      // cache the pinned frames: six panels (plus the kpi chain's
-      // emptiness probe) re-read them
-      val silP = sil.coalesce(1).sortWithinPartitions("device_id", "timestamp")
-        .cache()
-      val daily = SilverToGold.dailyEnergyConsumption(sil, cfg)
-        .coalesce(1).sortWithinPartitions("device_id", "date").cache()
-      val health = SilverToGold.deviceHealthMetrics(sil, cfg)
-        .coalesce(1).sortWithinPartitions("device_id").cache()
+      val (silP, daily, health) = pinned(s)
       val summary = SilverToGold.dailyBusinessSummary(daily, health, cfg)
       def unpivot(panel: String, df: org.apache.spark.sql.DataFrame,
           metrics: (String, org.apache.spark.sql.Column)*): org.apache.spark.sql.DataFrame =
@@ -143,10 +150,7 @@ object SmartHomeOps {
     * ORDER BY device_id (same rationale as q63). */
   val q65Billing: QueryDef = QueryDef.withOracle(SmartHomeOracle.q65Sql) {
     (s, _) =>
-      // (device_id, date) is daily's unique key — device_id alone is
-      // not a total order once a fixture spans multiple dates
-      val daily = SilverToGold.dailyEnergyConsumption(silver(s), cfg)
-        .coalesce(1).sortWithinPartitions("device_id", "date")
+      val (_, daily, _) = pinned(s)
       BillingJoin.reconcile(daily, BillingJoin.billingFixture(s))
   }
 
