@@ -20,13 +20,15 @@ object DedupOps {
     df.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
       .filter(size(col("toks")) >= 3)
 
-  /** Distinct 3-token shingles per doc: (doc_id, s). */
+  /** Distinct 3-token shingles per doc: (doc_id, s). The dedup is
+    * map-side (array_distinct on the per-doc shingle array) — a
+    * document's shingles never need a shuffle to dedup, so consumers
+    * get per-doc-distinct rows without the global DISTINCT exchange. */
   private[operators] def shingles(df: DataFrame): DataFrame =
     tokenized(df)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("s"))
-      .distinct()
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("s"))
 
   /** Exact dedup via content-hash group-by (md5): one row per distinct
     * content, with duplicate count and canonical (min) doc_id. The
