@@ -46,7 +46,13 @@ object SmartHomeOps {
     * sorted by its unique key so every float fold over them is
     * deterministic and matches the oracles' ORDER BY. Cached once per
     * session (several panels and three queries re-read them), evicted
-    * with the silver cache on application end. */
+    * with the silver cache on application end.
+    *
+    * The pin is ORACLE tooling, not the scale path: it buys bitwise
+    * float-fold reproducibility for the hash gate on the tiny fixture
+    * frames. A production dashboard over a large lake runs the same
+    * aggregates unpinned and accepts association-order float noise
+    * (last-bit), which no downstream consumer of 2-3dp KPIs can see. */
   private val pinnedCache = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, (DataFrame, DataFrame, DataFrame)]()
 

@@ -423,6 +423,29 @@ object TextOps {
       (dupRatio <= 0.2).as("keep"))
   }
 
+  /** Stratified sampling: a fixed-size, UNBIASED deterministic sample
+    * per language — the eval-set counterpart to q38's quality-ranked
+    * curation. Order within a stratum is the md5 of the doc id (a
+    * seedable uniform permutation that is stable under corpus growth
+    * for the retained prefix property a reservoir lacks), take the
+    * first 5. WindowGroupLimit keeps per-partition shipping at k rows
+    * per stratum. */
+  val q48StratifiedSample: QueryDef = QueryDef.withOracle(
+    """SELECT lang, rank, doc_id FROM (
+      |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |  FROM documents) WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "doc_id")
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,
@@ -436,6 +459,7 @@ object TextOps {
     "q39_vocab_topk" -> q39VocabTopK,
     "q45_decontaminate" -> q45Decontaminate,
     "q46_doc_pack" -> q46DocPack,
-    "q47_repetition" -> q47Repetition
+    "q47_repetition" -> q47Repetition,
+    "q48_stratified_sample" -> q48StratifiedSample
   )
 }
