@@ -101,9 +101,7 @@ object TextOps {
       |FROM documents""".stripMargin
   ) { (s, d) =>
     Tables.documents(s, d).select(
-      col("doc_id"),
-      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ", -1)))))
-        .as("fingerprint"))
+      col("doc_id"), contentFingerprint.as("fingerprint"))
   }
 
   /** Language-ID by stopword-marker scoring: per-language marker token
@@ -190,11 +188,15 @@ object TextOps {
     * the q37/q45/q46 split operators (train < 205, val < 230, else
     * test). One definition: a banding change must hit the three Scala
     * sites and their oracle SQL together. */
-  private def docBucket: org.apache.spark.sql.Column =
+  private[operators] def docBucket: org.apache.spark.sql.Column =
     conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
 
-  private def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
+
+  /** Order-insensitive content fingerprint (q33/q45's shared key). */
+  private[operators] def contentFingerprint: org.apache.spark.sql.Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ", -1)))))
 
   /** Deterministic train/val/test corpus split — the first operator of
     * any training run. Hash-based (md5 of the doc id → 256 buckets:
@@ -325,10 +327,9 @@ object TextOps {
       |WHERE bucket >= 230
       |  AND fp IN (SELECT fp FROM f WHERE bucket < 205)""".stripMargin
   ) { (s, d) =>
-    val fp = md5(concat_ws(" ", array_sort(array_distinct(
-      split(col("text"), " ", -1)))))
     val f = Tables.documents(s, d)
-      .select(col("doc_id"), fp.as("fingerprint"), docBucket.as("bucket"))
+      .select(col("doc_id"), contentFingerprint.as("fingerprint"),
+        docBucket.as("bucket"))
     f.filter(col("bucket") >= 230) // test split (q37's banding)
       .join(f.filter(col("bucket") < 205).select(col("fingerprint")),
         Seq("fingerprint"), "left_semi")
@@ -405,11 +406,15 @@ object TextOps {
       |    AS rep_ratio,
       |  (CAST(n_tri - n_uniq AS DOUBLE) / n_tri) <= 0.2 AS keep
       |FROM g""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => repetitionScores(Tables.documents(s, d)) }
+
+  /** q47's body over any (doc_id, text) frame — shared with the spec
+    * so synthetic extremes exercise the REAL operator expressions. */
+  def repetitionScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = split(col("text"), " ", -1)
     val tris = expr("transform(sequence(0, size(tk) - 3), " +
       "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")
-    val base = Tables.documents(s, d)
+    val base = docs
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), (size(col("tk")) - 2).as("n_tri"),

@@ -33,8 +33,14 @@ class CorpusOpsSpec extends SparkSpec {
     val expected = docs
       .agg(sum(size(split(col("text"), " ", -1)).cast("long"))).head().getLong(0)
     assert(tokTotal == expected)
-    // bin ids per (split, shard) run 0..max with no gaps: a gap would
-    // mean the cumulative-offset cut skipped a budget window
+    // contiguous bins is only an invariant while no doc exceeds the
+    // 8192-token budget (an oversized doc legitimately jumps a whole
+    // window) — assert the precondition so fixture growth that breaks
+    // it fails HERE, not mysteriously below
+    val maxDoc = docs
+      .agg(max(size(split(col("text"), " ", -1)))).head().getInt(0)
+    assert(maxDoc <= 8192, s"fixture now has a doc of $maxDoc tokens; " +
+      "replace the contiguity assertion with monotonicity")
     val gaps = packed.groupBy("split", "shard")
       .agg(countDistinct("bin").as("n"), max("bin").as("mx"))
       .filter(col("n") =!= col("mx") + 1)
@@ -42,16 +48,15 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("decontamination flags only test-split docs whose print is in train") {
+    // same shared definitions the operators use — not a re-derivation
     val flagged = TextOps.q45Decontaminate.fn(spark, dir)
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
-      16, 10).cast("int")
     val withBucket = flagged.join(
-      docs.select(col("doc_id"), bucket.as("bucket")), Seq("doc_id"))
+      docs.select(col("doc_id"), TextOps.docBucket.as("bucket")), Seq("doc_id"))
     assert(withBucket.filter(col("bucket") < 230).count() == 0)
     // every flagged fingerprint exists on some train doc
-    val fp = md5(concat_ws(" ", array_sort(array_distinct(
-      split(col("text"), " ", -1)))))
-    val trainFps = docs.select(fp.as("fingerprint"), bucket.as("bucket"))
+    val trainFps = docs
+      .select(TextOps.contentFingerprint.as("fingerprint"),
+        TextOps.docBucket.as("bucket"))
       .filter(col("bucket") < 205).select("fingerprint")
     assert(flagged.join(trainFps, Seq("fingerprint"), "left_anti").count() == 0)
   }
@@ -60,28 +65,15 @@ class CorpusOpsSpec extends SparkSpec {
     import spark.implicits._
     val q = TextOps.q47Repetition.fn(spark, dir)
     assert(q.filter(col("rep_ratio") < 0 || col("rep_ratio") > 1).count() == 0)
-    // synthetic extremes through the same operator body
+    // synthetic extremes through the REAL operator body
     val extreme = Seq(
       (1L, Seq.fill(50)("spam").mkString(" ")), // one repeated token
       (2L, (1 to 50).map(i => s"w$i").mkString(" "))) // all-distinct
       .toDF("doc_id", "text")
-    val byId = TextOps.q47Repetition.fn(spark, dir) // shape only
-    val r = {
-      // run the operator over the synthetic frame via a temp view swap:
-      // simplest is to inline the same expressions the operator uses
-      val toks = split(col("text"), " ", -1)
-      val tris = expr("transform(sequence(0, size(tk) - 3), " +
-        "i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")
-      extreme.select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), (size(col("tk")) - 2).as("n_tri"),
-          size(array_distinct(tris)).as("n_uniq"))
-        .select(col("doc_id"),
-          ((col("n_tri") - col("n_uniq")).cast("double") / col("n_tri"))
-            .as("ratio"))
-        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    }
-    assert(r(1L) > 0.9) // "spam spam spam ..." is ~all duplicate trigrams
-    assert(r(2L) == 0.0) // fully varied text has none
-    assert(byId.columns.contains("keep"))
+    val r = TextOps.repetitionScores(extreme)
+      .select("doc_id", "rep_ratio", "keep").collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    assert(r(1L)._1 > 0.9 && !r(1L)._2) // ~all duplicate trigrams → dropped
+    assert(r(2L)._1 == 0.0 && r(2L)._2) // fully varied → kept
   }
 }
