@@ -12,8 +12,9 @@ object ExplainAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg_rollup", "q2_filter_project", "q3_join_broadcast_left",
-        "q4_join_multi", "q5_window_rolling", "q7_topk", "q41_ngram_jaccard",
-        "q50_ann_brute")
+        "q4_join_multi", "q5_window_rolling", "q7_topk", "q25_rank",
+        "q38_curate_topk", "q39_vocab_topk", "q41_ngram_jaccard",
+        "q44_embed_neardup", "q46_doc_pack", "q50_ann_brute")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
