@@ -287,6 +287,41 @@ object Relational2 {
         col("signup_value"), col("signup_ts_us"))
   }
 
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus)
+    * in one pass — Spark plans an Expand the same way ROLLUP (q2c)
+    * does, with partial aggregation below the single shuffle. */
+  val q2hCube: QueryDef = QueryDef.withOracle(
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(l_quantity) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+  }
+
+  /** Rank-statistics window family: percent_rank, cume_dist, ntile —
+    * all exact integer-ratio math (identical doubles cross-engine) on
+    * a (totalprice, orderkey)-tiebroken total order per month. */
+  val q2iRankStats: QueryDef = QueryDef.withOracle(
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderkey,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  ntile(4) OVER w AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY strftime(o_orderdate, '%Y-%m')
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
+  ) { (s, d) =>
+    val month = date_format(col("o_orderdate"), "yyyy-MM")
+    val w = Window.partitionBy(month)
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      month.as("month"), col("o_orderkey"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2b_sessionize" -> q2bSessionize,
     "q2c_rollup" -> q2cRollup,
@@ -300,6 +335,8 @@ object Relational2 {
     "q27_except" -> q27Except,
     "q28_regexp" -> q28Regexp,
     "q29_having" -> q29Having,
-    "q2a_approx_distinct" -> q2aApproxDistinct
+    "q2a_approx_distinct" -> q2aApproxDistinct,
+    "q2h_cube" -> q2hCube,
+    "q2i_rank_stats" -> q2iRankStats
   )
 }
