@@ -291,13 +291,18 @@ object Relational2 {
     * in one pass — Spark plans an Expand the same way ROLLUP (q2c)
     * does, with partial aggregation below the single shuffle. */
   val q2hCube: QueryDef = QueryDef.withOracle(
+    // cents-exact sum (q21/q2c convention): the grand-total row is a
+    // multi-partition double sum whose merge order is nondeterministic
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  sum(l_quantity) AS qty
+      |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   ) { (s, d) =>
     Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).cast("double")
+          / 100.0).as("qty"))
   }
 
   /** Rank-statistics window family: percent_rank, cume_dist, ntile —

@@ -336,6 +336,12 @@ object TextOps {
       .select("doc_id", "fingerprint")
   }
 
+  /** Token budget per packed pretraining sequence (q46). A power of
+    * two: the cumulative-offset division is then exact in binary, so
+    * floor-binning is engine-agnostic. Shared with CorpusOpsSpec's
+    * contiguity precondition. */
+  val PackBudget: Int = 8192
+
   /** Document packing: stream each (split, shard)'s documents in
     * doc_id order and cut fixed token-budget bins by cumulative
     * offset — how pretraining sequences are packed from a corpus.
@@ -345,7 +351,7 @@ object TextOps {
     * scales with the corpus; 8 here), and the cumulative sum is exact
     * integer arithmetic so the binning is engine-agnostic. */
   val q46DocPack: QueryDef = QueryDef.withOracle(
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT doc_id,
       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bucket,
       |    len(string_split(text, ' ')) AS n_tok
@@ -359,7 +365,7 @@ object TextOps {
       |packed AS (
       |  SELECT split, shard, n_tok,
       |    CAST(floor((sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id)
-      |          - n_tok) / 8192) AS BIGINT) AS bin
+      |          - n_tok) / $PackBudget) AS BIGINT) AS bin
       |  FROM s)
       |SELECT split, CAST(shard AS BIGINT) AS shard, bin,
       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
@@ -378,7 +384,7 @@ object TextOps {
       // 8192 = 2^13: the double division is exact, so floor is
       // engine-agnostic (DuckDB's double→BIGINT cast would round)
       .withColumn("bin",
-        floor((sum(col("n_tok")).over(w) - col("n_tok")) / 8192))
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / PackBudget))
       .groupBy(col("split"), col("shard").cast("long").as("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("bin_tokens"))

@@ -1,8 +1,6 @@
 package graft.functions
 
 import graft.SparkSpec
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions._
 
 /** Randomized brute-force cross-check for the as-of join: the
   * union+window composition must agree with a naive per-left-row scan
@@ -30,9 +28,12 @@ class AsOfJoinSpec extends SparkSpec {
       val lDf = left.toDF("k", "t", "lid")
       val rDf = right.toDF("k", "t", "v", "w")
 
-      val got = AsOfJoin.asof(lDf, rDf, Seq("k"), "t", "t",
+      val collected = AsOfJoin.asof(lDf, rDf, Seq("k"), "t", "t",
         Seq("v" -> "av", "w" -> "aw"))
         .select("lid", "av", "aw").collect()
+      // exactly one output row per left row — a tie must never fan out
+      assert(collected.length == left.size, s"trial $trial row count")
+      val got = collected
         .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
 
       // brute force: latest right row with ts <= left ts per key;

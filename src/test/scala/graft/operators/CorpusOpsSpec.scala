@@ -39,8 +39,9 @@ class CorpusOpsSpec extends SparkSpec {
     // it fails HERE, not mysteriously below
     val maxDoc = docs
       .agg(max(size(split(col("text"), " ", -1)))).head().getInt(0)
-    assert(maxDoc <= 8192, s"fixture now has a doc of $maxDoc tokens; " +
-      "replace the contiguity assertion with monotonicity")
+    assert(maxDoc <= TextOps.PackBudget,
+      s"fixture now has a doc of $maxDoc tokens (> PackBudget); " +
+        "replace the contiguity assertion with monotonicity")
     val gaps = packed.groupBy("split", "shard")
       .agg(countDistinct("bin").as("n"), max("bin").as("mx"))
       .filter(col("n") =!= col("mx") + 1)
