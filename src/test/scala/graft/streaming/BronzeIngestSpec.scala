@@ -65,4 +65,22 @@ class BronzeIngestSpec extends SparkSpec {
     assert(validated.schema.fieldNames.toSet
       .contains("energy_consumption_wh"))
   }
+
+  test("parseAndValidate consumes the exact Kafka wire schema") {
+    // a real kafka source emits BINARY key/value plus topic/partition/
+    // offset/timestamp/timestampType — the transform must cast and
+    // parse that shape, not just a convenience string column
+    import spark.implicits._
+    val wire = toJsonRows.zipWithIndex.map { case (json, i) =>
+      ("device_001".getBytes("UTF-8"), json.getBytes("UTF-8"),
+        "smart_home.telemetry", 0, i.toLong,
+        new java.sql.Timestamp(1735689600000L + i), 0)
+    }.toDF("key", "value", "topic", "partition", "offset",
+      "timestamp", "timestampType")
+    // kafka's `timestamp` column must not collide with the payload's
+    // parsed `timestamp` field: from_json projects only the message
+    val validated = BronzeIngest.parseAndValidate(wire)
+    assert(validated.count() == 157)
+    assert(validated.filter(col("date").isNull).count() == 0)
+  }
 }
