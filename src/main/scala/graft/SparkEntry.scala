@@ -20,6 +20,8 @@ object SparkEntry {
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
+      operators.RankingOps.all ++
+      operators.ClusteringOps.all ++
       operators.SmartHomeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

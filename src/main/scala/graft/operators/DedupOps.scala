@@ -190,7 +190,12 @@ object DedupOps {
       |WHERE CAST(list_sum(list_transform(range(1, 17),
       |  i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
       |  >= 0.25""".stripMargin
-  ) { (s, d) =>
+  ) { (s, d) => minhashPairs(s, d) }
+
+  /** q42's body over the corpus: MinHash-LSH candidate pairs with
+    * signature-estimated Jaccard ≥ 0.25 — shared with q49's cluster
+    * canonicalization so both stages see the identical edge set. */
+  def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val sigs = minhashSigFrame(s, d).cache()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
@@ -207,6 +212,47 @@ object DedupOps {
           .as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= 0.25)
+  }
+
+  /** Near-dup pair → CLUSTER canonicalization (graft.functions.
+    * DedupCluster): connected components over the q42 MinHash edge
+    * set via iterative min-label propagation, every document labeled
+    * with the minimum doc_id of its component (singletons keep
+    * themselves). The oracle independently recomputes the components
+    * in DuckDB with a recursive transitive-closure CTE over the same
+    * signature fixture — near-dup components are tiny, so closure is
+    * cheap; the engine's label propagation is the shape that scales
+    * (per-round shuffles proportional to |edges|, not closure size). */
+  val q49DedupClusters: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE sg AS (
+      |  SELECT doc_id, sig FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/minhash_sigs.parquet/*.parquet')),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band, sig[b*4+1:b*4+4] AS band_sig
+      |  FROM sg, LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |    >= 0.25),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r AS r
+      |  FROM edges e JOIN reach ON reach.doc_id = e.b)
+      |SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id""".stripMargin
+  ) { (s, d) =>
+    graft.functions.DedupCluster.canonicalize(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
   }
 
   /** SimHash near-dup: 64-bit signature from token hashes (weighted
@@ -310,6 +356,7 @@ object DedupOps {
     "q41_ngram_jaccard" -> q41NgramJaccard,
     "q42_minhash_lsh" -> q42MinHashLsh,
     "q43_simhash" -> q43SimHash,
-    "q44_embed_neardup" -> q44EmbedNearDup
+    "q44_embed_neardup" -> q44EmbedNearDup,
+    "q49_dedup_clusters" -> q49DedupClusters
   )
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-weighting / retrieval-scoring operators over the `documents`
+  * table: TF-IDF term extraction and BM25 document ranking — the
+  * relevance primitives a corpus-curation pipeline uses for keyword
+  * extraction, boilerplate detection, and query-based subsetting.
+  *
+  * Scale shape: both operators are explode → (doc, term) aggregate →
+  * join against the (small relative to the corpus) per-term document
+  * frequency table. The explode shuffle keys on (doc_id, term) with
+  * map-side combine (a document's repeated terms collapse before the
+  * exchange); nothing is collected to the driver.
+  *
+  * Cross-engine determinism: ranking keys avoid transcendental
+  * functions — TF-IDF ranks on the pure-rational (tf/len)/df (IEEE
+  * division only, bit-identical in any engine) and BM25 on an exact
+  * integer fixed-point score sum — while the displayed scores carry
+  * the classic ln() forms, floor-rounded where 1-ulp libm differences
+  * can never flip a digit.
+  */
+object RankingOps {
+
+  /** TF-IDF top-3 terms per document. The RANKING key is the rational
+    * variant score (tf/n_tok)/df — monotone in term frequency and
+    * rarity, and exactly reproducible (integer-derived IEEE divisions,
+    * term-name tiebreak). The classic (tf/n_tok)·ln(N/df) value is
+    * emitted alongside at 4 dp for display. */
+  val q54Tfidf: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    (CAST(tf.tf AS DOUBLE) / dl.n_tok) / df.df AS r_score,
+      |    (CAST(tf.tf AS DOUBLE) / dl.n_tok) * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+      |      AS tfidf_raw
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, rank, term, tf, df,
+      |  floor(tfidf_raw * 10000 + 0.5) / 10000 AS tfidf
+      |FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY r_score DESC, term) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).as("n_tok"))
+    // tf is distinct per (doc, term), so df = row count per term; at
+    // corpus scale the vocabulary is orders of magnitude smaller than
+    // the postings, and AQE picks broadcast when it fits
+    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dl, Seq("doc_id"))
+      .join(dfF, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("r_score",
+        (col("tf").cast("double") / col("n_tok")) / col("df"))
+      .withColumn("tfidf_raw",
+        (col("tf").cast("double") / col("n_tok")) *
+          log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("r_score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        (floor(col("tfidf_raw") * 10000 + 0.5) / 10000).as("tfidf"))
+  }
+
+  /** BM25 fixed-point quantum: term scores are floored to 1e-5 units
+    * and summed as exact integers, so the per-document total is
+    * independent of partial-aggregation merge order AND engine. */
+  private val ScoreQuantum = 100000.0
+
+  /** BM25 (k1=1.2, b=0.75) top-20 documents for the query
+    * {spark, window, join}. Per-(doc, query-term) scores use the
+    * Robertson idf ln((N−df+0.5)/(df+0.5)+1); each term score is
+    * quantized to integer 1e-5 units BEFORE the per-document sum, so
+    * the ranking key is an exact integer (order-free across
+    * partitionings) and the tie-break is doc_id. */
+  val q55Bm25: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM t
+      |  WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |g AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM documents),
+      |ts AS (
+      |  SELECT tf.doc_id,
+      |    ln(((CAST(g.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5::DOUBLE)
+      |       / (CAST(df.df AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2::DOUBLE)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2::DOUBLE *
+      |         (0.25::DOUBLE + 0.75::DOUBLE * (CAST(dl.n_tok AS DOUBLE) / g.avgdl)))
+      |      AS term_score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_match,
+      |    CAST(sum(CAST(floor(term_score * 100000.0::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT)) AS BIGINT) AS s_fp
+      |  FROM ts GROUP BY doc_id)
+      |SELECT doc_id, n_match, CAST(s_fp AS DOUBLE) / 100000.0::DOUBLE AS score
+      |FROM agg ORDER BY s_fp DESC, doc_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val queryTerms = Seq("spark", "window", "join")
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("term"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df counts DOCUMENTS containing the term (per-doc-distinct rows)
+    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).as("n_tok"))
+    val g = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(split(col("text"), " ", -1)).cast("long")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    // arithmetic mirrored operation-for-operation with the oracle SQL:
+    // idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)), k1=1.2 b=0.75
+    val termScore =
+      log(((col("n_docs").cast("double") - col("df").cast("double")) + 0.5)
+        / (col("df").cast("double") + 0.5) + 1.0) *
+        (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("n_tok").cast("double") / col("avgdl"))))
+    val agg = tf
+      .join(broadcast(dfF), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("term_score", termScore)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(floor(col("term_score") * ScoreQuantum + 0.5).cast("long"))
+          .as("s_fp"))
+    agg
+      .orderBy(col("s_fp").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_match"),
+        (col("s_fp").cast("double") / ScoreQuantum).as("score"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q54_tfidf" -> q54Tfidf,
+    "q55_bm25" -> q55Bm25
+  )
+}

@@ -327,6 +327,43 @@ object Relational2 {
       ntile(4).over(w).as("quartile"))
   }
 
+  /** Interval (range) join: click → purchase conversions within a
+    * 30-minute window per user. Spark plans a bare range predicate as
+    * a nested-loop/cartesian per key, so the engine buckets time by
+    * the window width Δ and equi-joins on (user, bucket) with the
+    * probe side exploded to its two admissible buckets: any b with
+    * a < b ≤ a+Δ has bucket(b) ∈ {bucket(a), bucket(a)+1}, so every
+    * qualifying pair is produced by EXACTLY one bucket (no dedup
+    * pass) and the whole join is one hash shuffle keyed by
+    * (user, bucket). The exact range filter then prunes the ≤2×
+    * candidate inflation map-side. */
+  val q2jIntervalJoin: QueryDef = QueryDef.withOracle(
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(epoch_us(ts) AS BIGINT) AS a_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, CAST(epoch_us(ts) AS BIGINT) AS b_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, b_us - a_us AS gap_us
+      |FROM c JOIN p USING (user_id)
+      |WHERE b_us > a_us AND b_us <= a_us + 1800000000""".stripMargin
+  ) { (s, d) =>
+    val du = 1800000000L // 30 min in µs = the bucket width
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("a_us"))
+      .withColumn("bucket",
+        explode(array(expr(s"a_us div $du"), expr(s"a_us div $du + 1"))))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("b_us"), expr(s"b_us div $du").as("bucket"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + du)
+      .select(col("click_id"), col("purchase_id"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2b_sessionize" -> q2bSessionize,
     "q2c_rollup" -> q2cRollup,
@@ -342,6 +379,7 @@ object Relational2 {
     "q29_having" -> q29Having,
     "q2a_approx_distinct" -> q2aApproxDistinct,
     "q2h_cube" -> q2hCube,
-    "q2i_rank_stats" -> q2iRankStats
+    "q2i_rank_stats" -> q2iRankStats,
+    "q2j_interval_join" -> q2jIntervalJoin
   )
 }

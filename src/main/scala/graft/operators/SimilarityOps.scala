@@ -184,24 +184,36 @@ object SimilarityOps {
     val c = corpus(s, d)
     val cents = c.filter(col("vec_id") % 31 === 1)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    def nearestCentroids(df: DataFrame, idCol: String, embCol: String,
-        keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
+    // Nearest-centroid assignment as a PARTIAL AGGREGATION, not a
+    // window: the broadcast nested-loop join emits the k candidate
+    // rows of each vector consecutively within its input partition, so
+    // the map-side combine collapses them to one row per vector before
+    // the exchange — the shuffle carries n narrow rows instead of n·k
+    // rows with the embedding riding each. Tiebreak matches the
+    // ORDER BY cent_sim DESC, cent_id oracle: max of (sim, -cent_id).
+    val assigned = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        VectorExpressions.cosine(col("embedding"), col("cent_emb"))
+          .as("cent_sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("embedding")),
+        struct(col("cent_sim"), (-col("cent_id")).as("ng"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.embedding").as("embedding"))
+    // queries probe their 2 nearest lists — the query set is tiny
+    // (2% of vectors), so a window top-k over its candidates is cheap
+    val probes = {
+      val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cent_sim").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
+      c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(cents))
         .withColumn("cent_sim",
-          VectorExpressions.cosine(col(embCol), col("cent_emb")))
+          VectorExpressions.cosine(col("q_emb"), col("cent_emb")))
         .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= keep)
+        .filter(col("cent_rank") <= 2)
         .drop("cent_emb", "cent_sim", "cent_rank")
     }
-    // inverted lists: every vector → its nearest centroid
-    val assigned = nearestCentroids(c, "vec_id", "embedding", keep = 1)
-    // queries probe their 2 nearest lists
-    val probes = nearestCentroids(
-      c.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      "q_id", "q_emb", keep = 2)
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),

@@ -62,4 +62,28 @@ class AsOfJoinSpec extends SparkSpec {
       }
     }
   }
+
+  test("asof rejects inputs that would corrupt the tagged union") {
+    import spark.implicits._
+    val l = Seq((1L, new java.sql.Timestamp(1000L), "x")).toDF("k", "t", "a")
+    val r = Seq((1L, new java.sql.Timestamp(500L), 1.0)).toDF("k", "t", "v")
+
+    // payload dst colliding with a left column
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v" -> "a"))
+    }
+    // duplicate payload dst names
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k"), "t", "t", Seq("v" -> "p", "v" -> "p"))
+    }
+    // reserved __ prefix on either input side
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l.withColumnRenamed("a", "__a"), r, Seq("k"), "t", "t",
+        Seq("v" -> "p"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r.withColumnRenamed("v", "__v"), Seq("k"), "t", "t",
+        Seq("__v" -> "p"))
+    }
+  }
 }
