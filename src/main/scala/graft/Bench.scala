@@ -23,7 +23,9 @@ object Bench {
       // files are many and the default is right).
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a stray shutdown warning printed after the JSON
+    // line would push it out of the driver's stdout tail window.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup (untimed): parquet footers + session/codegen init via a
     // tiny query per table, so the first timed query doesn't carry
@@ -57,10 +59,30 @@ object Bench {
       }
       name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver keeps only the last ~2000 chars of stdout and parses
+    // the JSON line out of that tail (round-2 lesson: 9-decimal doubles
+    // across 65+ queries pushed the line past the window and the driver
+    // recorded parsed:null). Centisecond precision plus a hard char
+    // budget on the per-query map keeps the line parseable no matter
+    // how many queries the registry grows to: slowest-first, entries
+    // are kept until the budget is spent, the rest only counted.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else f"$v%.2f"
+    val entries = results.toSeq
+      .sortBy { case (_, v) => -v } // slowest (and any -1 last) first
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val MapBudget = 1550 // chars; leaves ~350 for wrapper + sbt trailer
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= MapBudget) { kept += e; used += e.length + 1 }
+    }
+    val omitted = entries.size - kept.size
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    val sfName = sfDir.split('/').last
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"min"}"""
+    println(line)
     spark.stop()
   }
 }
