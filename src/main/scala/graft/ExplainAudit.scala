@@ -14,7 +14,8 @@ object ExplainAudit {
       else Seq("q1_agg_rollup", "q2_filter_project", "q3_join_broadcast_left",
         "q4_join_multi", "q5_window_rolling", "q7_topk", "q25_rank",
         "q38_curate_topk", "q39_vocab_topk", "q41_ngram_jaccard",
-        "q44_embed_neardup", "q46_doc_pack", "q50_ann_brute")
+        "q44_embed_neardup", "q46_doc_pack", "q50_ann_brute",
+        "q57_winnow", "q58_bloom_decontam", "q67_bigram_novelty")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -21,6 +21,7 @@ object SparkEntry {
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++
       operators.RankingOps.all ++
+      operators.CurationOps.all ++
       operators.ClusteringOps.all ++
       operators.SmartHomeOps.all
 

@@ -43,6 +43,8 @@ object Verify {
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/simhash_sigs.parquet")
     operators.TextOps.rollingFpFrame(spark, sfDir)
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/rolling_fps.parquet")
+    operators.CurationOps.winnowKgramsFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/winnow_kgrams.parquet")
     multimodal.Multimodal.decode(
       multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir)))
       .select("media_id", "kind", "width", "height", "duration_ms")

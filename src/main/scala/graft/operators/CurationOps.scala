@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond TextOps' per-doc statistics: the
+  * cross-document / cross-split machinery a pretraining pipeline runs
+  * between raw text and packed sequences — winnowing fingerprints,
+  * bloom-prefiltered decontamination, mixture weighting, n-gram
+  * novelty, and PII scrubbing.
+  *
+  * Scale design notes per operator are on each member; the shared
+  * principles: n-grams travel as xxhash64 longs (narrow shuffles),
+  * per-doc gram sets dedup map-side (`array_distinct` before
+  * `explode`), and cross-split membership tests pre-filter the big
+  * side with a bloom sketch before any exchange.
+  */
+object CurationOps {
+
+  /** Winnow parameters (MOSS-style): k-gram width in tokens, window
+    * width in consecutive k-gram hashes. One fingerprint per window =
+    * the window's minimum hash; guarantee: any shared token run of
+    * length ≥ W + K − 1 yields at least one shared fingerprint. */
+  val WinnowK = 4
+  val WinnowW = 5
+
+  /** Per-doc k-gram hash sequences (doc_id, h: array<long>) — the
+    * engine-specific piece of q57 (xxhash64), dumped by Verify so the
+    * DuckDB oracle re-derives windows/minima/dedup independently.
+    * Map-only: token split, k-gram assembly, and hashing all happen
+    * inside the scan stage, no shuffle. */
+  def winnowKgramsFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= WinnowK)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(toks) - $WinnowK),
+           |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
+          .stripMargin).as("h"))
+
+  /** Winnowing document fingerprints: per doc, the distinct minima of
+    * all W-wide windows over the k-gram hash sequence (docs with fewer
+    * than W k-grams collapse to one whole-doc window — standard
+    * winnowing edge case). Output: fingerprint-set size and the
+    * smallest fingerprint, both re-derivable by the oracle from the
+    * dumped k-gram fixture. The whole computation after the fixture
+    * frame is per-row array math — map-only, no shuffle at any scale. */
+  val q57Winnow: QueryDef = QueryDef.withOracle(
+    s"""WITH k AS (
+      |  SELECT doc_id, h FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/winnow_kgrams.parquet/*.parquet')),
+      |fp AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, greatest(len(h) - $WinnowW, 0) + 1),
+      |      i -> list_min(h[i+1:i+$WinnowW]))) AS fps
+      |  FROM k)
+      |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min FROM fp""".stripMargin
+  ) { (s, d) =>
+    winnowKgramsFrame(s, d)
+      .select(col("doc_id"), array_distinct(expr(
+        s"""transform(sequence(0, greatest(size(h) - $WinnowW, 0)),
+           |  i -> array_min(slice(h, i + 1, $WinnowW)))""".stripMargin))
+        .as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"))
+  }
+
+  /** Distinct 5-gram strings per doc with the doc's split bucket:
+    * (doc_id, bucket, g). Per-doc dedup is map-side (array_distinct
+    * before explode) — no global DISTINCT exchange. */
+  private def fiveGrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"),
+        TextOps.docBucket.as("bucket"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("bucket"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(toks) - 5),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""
+            .stripMargin))).as("g"))
+
+  /** Sizing hint for the decontamination bloom filter. Generous (the
+    * test corpus has ~25k distinct 5-grams at sf0.1); at real scale
+    * this is |benchmark n-grams|, which is what the parameter means. */
+  val DecontamBloomItems: Long = 200000L
+
+  /** Benchmark decontamination with a bloom pre-filter: flag every
+    * TRAIN-split document that shares a 5-gram with the TEST split
+    * (the benchmark side), with the count of shared distinct 5-grams.
+    *
+    * Dataflow: the benchmark 5-gram set (small side) folds into ONE
+    * serialized bloom sketch via Spark's own BloomFilterAggregate; the
+    * train side then drops every non-candidate 5-gram inside its scan
+    * stage (codegen'd might_contain on the xxhash64 key — no
+    * exchange), and only the surviving sliver pays the exact semi-join
+    * that removes bloom false positives. Results are therefore EXACT;
+    * the oracle is the plain 5-gram intersection in SQL. At 100 TB the
+    * win is that the corpus-side shuffle carries candidate grams only
+    * (typically ≪ 1% of the corpus) instead of every gram. */
+  val q58BloomDecontam: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bucket
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g,
+      |    bucket
+      |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) s),
+      |train AS (SELECT doc_id, g FROM g WHERE bucket < 205),
+      |test AS (SELECT DISTINCT g FROM g WHERE bucket >= 230)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM train JOIN test USING (g) GROUP BY doc_id""".stripMargin
+  ) { (s, d) =>
+    val grams = fiveGrams(s, d)
+    val train = grams.filter(col("bucket") < 205).select("doc_id", "g")
+    val bench = grams.filter(col("bucket") >= 230).select("g").distinct()
+    val bloom = graft.functions.BloomFilterOps.build(
+      bench, xxhash64(col("g")), DecontamBloomItems)
+    train
+      .filter(graft.functions.BloomFilterOps.mightContain(
+        bloom, xxhash64(col("g"))))
+      .join(bench, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Token budget each source may contribute to the training mixture
+    * (the knob a data-mixing recipe turns per domain). */
+  val SourceTokenBudget: Long = 20000L
+
+  /** Data-mixing weights: per source, token totals and the sampling
+    * weight that caps the source's contribution at
+    * [[SourceTokenBudget]] tokens — weight = min(1, budget/tokens),
+    * planned = floor(tokens · weight). The rounding is the
+    * engine-agnostic floor(x·k + 0.5)/k contract (Spark round() and
+    * DuckDB round() disagree at decimal ties). One partial+final
+    * aggregate over the corpus scan; output is |sources| rows. */
+  val q59MixingWeights: QueryDef = QueryDef.withOracle(
+    s"""WITH t AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    floor(least(1.0::DOUBLE, ${SourceTokenBudget}.0::DOUBLE / n_tokens) * 1000000 + 0.5)
+      |      / 1000000 AS weight
+      |  FROM t)
+      |SELECT source, n_docs, n_tokens, weight,
+      |  CAST(floor(n_tokens * weight) AS BIGINT) AS planned_tokens
+      |FROM w""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ", -1))).cast("long").as("n_tokens"))
+      .withColumn("weight",
+        floor(least(lit(1.0), lit(SourceTokenBudget.toDouble) / col("n_tokens"))
+          * 1000000 + 0.5) / 1000000)
+      .withColumn("planned_tokens",
+        floor(col("n_tokens") * col("weight")).cast("long"))
+  }
+
+  /** Bigram novelty of the VALIDATION split against the TRAIN split:
+    * per val doc, how many of its distinct bigrams never occur in
+    * train — the cheap your-eval-set-is-not-memorized signal. Bigrams
+    * ride as xxhash64 longs (q41's narrow-shuffle rationale; collision
+    * odds are |bigrams|²/2⁶⁵, nil here and negligible at scale). One
+    * shuffled left join against the train-bigram set keyed by the
+    * hash, then a per-doc conditional aggregate. */
+  val q67BigramNovelty: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS bucket
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS bg, bucket
+      |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+      |train AS (SELECT DISTINCT bg FROM bg WHERE bucket < 205),
+      |val AS (SELECT doc_id, bg FROM bg WHERE bucket >= 205 AND bucket < 230),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CASE WHEN train.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+      |  FROM val LEFT JOIN train USING (bg) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, n_unseen,
+      |  floor(n_unseen * 1000000.0 / n_bigrams + 0.5) / 1000000 AS novelty
+      |FROM agg""".stripMargin
+  ) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"),
+        TextOps.docBucket.as("bucket"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("bucket"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))")))
+          .as("bg"))
+      .select(col("doc_id"), col("bucket"), xxhash64(col("bg")).as("k"))
+    val train = bg.filter(col("bucket") < 205)
+      .select(col("k")).distinct().withColumn("seen", lit(1))
+    bg.filter(col("bucket") >= 205 && col("bucket") < 230)
+      .select("doc_id", "k")
+      .join(train, Seq("k"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("seen").isNull, 1).otherwise(0)).as("n_unseen"))
+      .withColumn("novelty",
+        floor(col("n_unseen") * 1000000.0 / col("n_bigrams") + 0.5) / 1000000)
+  }
+
+  /** PII scrub patterns — deliberately RE2-safe (no backreferences or
+    * lookaround) so the Java-regex engine and the DuckDB oracle agree
+    * byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.)(\\d{1,3}\\.)(\\d{1,3}\\.)\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** PII redaction rollup: emails → `<EMAIL>`, IPv4 → `<IP>`, then
+    * phone numbers → `<PHONE>`, counted per source alongside the
+    * post-redaction character volume. Pure map-side regex work inside
+    * the scan + one rollup; the gate pins the full scrub pipeline
+    * (this corpus is PII-free, so the gate proves the no-op path —
+    * CurationOpsSpec drives the patterns on text that does contain
+    * PII). */
+  val q68PiiRedact: QueryDef = QueryDef.withOracle(
+    s"""WITH r AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '${EmailRe}')) AS n_email,
+      |    len(regexp_extract_all(text, '${Ipv4Re}')) AS n_ip,
+      |    len(regexp_extract_all(text, '${PhoneRe}')) AS n_phone,
+      |    length(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '${EmailRe}', '<EMAIL>', 'g'),
+      |      '${Ipv4Re}', '<IP>', 'g'),
+      |      '${PhoneRe}', '<PHONE>', 'g')) AS redacted_len
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+      |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+      |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+      |  CAST(sum(redacted_len) AS BIGINT) AS redacted_chars
+      |FROM r GROUP BY source""".stripMargin
+  ) { (s, d) => piiRedactionRollup(Tables.documents(s, d)) }
+
+  /** The q68 body over any (source, text) frame — shared with the
+    * spec, which feeds it text that actually contains PII. */
+  def piiRedactionRollup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phone"),
+        length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+          .as("redacted_len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_ip")).as("n_ips"),
+        sum(col("n_phone")).as("n_phones"),
+        sum(col("redacted_len")).as("redacted_chars"))
+
+  /** Redacted text itself (not just counts) — the spec's subject. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
+  val all: Map[String, QueryDef] = Map(
+    "q57_winnow" -> q57Winnow,
+    "q58_bloom_decontam" -> q58BloomDecontam,
+    "q59_mixing_weights" -> q59MixingWeights,
+    "q67_bigram_novelty" -> q67BigramNovelty,
+    "q68_pii_redact" -> q68PiiRedact
+  )
+}

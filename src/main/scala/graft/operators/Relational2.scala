@@ -173,6 +173,53 @@ object Relational2 {
           / 100.0).as("session_value"))
   }
 
+  /** Spark's NATIVE session windows (`session_window`) over the
+    * events stream, batch mode: per user, events closer than the
+    * 30-minute gap merge into one session whose window is
+    * [first.ts, last.ts + gap). Same sessionization semantics as
+    * q2b's manual gaps-and-islands composition but executed by the
+    * dedicated SessionWindow aggregate — the operator that carries
+    * over unchanged to Structured Streaming (watermark + append
+    * mode), which is why the engine exposes both shapes. Boundary
+    * semantics pinned by the oracle: a gap of EXACTLY 30 minutes
+    * starts a new session (windows are half-open).
+    *
+    * Scale shape: one shuffle keyed by user_id, sessions formed by an
+    * in-partition sort — same exchange profile as any per-key window.
+    * Cents-exact value sums (q2b's contract) keep the float
+    * aggregation order-free across engines. */
+  val q2kSessionWindow: QueryDef = QueryDef.withOracle(
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev IS NULL
+      |      OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END
+      |    AS new_s
+      |  FROM o),
+      |g AS (
+      |  SELECT *, sum(new_s) OVER
+      |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS session_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+          / 100.0).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+  }
+
   /** ROLLUP grouping sets: per (flag, status), per flag subtotals, and
     * the grand total in one pass (absent from the reference; standard
     * engine surface). Cents-exact sums keep subtotal rows
@@ -380,6 +427,7 @@ object Relational2 {
     "q2a_approx_distinct" -> q2aApproxDistinct,
     "q2h_cube" -> q2hCube,
     "q2i_rank_stats" -> q2iRankStats,
-    "q2j_interval_join" -> q2jIntervalJoin
+    "q2j_interval_join" -> q2jIntervalJoin,
+    "q2k_session_window" -> q2kSessionWindow
   )
 }

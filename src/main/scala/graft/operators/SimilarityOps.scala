@@ -226,10 +226,101 @@ object SimilarityOps {
       .select("q_id", "rank", "neighbor_id", "cosine")
   }
 
+  private val PqSubspaces = 4 // M subspaces ...
+  private val PqSubDim = 16 // ... of dim/M = 16 dims each
+
+  /** Product-quantization ANN (the memory-bandwidth scale path past
+    * IVF): vectors are chopped into M=4 subspaces; each subvector is
+    * encoded as the id of its nearest codeword (codebook = the
+    * deterministic vec_id % 127 sample, per subspace); a query scores
+    * a vector as the sum over subspaces of its precomputed distance
+    * to that vector's codeword (asymmetric distance computation).
+    *
+    * The 100 TB shape: the codebook and the per-query distance tables
+    * are tiny and BROADCAST; encoding is one broadcast pass over the
+    * corpus (n·M·K codegen'd subvector distances, no shuffle); ADC
+    * scoring joins the 4-small-ints-per-vector code table — not the
+    * vectors — against the distance tables, so the scoring stage
+    * moves ~n·M narrow rows where brute force moves n full vectors.
+    *
+    * Cross-engine determinism (ClusteringOps' fixed-point contract):
+    * all distances are computed on floor(x·2²⁰ + 0.5) BIGINT
+    * quantizations — integer sums are order-free, so encode argmins
+    * and ADC rankings are bit-identical in DuckDB with no rounding
+    * escape hatch. */
+  val q69PqAnn: QueryDef = QueryDef.withOracle(
+    """WITH c AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1048576.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, m, qe[m*16+1 : m*16+16] AS sub
+      |  FROM c, LATERAL (SELECT unnest([0,1,2,3]) AS m) g),
+      |cb AS (SELECT m, vec_id AS cw_id, sub AS cw FROM sub WHERE vec_id % 127 = 1),
+      |enc AS (
+      |  SELECT s.vec_id, s.m, cb.cw_id,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (s.sub[i] - cb.cw[i]) * (s.sub[i] - cb.cw[i]))) AS BIGINT) AS d
+      |  FROM sub s JOIN cb ON s.m = cb.m),
+      |codes AS (
+      |  SELECT vec_id, m, cw_id AS code FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id, m ORDER BY d, cw_id) AS rn FROM enc)
+      |  WHERE rn = 1),
+      |qdt AS (
+      |  SELECT vec_id AS q_id, m, cw_id AS code, d FROM enc
+      |  WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q_id, codes.vec_id AS neighbor_id,
+      |    CAST(sum(d) AS BIGINT) AS approx_d
+      |  FROM codes JOIN qdt ON codes.m = qdt.m AND codes.code = qdt.code
+      |  WHERE q_id <> codes.vec_id
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY approx_d, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id, approx_d FROM ranked WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    val c = corpus(s, d).select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D + 0.5D) as bigint))")
+      .as("qe"))
+    val sub = c.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqSubspaces - 1}), m -> slice(qe, m * $PqSubDim + 1, $PqSubDim))"))
+      .as(Seq("m", "sub")))
+    val codebook = sub.filter(col("vec_id") % 127 === 1)
+      .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw"))
+    // exact integer subvector L2 — order-free fold
+    val d2 = expr(
+      "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+    // shared by encoding (all vectors) and the query distance tables
+    val enc = sub.join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cw_id"), d2.as("d"))
+    // argmin codeword per (vector, subspace): lexicographic struct min
+    // collapses map-side (partial min_by), no row explosion survives
+    val codes = enc
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cw_id").as("code"))
+    val qdt = enc.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("cw_id").as("code"),
+        col("d"))
+    val scored = codes.join(broadcast(qdt), Seq("m", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("approx_d"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "neighbor_id", "approx_d")
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
     "q52_embed_stats" -> q52EmbedStats,
-    "q53_ann_ivf" -> q53AnnIvf
+    "q53_ann_ivf" -> q53AnnIvf,
+    "q69_pq_ann" -> q69PqAnn
   )
 }

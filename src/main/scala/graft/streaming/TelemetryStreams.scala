@@ -43,6 +43,27 @@ object TelemetryStreams {
         col("device_id"), col("device_type"), col("energy_wh"),
         col("power_avg"), col("temp_avg"), col("n_readings"), col("n_alerts"))
 
+  /** Session-window device activity (native `session_window`): events
+    * of one device closer than `gap` merge into an activity session
+    * [first.ts, last.ts + gap). Works identically over a bounded
+    * frame and a watermarked stream (append mode emits a session once
+    * the watermark passes its end) — SessionWindowSpec asserts that
+    * parity on a two-batch split; the batch gate analog over the
+    * events table is q2k_session_window. */
+  def deviceSessions(validated: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val ts = validated.withColumn("event_ts", try_to_timestamp(col("timestamp")))
+    val marked = watermark.fold(ts)(w => ts.withWatermark("event_ts", w))
+    marked
+      .groupBy(col("device_id"), session_window(col("event_ts"), gap))
+      .agg(count(lit(1)).as("n_readings"),
+        sum(col("energy_consumption_wh")).as("energy_wh"))
+      .select(col("device_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_readings"), col("energy_wh"))
+  }
+
   case class DeviceEvent(device_id: String, event_ts: Timestamp, alert: String)
   case class AlertStreakState(streak: Int, since: Option[Timestamp])
   case class AlertStreak(device_id: String, streak: Int,

@@ -79,4 +79,37 @@ class PlanSpec extends SparkSpec {
     val p = plan("q2_filter_project")
     assert(p.contains("[codegen id :"), p)
   }
+
+  test("q57: winnowing is map-only — no exchange anywhere in the plan") {
+    val p = plan("q57_winnow")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q58: bloom pre-filter drops corpus grams before any shuffle") {
+    // find the FilterExec carrying the might_contain predicate and
+    // assert nothing below it shuffles: the corpus side must shed
+    // non-candidate grams inside its scan stage, so the only corpus
+    // exchange (the final aggregate's) sees the candidate sliver only
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val wrapped = SparkEntry.queries("q58_bloom_decontam")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    // AQE's wrapper node has no children — collect() would see nothing
+    val root = wrapped match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bloomFilters = root.collect {
+      case f: FilterExec
+          if f.condition.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.nonEmpty, root.toString)
+    bloomFilters.foreach { f =>
+      val shufflesBelow = f.child.collect { case s: ShuffleExchangeLike => s }
+      assert(shufflesBelow.isEmpty,
+        s"bloom filter must be scan-side, found shuffle below it:\n$f")
+    }
+  }
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.BloomFilterOps
+import org.apache.spark.sql.functions._
+
+/** Invariants for the curation operators (q57-q59, q67, q68) that the
+  * DuckDB gate cannot see: the winnowing shared-run guarantee, bloom
+  * pre-filter exactness against the plain semi-join, mixing-weight
+  * budget arithmetic, novelty extremes, and PII patterns on text that
+  * actually contains PII (the gate corpus is PII-free, so the gate
+  * only pins the no-op path).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = sf("sf0.001")
+
+  test("q57 winnow: docs sharing a long token run share a fingerprint") {
+    // shared run of W + K - 1 = 8 tokens => at least one common window
+    // minimum (the winnowing guarantee)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"one two $shared nine ten"),
+      (2L, s"eleven twelve thirteen $shared fourteen"),
+      (3L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val fps = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(toks) - ${CurationOps.WinnowK}),
+           |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
+          .stripMargin).as("h"))
+      .select(col("doc_id"), array_distinct(expr(
+        s"""transform(sequence(0, greatest(size(h) - ${CurationOps.WinnowW}, 0)),
+           |  i -> array_min(slice(h, i + 1, ${CurationOps.WinnowW})))""".stripMargin))
+        .as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing an 8-token run must share a winnow fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty,
+      "no shared k-grams => no shared fingerprints")
+  }
+
+  test("q57 winnow: a doc with fewer than W k-grams gets one whole-doc window") {
+    // 6 tokens => 3 k-grams (< W = 5) => single window over everything
+    val short = Seq((1L, Array(
+      "aa bb cc dd ee ff".split(" "): _*))).toDF("doc_id", "toks")
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, size(toks) - ${CurationOps.WinnowK}),
+           |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
+          .stripMargin).as("h"))
+    val viaQuery = short.select(
+      array_distinct(expr(
+        s"""transform(sequence(0, greatest(size(h) - ${CurationOps.WinnowW}, 0)),
+           |  i -> array_min(slice(h, i + 1, ${CurationOps.WinnowW})))""".stripMargin))
+        .as("fps"),
+      array_min(col("h")).as("whole_min"),
+      size(col("h")).as("nh")).head()
+    assert(viaQuery.getAs[Int]("nh") == 3)
+    assert(viaQuery.getSeq[Long](0) == Seq(viaQuery.getLong(1)),
+      "short doc fingerprint set must be exactly [min of all k-gram hashes]")
+  }
+
+  test("q58 bloom pre-filter changes nothing vs the exact semi-join") {
+    val withBloom = CurationOps.q58BloomDecontam.fn(spark, sfDir)
+    // same dataflow minus the bloom stage
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"),
+        TextOps.docBucket.as("bucket"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("bucket"),
+        explode(array_distinct(expr(
+          """transform(sequence(0, size(toks) - 5),
+            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"""
+            .stripMargin))).as("g"))
+    val train = docs.filter(col("bucket") < 205).select("doc_id", "g")
+    val bench = docs.filter(col("bucket") >= 230).select("g").distinct()
+    val exact = train.join(bench, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    assert(withBloom.exceptAll(exact).isEmpty && exact.exceptAll(withBloom).isEmpty,
+      "bloom is a pre-filter only: final rows must equal the exact semi-join")
+  }
+
+  test("q58 bloom has no false negatives on the benchmark grams themselves") {
+    val grams = Seq("a b c d e", "f g h i j", "k l m n o").toDF("g")
+    val bloom = BloomFilterOps.build(grams, xxhash64(col("g")), 100L)
+    val kept = grams.filter(BloomFilterOps.mightContain(bloom, xxhash64(col("g"))))
+    assert(kept.count() == 3, "every inserted item must test positive")
+  }
+
+  test("q59 mixing weights respect the per-source token budget") {
+    val rows = CurationOps.q59MixingWeights.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tokens = r.getAs[Long]("n_tokens")
+      val weight = r.getAs[Double]("weight")
+      val planned = r.getAs[Long]("planned_tokens")
+      assert(weight > 0 && weight <= 1.0)
+      if (weight < 1.0)
+        // rounding the weight up at the 6th decimal can overshoot by
+        // at most tokens * 5e-7
+        assert(planned <= CurationOps.SourceTokenBudget + (tokens / 1000000) + 1,
+          s"planned=$planned exceeds budget for tokens=$tokens weight=$weight")
+      else assert(planned == tokens,
+        "unconstrained source contributes everything")
+    }
+  }
+
+  test("q67 novelty extremes: all-seen => 0, all-new => 1") {
+    // train vocabulary: bigrams of "p q r s t"; val doc 10 repeats a
+    // train run (novelty 0), val doc 11 is disjoint (novelty 1).
+    // Buckets are irrelevant here — drive the same join/agg shape
+    // directly on constructed frames.
+    val bg = (doc: String) => doc.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    val train = bg("p q r s t").distinct.toDF("bg")
+      .select(xxhash64(col("bg")).as("k")).distinct().withColumn("seen", lit(1))
+    val valBg = (bg("p q r s").map((10L, _)) ++
+      bg("x y z w v").map((11L, _))).toDF("doc_id", "bg")
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("bg")).as("k"))
+    val out = valBg.join(train, Seq("k"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("seen").isNull, 1).otherwise(0)).as("n_unseen"))
+      .withColumn("novelty",
+        floor(col("n_unseen") * 1000000.0 / col("n_bigrams") + 0.5) / 1000000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) == 0.0, s"train-covered doc must score 0, got ${out(10L)}")
+    assert(out(11L) == 1.0, s"disjoint doc must score 1, got ${out(11L)}")
+  }
+
+  test("q68 PII patterns redact emails, IPv4s, and phones exactly") {
+    val docs = Seq(
+      ("s1", "contact bob.smith+x@mail.example.org or alice@x.io today"),
+      ("s1", "server at 192.168.001.1 then call +1-555-1234"),
+      ("s2", "no pii here at all"),
+      ("s2", "ratio 3.14159 is not 1.2.3.4 an ip? yes that one is")
+    ).toDF("source", "text")
+    val redacted = docs.select(col("source"),
+      CurationOps.redact(col("text")).as("r")).collect()
+      .map(r => r.getString(1))
+    assert(redacted.contains("contact <EMAIL> or <EMAIL> today"))
+    assert(redacted.contains("server at <IP> then call <PHONE>"))
+    assert(redacted.contains("no pii here at all"))
+    assert(redacted.contains("ratio 3.14159 is not <IP> an ip? yes that one is"))
+    val rollup = CurationOps.piiRedactionRollup(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"),
+          r.getAs[Long]("n_phones"))).toMap
+    assert(rollup("s1") == ((2L, 1L, 1L)), s"s1 counts: ${rollup("s1")}")
+    assert(rollup("s2") == ((0L, 1L, 0L)), s"s2 counts: ${rollup("s2")}")
+  }
+}

@@ -55,6 +55,21 @@ class SimilarityDedupSpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN: dense ranks, non-negative non-decreasing ADC distances") {
+    val pq = SimilarityOps.q69PqAnn.fn(spark, sf("sf0.01")).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length),
+        "ranks must be dense from 1")
+      val ds = sorted.map(_.getAs[Long]("approx_d"))
+      assert(ds.forall(_ >= 0), "squared quantized distances are >= 0")
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "approx distance must be non-decreasing in rank")
+    }
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to n_docs") {
     val n = Tables.documents(spark, dir).count()
     val dedup = DedupOps.q40DedupExact.fn(spark, dir)
@@ -183,7 +198,8 @@ class SimilarityDedupSpec extends SparkSpec {
   test("query group maps have no name collisions") {
     val groups = Seq(
       Relational.all, Relational2.all, TextOps.all, DedupOps.all,
-      SimilarityOps.all, SmartHomeOps.all)
+      SimilarityOps.all, RankingOps.all, ClusteringOps.all,
+      CurationOps.all, SmartHomeOps.all)
     val total = groups.map(_.size).sum
     assert(graft.SparkEntry.queries.size == total,
       s"collision: merged ${graft.SparkEntry.queries.size} != sum $total")

@@ -43,6 +43,53 @@ class TelemetryStreamsSpec extends SparkSpec {
     assert(r.getAs[Double]("power_avg") > 0)
   }
 
+  test("session windows: streaming (watermarked, 2 batches) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2025-07-15T00:00:00Z")
+    def row(dev: String, s: Int, wh: Double) =
+      (dev, Timestamp.from(base.plusSeconds(s.toLong)).toString, wh)
+    // two devices, bursts separated by > 5 min gaps; burst 2 of d1 is
+    // SPLIT ACROSS THE BATCH BOUNDARY so the merge exercises session
+    // state carry-over; "wm" is a watermark sentinel only
+    val burst1 = Seq(row("d1", 0, 1.0), row("d1", 30, 2.0), row("d1", 60, 3.0),
+      row("d2", 10, 5.0), row("d2", 50, 5.0))
+    val burst2a = Seq(row("d1", 1200, 1.5), row("d1", 1230, 1.5))
+    val burst2b = Seq(row("d1", 1260, 1.5), row("d2", 1300, 4.0))
+    val sentinel = Seq(row("wm", 10800, 0.0))
+    val all = burst1 ++ burst2a ++ burst2b ++ sentinel
+
+    val source = MemoryStream[(String, String, Double)]
+    val stream = TelemetryStreams.deviceSessions(
+      source.toDF().toDF("device_id", "timestamp", "energy_consumption_wh"),
+      gap = "5 minutes", watermark = Some("1 minute"))
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    source.addData(burst1 ++ burst2a: _*)
+    q.processAllAvailable()
+    source.addData(burst2b ++ sentinel: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions")
+      .filter(col("device_id") =!= "wm")
+      .select("device_id", "session_start", "session_end", "n_readings",
+        "energy_wh")
+      .collect().map(_.toSeq).toSet
+    val batch = TelemetryStreams.deviceSessions(
+      all.toDF("device_id", "timestamp", "energy_consumption_wh"),
+      gap = "5 minutes")
+      .filter(col("device_id") =!= "wm")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming sessions != batch sessions:\n$streamed\nvs\n$batch")
+    // d1 = two sessions (burst1; burst2 spans the batch boundary and
+    // must still merge into ONE session of 3 readings)
+    val d1Sessions = batch.filter(_.head == "d1")
+    assert(d1Sessions.size == 2, d1Sessions)
+    assert(d1Sessions.forall(_(3) == 3L), d1Sessions)
+  }
+
   test("alert streak detector fires exactly at minStreak consecutive alerts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
