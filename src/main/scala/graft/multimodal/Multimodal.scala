@@ -91,12 +91,67 @@ object Multimodal {
     finally iis.close()
   }
 
-  /** Batch decode: the image path is REAL (javax.imageio); audio and
-    * video remain a deterministic fake — this is the single seam where
-    * a real build would call e.g. ffmpeg per batch; everything around
-    * it (batching, schema, null handling) is production plumbing. The
-    * fake is deterministic in the payload bytes so tests can assert
-    * exact outputs. */
+  /** Real audio decode for RIFF/WAVE PCM — a pure header+sample parse,
+    * no dependencies (the format is a public 44-byte header plus
+    * little-endian chunks). Output convention for the shared decoded
+    * schema: width = sample rate (Hz), height = channel count,
+    * duration from data-chunk size / byte rate, feature = 8-bin
+    * normalized histogram of 16-bit sample amplitudes. Returns None
+    * for anything that is not a well-formed PCM WAV — the caller falls
+    * back to the deterministic fake. */
+  private def decodeWav(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    def le32(o: Int): Long =
+      ((content(o) & 0xffL)) | ((content(o + 1) & 0xffL) << 8) |
+        ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int =
+      (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
+    def tag(o: Int): String = new String(content, o, 4, "US-ASCII")
+    if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      // chunk walk: find fmt (PCM only) and data
+      var off = 12
+      var fmtInfo: Option[(Int, Int, Long, Int)] = None // channels, rate, byteRate, bits
+      var data: Option[(Int, Int)] = None // offset, size
+      while (off + 8 <= content.length && (fmtInfo.isEmpty || data.isEmpty)) {
+        val id = tag(off)
+        val size = le32(off + 4).toInt
+        if (id == "fmt " && size >= 16 && off + 8 + 16 <= content.length) {
+          val audioFormat = le16(off + 8)
+          if (audioFormat == 1) // PCM only; compressed WAVs fall back
+            fmtInfo = Some((le16(off + 10), le32(off + 12).toInt,
+              le32(off + 16), le16(off + 22)))
+        } else if (id == "data" && size >= 0)
+          data = Some((off + 8, math.min(size, content.length - off - 8)))
+        // corrupt (negative) chunk size would walk backwards forever
+        if (size < 0) off = content.length
+        else off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      for ((channels, rate, byteRate, bits) <- fmtInfo; (dOff, dSize) <- data
+          if rate > 0 && byteRate > 0 && channels > 0) yield {
+        val durationMs = (dSize * 1000L / byteRate).toInt
+        val bins = new Array[Float](8)
+        var n = 0
+        if (bits == 16) {
+          var i = dOff
+          while (i + 1 < dOff + dSize) {
+            val s = (le16(i) << 16) >> 16 // sign-extend
+            bins(math.min(7, math.abs(s) / 4096)) += 1f
+            n += 1
+            i += 2
+          }
+        }
+        (rate, channels, durationMs,
+          if (n == 0) bins else bins.map(_ / n))
+      }
+    }
+  }
+
+  /** Batch decode: the image path is REAL (javax.imageio) and so is
+    * PCM-WAV audio (decodeWav); video remains a deterministic fake —
+    * the single seam where a real build would call e.g. ffmpeg per
+    * batch; everything around it (batching, schema, null handling) is
+    * production plumbing. The fake is deterministic in the payload
+    * bytes so tests can assert exact outputs. */
   private def decodeBatch(batch: Seq[Row]): Seq[Row] = batch.map { r =>
     val id = r.getLong(0)
     val kind = r.getString(1)
@@ -104,7 +159,10 @@ object Multimodal {
     val real =
       if (kind == "image") decodeImage(content).map {
         case (w, h, fmt, feature) => Row(id, kind, w, h, fmt, 0, feature)
-      } else None // ??? real audio/video codec here
+      } else if (kind == "audio") decodeWav(content).map {
+        case (rate, channels, durMs, feature) =>
+          Row(id, kind, rate, channels, "wav", durMs, feature)
+      } else None // ??? real video codec here
     real.getOrElse {
       // deterministic fake derived from the payload bytes
       val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)

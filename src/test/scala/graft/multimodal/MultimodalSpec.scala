@@ -49,6 +49,45 @@ class MultimodalSpec extends SparkSpec {
     assert(fake.getInt(2) >= 64 && fake.getString(4) == "png")
   }
 
+  test("real PCM WAV bytes decode to true rate, channels, duration, histogram") {
+    import spark.implicits._
+    // hand-assemble a 1-second 8 kHz mono 16-bit PCM WAV: 8000 samples,
+    // first half silence (bin 0), second half a loud constant (bin 7)
+    val rate = 8000
+    val nSamples = 8000
+    val byteRate = rate * 2 // mono, 16-bit
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(byteRate)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    for (i <- 0 until nSamples)
+      bb.putShort(if (i < nSamples / 2) 0 else 30000)
+    val wav = bb.array()
+
+    val media = Seq((1L, "audio", wav), (2L, "audio", "not audio".getBytes))
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.decode(media).orderBy("media_id").collect()
+
+    val real = rows(0)
+    assert(real.getInt(2) == rate, "width carries the sample rate")
+    assert(real.getInt(3) == 1, "height carries the channel count")
+    assert(real.getString(4) == "wav")
+    assert(real.getInt(5) == 1000, "1 s of data at the byte rate")
+    val hist = real.getSeq[Float](6)
+    assert(math.abs(hist.head - 0.5f) < 1e-6) // silent half
+    assert(math.abs(hist.last - 0.5f) < 1e-6) // loud half (30000/4096 ≥ 7)
+    assert(hist.slice(1, 7).forall(_ == 0f))
+
+    // non-WAV audio payloads fall back to the deterministic fake
+    val fake = rows(1)
+    assert(fake.getString(4) == "wav" && fake.getInt(5) >= 1000)
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)
