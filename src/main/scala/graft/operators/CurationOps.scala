@@ -207,6 +207,48 @@ object CurationOps {
         floor(col("n_unseen") * 1000000.0 / col("n_bigrams") + 0.5) / 1000000)
   }
 
+  /** Executes [[q59MixingWeights]]'s plan: deterministic per-doc
+    * sampling by content-hash threshold — doc kept iff
+    * md5(doc_id)[0:6] / 2²⁴ < its source's weight. No RNG state, so
+    * the sample is reproducible on any cluster at any partitioning
+    * (the property a 100 TB mixing run needs for resumable jobs), and
+    * the kept fraction converges to the weight per source. One
+    * broadcast join of the |sources|-row weight table onto the corpus
+    * scan; the threshold test is map-side. */
+  val q70MixtureSample: QueryDef = QueryDef.withOracle(
+    s"""WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |w AS (
+      |  SELECT source,
+      |    floor(least(1.0::DOUBLE,
+      |      ${SourceTokenBudget}.0::DOUBLE / CAST(sum(n_tok) AS BIGINT))
+      |      * 1000000 + 0.5) / 1000000 AS weight
+      |  FROM t GROUP BY source),
+      |kept AS (
+      |  SELECT t.source, t.n_tok, w.weight FROM t JOIN w USING (source)
+      |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::INT
+      |    / 16777216.0 < w.weight)
+      |SELECT source, weight, count(*) AS n_docs_kept,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
+      |FROM kept GROUP BY source, weight""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ", -1)).as("n_tok"))
+    val w = t.groupBy(col("source"))
+      .agg((floor(least(lit(1.0),
+        lit(SourceTokenBudget.toDouble) / sum(col("n_tok")).cast("long"))
+        * 1000000 + 0.5) / 1000000).as("weight"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long").cast("double") / 16777216.0
+    t.join(broadcast(w), Seq("source"))
+      .filter(u < col("weight"))
+      .groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).cast("long").as("n_tokens_kept"))
+  }
+
   /** PII scrub patterns — deliberately RE2-safe (no backreferences or
     * lookaround) so the Java-regex engine and the DuckDB oracle agree
     * byte-for-byte. */
@@ -268,6 +310,7 @@ object CurationOps {
     "q58_bloom_decontam" -> q58BloomDecontam,
     "q59_mixing_weights" -> q59MixingWeights,
     "q67_bigram_novelty" -> q67BigramNovelty,
-    "q68_pii_redact" -> q68PiiRedact
+    "q68_pii_redact" -> q68PiiRedact,
+    "q70_mixture_sample" -> q70MixtureSample
   )
 }

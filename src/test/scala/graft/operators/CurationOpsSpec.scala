@@ -107,6 +107,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q70 mixture sample: deterministic, and weight-1 sources keep everything") {
+    val a = CurationOps.q70MixtureSample.fn(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    val b = CurationOps.q70MixtureSample.fn(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(a == b, "hash-threshold sampling must be run-to-run identical")
+    val totals = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = CurationOps.q70MixtureSample.fn(spark, sfDir)
+      .filter(col("weight") === 1.0).collect()
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_docs_kept") == totals(r.getAs[String]("source")),
+        "an unconstrained source must keep every document")
+    }
+  }
+
   test("q67 novelty extremes: all-seen => 0, all-new => 1") {
     // train vocabulary: bigrams of "p q r s t"; val doc 10 repeats a
     // train run (novelty 0), val doc 11 is disjoint (novelty 1).
