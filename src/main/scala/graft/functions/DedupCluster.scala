@@ -7,18 +7,22 @@ import org.apache.spark.sql.functions._
   * generation) into duplicate CLUSTERS with a canonical survivor —
   * the step an actual dedup pipeline needs before dropping rows.
   *
-  * Connected components via iterative label propagation: every doc
-  * starts labeled with itself; each round joins labels across edges
-  * and keeps the minimum seen. The minimum label spreads ONE hop per
-  * round (linear, not pointer-jumping), so `maxIter` bounds the
-  * component diameter that is guaranteed to converge; near-dup
-  * clusters are almost always tiny and the loop exits early at
-  * fixpoint, but a non-converged run is reported loudly rather than
+  * Connected components via iterative min-label propagation, with
+  * pointer jumping engaged adaptively: shallow components (the normal
+  * near-dup case) converge in a few plain hop rounds with no extra
+  * work; anything still moving after `JumpAfter` rounds is deep, and
+  * later rounds also follow each label to its own label, collapsing a
+  * diameter-d chain in O(log d) total rounds. The loop exits early at
+  * fixpoint; a non-converged run is reported loudly rather than
   * returned silently. All driver-side logic is the loop counter; the
   * data path is pure shuffled joins/aggregations (scales with edges,
   * not with cluster count).
   */
 object DedupCluster {
+
+  /** Rounds of plain hop-propagation before pointer jumping kicks in
+    * (see the loop comment). */
+  private val JumpAfter = 3
 
   /** @param pairs edges as (doc_a, doc_b) columns
     * @param docs  all doc ids as column `doc_id` (singletons keep
@@ -48,14 +52,33 @@ object DedupCluster {
           .withColumnRenamed("canonical_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_label")).as("min_n_label"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+      val hopped = labels.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical_id"),
             coalesce(col("min_n_label"), col("canonical_id")))
             .as("canonical_id"))
         .cache()
+      // Pointer jump — but only once plain hopping has had JumpAfter
+      // rounds: near-dup components are almost always diameter ≤ 2-3,
+      // and for them the jump's extra self-join per round is pure
+      // overhead. A component still unconverged after JumpAfter rounds
+      // is deep, and from then on each round also follows every label
+      // to ITS label (labels are always doc ids, so the self-join
+      // matches every row), halving the remaining pointer depth —
+      // O(log d) rounds for a diameter-d chain instead of O(d).
+      val next =
+        if (i < JumpAfter) hopped
+        else hopped
+          .join(hopped.select(col("doc_id").as("canonical_id"),
+            col("canonical_id").as("jumped")), Seq("canonical_id"), "left")
+          .select(col("doc_id"),
+            least(col("canonical_id"),
+              coalesce(col("jumped"), col("canonical_id")))
+              .as("canonical_id"))
+          .cache()
       val diff = next.alias("n").join(labels.alias("l"), "doc_id")
         .filter(col("n.canonical_id") =!= col("l.canonical_id")).count()
+      if (next ne hopped) hopped.unpersist()
       labels.unpersist()
       labels =
         if ((i + 1) % checkpointEvery == 0) {
