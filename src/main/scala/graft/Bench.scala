@@ -66,22 +66,32 @@ object Bench {
     // budget on the per-query map keeps the line parseable no matter
     // how many queries the registry grows to: slowest-first, entries
     // are kept until the budget is spent, the rest only counted.
+    // Locale.ROOT: a comma-decimal default locale would emit 1,50 and
+    // break the JSON exactly like the round-2 truncation did
     def fmt(v: Double): String =
-      if (v < 0) "-1" else f"$v%.2f"
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(v))
     val entries = results.toSeq
       .sortBy { case (_, v) => -v } // slowest (and any -1 last) first
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val MapBudget = 1550 // chars; leaves ~350 for wrapper + sbt trailer
+    // strict prefix of the slowest-first order: stop at the first
+    // non-fitting entry so "omitted_fastest" means what it says
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
+    var full = false
     entries.foreach { e =>
-      if (used + e.length + 1 <= MapBudget) { kept += e; used += e.length + 1 }
+      if (!full && used + e.length + 1 <= MapBudget) {
+        kept += e; used += e.length + 1
+      } else full = true
     }
     val omitted = entries.size - kept.size
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries report -1 per entry; they must not deflate the total
+    val failed = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
     val sfName = sfDir.split('/').last
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"min"}"""
     println(line)
     spark.stop()
   }

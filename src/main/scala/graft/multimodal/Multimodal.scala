@@ -96,53 +96,62 @@ object Multimodal {
     * little-endian chunks). Output convention for the shared decoded
     * schema: width = sample rate (Hz), height = channel count,
     * duration from data-chunk size / byte rate, feature = 8-bin
-    * normalized histogram of 16-bit sample amplitudes. Returns None
-    * for anything that is not a well-formed PCM WAV — the caller falls
-    * back to the deterministic fake. */
+    * normalized histogram of 16-bit sample amplitudes. Scope: 16-bit
+    * PCM only — other widths/codecs return None so the caller falls
+    * back to the deterministic fake (a half-real row with a zeroed
+    * histogram would silently poison downstream consumers). Any parse
+    * failure on adversarial bytes also returns None: a corrupt payload
+    * must never kill the task (decodeImage's contract). */
   private def decodeWav(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-    def le32(o: Int): Long =
-      ((content(o) & 0xffL)) | ((content(o + 1) & 0xffL) << 8) |
-        ((content(o + 2) & 0xffL) << 16) | ((content(o + 3) & 0xffL) << 24)
-    def le16(o: Int): Int =
-      (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8)
-    def tag(o: Int): String = new String(content, o, 4, "US-ASCII")
-    if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
-    else {
-      // chunk walk: find fmt (PCM only) and data
-      var off = 12
-      var fmtInfo: Option[(Int, Int, Long, Int)] = None // channels, rate, byteRate, bits
-      var data: Option[(Int, Int)] = None // offset, size
-      while (off + 8 <= content.length && (fmtInfo.isEmpty || data.isEmpty)) {
-        val id = tag(off)
-        val size = le32(off + 4).toInt
-        if (id == "fmt " && size >= 16 && off + 8 + 16 <= content.length) {
-          val audioFormat = le16(off + 8)
-          if (audioFormat == 1) // PCM only; compressed WAVs fall back
-            fmtInfo = Some((le16(off + 10), le32(off + 12).toInt,
-              le32(off + 16), le16(off + 22)))
-        } else if (id == "data" && size >= 0)
-          data = Some((off + 8, math.min(size, content.length - off - 8)))
-        // corrupt (negative) chunk size would walk backwards forever
-        if (size < 0) off = content.length
-        else off += 8 + size + (size & 1) // chunks are word-aligned
-      }
-      for ((channels, rate, byteRate, bits) <- fmtInfo; (dOff, dSize) <- data
-          if rate > 0 && byteRate > 0 && channels > 0) yield {
-        val durationMs = (dSize * 1000L / byteRate).toInt
-        val bins = new Array[Float](8)
-        var n = 0
-        if (bits == 16) {
+    // chunk sizes stay Long end-to-end: a declared size near 2^31
+    // must not overflow the walk offset into a negative index
+    def le32(o: Long): Long = {
+      val i = o.toInt
+      ((content(i) & 0xffL)) | ((content(i + 1) & 0xffL) << 8) |
+        ((content(i + 2) & 0xffL) << 16) | ((content(i + 3) & 0xffL) << 24)
+    }
+    def le16(o: Long): Int =
+      (content(o.toInt) & 0xff) | ((content(o.toInt + 1) & 0xff) << 8)
+    def tag(o: Long): String = new String(content, o.toInt, 4, "US-ASCII")
+    try {
+      if (content.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        // chunk walk: find fmt (16-bit PCM only) and data
+        var off = 12L
+        var fmtInfo: Option[(Int, Int, Long)] = None // channels, rate, byteRate
+        var data: Option[(Int, Int)] = None // offset, size
+        while (off + 8 <= content.length && (fmtInfo.isEmpty || data.isEmpty)) {
+          val id = tag(off)
+          val size = le32(off + 4) // unsigned 32-bit, in [0, 2^32)
+          if (id == "fmt " && size >= 16 && off + 24 <= content.length) {
+            val audioFormat = le16(off + 8)
+            val bits = le16(off + 22)
+            if (audioFormat == 1 && bits == 16) // PCM16; rest falls back
+              fmtInfo = Some((le16(off + 10), le32(off + 12).toInt,
+                le32(off + 16)))
+          } else if (id == "data")
+            data = Some(((off + 8).toInt,
+              math.min(size, content.length - off - 8).toInt))
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        for ((channels, rate, byteRate) <- fmtInfo; (dOff, dSize) <- data
+            if rate > 0 && byteRate > 0 && channels > 0 && dSize >= 0) yield {
+          val durationMs = (dSize * 1000L / byteRate).toInt
+          val bins = new Array[Float](8)
+          var n = 0
           var i = dOff
           while (i + 1 < dOff + dSize) {
-            val s = (le16(i) << 16) >> 16 // sign-extend
+            val s = (le16(i.toLong) << 16) >> 16 // sign-extend
             bins(math.min(7, math.abs(s) / 4096)) += 1f
             n += 1
             i += 2
           }
+          (rate, channels, durationMs,
+            if (n == 0) bins else bins.map(_ / n))
         }
-        (rate, channels, durationMs,
-          if (n == 0) bins else bins.map(_ / n))
       }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

@@ -232,16 +232,22 @@ object SimilarityOps {
   /** Product-quantization ANN (the memory-bandwidth scale path past
     * IVF): vectors are chopped into M=4 subspaces; each subvector is
     * encoded as the id of its nearest codeword (codebook = the
-    * deterministic vec_id % 127 sample, per subspace); a query scores
-    * a vector as the sum over subspaces of its precomputed distance
-    * to that vector's codeword (asymmetric distance computation).
+    * deterministic vec_id % 127 sample CAPPED at the first 256
+    * matches, so K is fixed and independent of corpus size); a query
+    * scores a vector as the sum over subspaces of its precomputed
+    * distance to that vector's codeword (asymmetric distance
+    * computation).
     *
-    * The 100 TB shape: the codebook and the per-query distance tables
-    * are tiny and BROADCAST; encoding is one broadcast pass over the
-    * corpus (n·M·K codegen'd subvector distances, no shuffle); ADC
-    * scoring joins the 4-small-ints-per-vector code table — not the
-    * vectors — against the distance tables, so the scoring stage
-    * moves ~n·M narrow rows where brute force moves n full vectors.
+    * The 100 TB shape: the codebook (≤ 256/subspace) and the
+    * per-query distance tables (queries × M × K) are bounded and
+    * BROADCAST; encoding is one broadcast pass over the corpus
+    * (n·M·K codegen'd subvector distances, no shuffle); ADC scoring
+    * joins the 4-small-ints-per-vector code table — not the vectors —
+    * against the distance tables. Like any flat PQ index, ADC still
+    * visits every (query, vector) code pair; its win over brute force
+    * is bandwidth (4 ints/vector vs the full vector per pair), and
+    * the candidate-pruning complement is composing with q53's
+    * inverted lists (IVF-PQ), which this operator's pieces support.
     *
     * Cross-engine determinism (ClusteringOps' fixed-point contract):
     * all distances are computed on floor(x·2²⁰ + 0.5) BIGINT
@@ -256,7 +262,8 @@ object SimilarityOps {
       |sub AS (
       |  SELECT vec_id, m, qe[m*16+1 : m*16+16] AS sub
       |  FROM c, LATERAL (SELECT unnest([0,1,2,3]) AS m) g),
-      |cb AS (SELECT m, vec_id AS cw_id, sub AS cw FROM sub WHERE vec_id % 127 = 1),
+      |cb AS (SELECT m, vec_id AS cw_id, sub AS cw FROM sub
+      |  WHERE vec_id % 127 = 1 AND vec_id < 127 * 256),
       |enc AS (
       |  SELECT s.vec_id, s.m, cb.cw_id,
       |    CAST(list_sum(list_transform(range(1, 17),
@@ -288,7 +295,9 @@ object SimilarityOps {
     val sub = c.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${PqSubspaces - 1}), m -> slice(qe, m * $PqSubDim + 1, $PqSubDim))"))
       .as(Seq("m", "sub")))
-    val codebook = sub.filter(col("vec_id") % 127 === 1)
+    // fixed K: the first 256 vec_id % 127 = 1 matches, regardless of n
+    val codebook = sub.filter(col("vec_id") % 127 === 1 &&
+        col("vec_id") < 127 * 256)
       .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw"))
     // exact integer subvector L2 — order-free fold
     val d2 = expr(

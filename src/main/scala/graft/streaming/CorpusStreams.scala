@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStreams {
 
-  /** Streaming exact dedup, first-seen-wins: documents whose content
-    * hash was already seen within the watermark horizon are dropped;
-    * the first instance flows through unchanged (plus its
-    * content_hash, the same md5 key q40 uses, so batch and streaming
-    * dedup agree on identity).
+  /** Streaming exact dedup, first-seen-wins at MICRO-BATCH
+    * granularity: documents whose content hash was seen in an earlier
+    * micro-batch within the watermark horizon are dropped; among
+    * duplicates arriving in the SAME micro-batch one arbitrary row
+    * survives (dropDuplicatesWithinWatermark makes no ordering
+    * promise across source partitions) — content identity is exact
+    * either way, and the emitted content_hash is the same md5 key q40
+    * uses, so batch and streaming dedup agree on WHAT is a duplicate;
+    * the batch pass remains the authority on WHICH doc is canonical.
     *
     * State: one (hash, first-seen-ts) entry per distinct document in
     * the horizon, evicted by the watermark — bounded by distinct-docs
