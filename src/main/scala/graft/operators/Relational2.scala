@@ -220,6 +220,55 @@ object Relational2 {
         col("n_events"), col("session_value"))
   }
 
+  /** Per-user anomaly detection: events whose value sits more than 3
+    * sample standard deviations from their user's mean — the
+    * outlier-flagging pass a telemetry pipeline runs before rollups.
+    *
+    * Determinism contract: mean/variance come from INTEGER sums of
+    * cents (n, Σc, Σc²) — order-free — and the z formula is written
+    * in the identical left-to-right IEEE op order in both engines, so
+    * the |z| > 3 cut and the 4-dp floor-rounded output are
+    * bit-reproducible. (Cents fixed-point bounds n·Σc² well inside
+    * Int64 for this table's value range ≤ ~500.) Scale shape: one
+    * partial+final aggregate for the stats, then the stats table
+    * re-joins the scan keyed by user_id — AQE broadcasts it when
+    * users ≪ events. */
+  val q2lAnomaly: QueryDef = QueryDef.withOracle(
+    """WITH e AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, count(*) AS n, CAST(sum(c) AS BIGINT) AS s1,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM e GROUP BY user_id),
+      |z AS (
+      |  SELECT user_id, event_id, value,
+      |    (CAST(c * n - s1 AS DOUBLE) / n)
+      |      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+      |      AS zval
+      |  FROM e JOIN st USING (user_id)
+      |  WHERE n >= 2 AND n * s2 - s1 * s1 > 0)
+      |SELECT user_id, event_id, value,
+      |  floor(zval * 10000 + 0.5) / 10000 AS z
+      |FROM z WHERE abs(zval) > 3""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("value"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val st = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val zval = (col("c") * col("n") - col("s1")).cast("double") / col("n") /
+      sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+        (col("n") * (col("n") - 1)).cast("double"))
+    e.join(st, Seq("user_id"))
+      .filter(col("n") >= 2 && col("n") * col("s2") - col("s1") * col("s1") > 0)
+      .withColumn("zval", zval)
+      .filter(abs(col("zval")) > 3)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (floor(col("zval") * 10000 + 0.5) / 10000).as("z"))
+  }
+
   /** ROLLUP grouping sets: per (flag, status), per flag subtotals, and
     * the grand total in one pass (absent from the reference; standard
     * engine surface). Cents-exact sums keep subtotal rows
@@ -428,6 +477,7 @@ object Relational2 {
     "q2h_cube" -> q2hCube,
     "q2i_rank_stats" -> q2iRankStats,
     "q2j_interval_join" -> q2jIntervalJoin,
-    "q2k_session_window" -> q2kSessionWindow
+    "q2k_session_window" -> q2kSessionWindow,
+    "q2l_anomaly" -> q2lAnomaly
   )
 }

@@ -93,4 +93,30 @@ class RankingClusteringSpec extends SparkSpec {
     assert(viol.count() == 0)
     labels.unpersist()
   }
+
+  test("q2l anomaly equals a driver-side z-score recomputation") {
+    val flagged = Relational2.q2lAnomaly.fn(spark, d)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // brute force per user on the driver (sf0.001 is small)
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).flatMap { case (_, es) =>
+      val n = es.length.toLong
+      val s1 = es.map(_._3).sum
+      val s2 = es.map(e => e._3 * e._3).sum
+      if (n < 2 || n * s2 - s1 * s1 <= 0) Seq.empty[(Long, Double)]
+      else es.toSeq.flatMap { case (_, eid, c) =>
+        val z = ((c * n - s1).toDouble / n) /
+          math.sqrt((n * s2 - s1 * s1).toDouble / (n * (n - 1)).toDouble)
+        if (math.abs(z) > 3)
+          Some(eid -> math.floor(z * 10000 + 0.5) / 10000)
+        else None
+      }
+    }.toMap
+    assert(flagged == expected,
+      s"flagged set mismatch: engine ${flagged.size} vs brute ${expected.size}")
+    assert(expected.nonEmpty, "fixture must actually contain outliers")
+  }
 }
