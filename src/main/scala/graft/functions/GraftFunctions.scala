@@ -7,10 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** SQL registration for graft's native expressions, so `spark.sql`
   * users get them too:
   *
-  *   graft_dot(a, b)        dot product over array<float|double>
-  *   graft_sqnorm(a)        squared L2 norm
-  *   graft_cosine(a, b)     cosine similarity
-  *   graft_simhash(tokens)  64-bit SimHash of array<string>
+  *   graft_dot(a, b)            dot product over array<float|double>
+  *   graft_sqnorm(a)            squared L2 norm
+  *   graft_cosine(a, b)         cosine similarity
+  *   graft_simhash(tokens)      64-bit SimHash of array<string>
+  *   graft_rolling_fp(tokens)   order-sensitive rolling fingerprint
+  *   graft_lsh_sig(a, L, k)     hyperplane LSH buckets (L tables × k bits;
+  *                              L and k must be foldable integers)
   *
   * Two registration paths:
   *   - `GraftExtensions` via `spark.sql.extensions` /
@@ -46,7 +49,20 @@ object GraftFunctions {
         Multiply(Sqrt(VectorExpressions.SquaredNorm(a)),
           Sqrt(VectorExpressions.SquaredNorm(b))))
     },
-    unary("graft_simhash")(TextExpressions.SimHash64(_))
+    unary("graft_simhash")(TextExpressions.SimHash64(_)),
+    unary("graft_rolling_fp")(TextExpressions.RollingFingerprint(_)),
+    "graft_lsh_sig" -> { args =>
+      require(args.length == 3, "graft_lsh_sig expects 3 arguments")
+      def intLit(e: Expression, what: String): Int = e match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal
+            if lit.foldable && lit.value != null =>
+          lit.value.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_sig $what must be an integer literal, got $other")
+      }
+      VectorExpressions.HyperplaneSignature(args(0),
+        intLit(args(1), "table count"), intLit(args(2), "bit count"))
+    }
   )
 
   /** Register on a live session. */

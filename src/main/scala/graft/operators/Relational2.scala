@@ -220,6 +220,51 @@ object Relational2 {
         col("n_events"), col("session_value"))
   }
 
+  /** Column-stats profiler over lineitem's numeric measures: row
+    * count, non-null count, exact distinct count, min, max per column
+    * — the data-quality snapshot a pipeline takes before trusting a
+    * table. ONE scan: all per-column aggregates compute in a single
+    * partial+final pass (the multi-distinct plans via Expand — the
+    * standard exact-profile cost; swap in approx_count_distinct at
+    * real scale, as q2a does), then the 1-row result unpivots to one
+    * tidy row per column with `stack`. */
+  val q2mProfile: QueryDef = QueryDef.withOracle(
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+      |      min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+      |    count(l_extendedprice) AS nn_p, count(DISTINCT l_extendedprice) AS nd_p,
+      |      min(l_extendedprice) AS mn_p, max(l_extendedprice) AS mx_p,
+      |    count(l_discount) AS nn_d, count(DISTINCT l_discount) AS nd_d,
+      |      min(l_discount) AS mn_d, max(l_discount) AS mx_d,
+      |    count(l_tax) AS nn_t, count(DISTINCT l_tax) AS nd_t,
+      |      min(l_tax) AS mn_t, max(l_tax) AS mx_t
+      |  FROM lineitem)
+      |SELECT u.col AS column_name, s.n AS n_rows, u.n_nonnull, u.n_distinct,
+      |  u.vmin, u.vmax
+      |FROM s, LATERAL (
+      |  SELECT * FROM (VALUES
+      |    ('l_quantity', nn_q, nd_q, mn_q, mx_q),
+      |    ('l_extendedprice', nn_p, nd_p, mn_p, mx_p),
+      |    ('l_discount', nn_d, nd_d, mn_d, mx_d),
+      |    ('l_tax', nn_t, nd_t, mn_t, mx_t))
+      |    AS t(col, n_nonnull, n_distinct, vmin, vmax)) u""".stripMargin
+  ) { (s, d) =>
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val stackExpr = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(
+      s"stack(${cols.length}, ", ", ",
+      ") AS (column_name, n_nonnull, n_distinct, vmin, vmax)")
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n").as("n_rows"), expr(stackExpr))
+      .select("column_name", "n_rows", "n_nonnull", "n_distinct",
+        "vmin", "vmax")
+  }
+
   /** Per-user anomaly detection: events whose value sits more than 3
     * sample standard deviations from their user's mean — the
     * outlier-flagging pass a telemetry pipeline runs before rollups.
@@ -478,6 +523,7 @@ object Relational2 {
     "q2i_rank_stats" -> q2iRankStats,
     "q2j_interval_join" -> q2jIntervalJoin,
     "q2k_session_window" -> q2kSessionWindow,
-    "q2l_anomaly" -> q2lAnomaly
+    "q2l_anomaly" -> q2lAnomaly,
+    "q2m_profile" -> q2mProfile
   )
 }

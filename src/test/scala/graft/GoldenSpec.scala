@@ -63,5 +63,23 @@ class GoldenSpec extends SparkSpec {
     assert(sh.getLong(0) == spark.sql(
       "SELECT graft_simhash(array('spark', 'query', 'engine')) AS s")
       .head().getLong(0)) // deterministic
+    // rolling fingerprint: order-sensitive (unlike the simhash set hash)
+    val fp = spark.sql(
+      """SELECT graft_rolling_fp(array('a', 'b')) AS x,
+        |       graft_rolling_fp(array('b', 'a')) AS y""".stripMargin).head()
+    assert(fp.getLong(0) != fp.getLong(1))
+    // lsh signature: L buckets, each within [0, 2^k)
+    val sig = spark.sql(
+      "SELECT graft_lsh_sig(embedding, 3, 4) AS s FROM emb_g").collect()
+    sig.foreach { r =>
+      val buckets = r.getSeq[Long](0)
+      assert(buckets.length == 3)
+      assert(buckets.forall(b => b >= 0L && b < 16L))
+    }
+    // non-literal table/bit counts are rejected loudly
+    intercept[Exception] {
+      spark.sql("SELECT graft_lsh_sig(embedding, vec_id, 4) FROM emb_g")
+        .collect()
+    }
   }
 }
