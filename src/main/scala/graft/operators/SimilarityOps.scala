@@ -325,11 +325,140 @@ object SimilarityOps {
       .select("q_id", "rank", "neighbor_id", "approx_d")
   }
 
+  /** IVF-PQ: the composition q69's docstring points at — q53's
+    * inverted lists prune candidates (each query touches its
+    * nprobe=2 nearest centroid lists, not the corpus), and q69's
+    * product-quantization codes score them (ADC over 4 small ints per
+    * candidate, not the raw vector). This is the standard
+    * billion-vector index shape: after the one-time encode pass, the
+    * query path never moves an embedding — the scoring join carries
+    * (q_id, vec_id, m, code) rows against a broadcast distance table.
+    *
+    * Determinism: list assignment uses the exact cosine (bit-
+    * compatible across engines, q53's contract); ADC distances are
+    * fixed-point integers (q69's contract). */
+  val q72IvfPq: QueryDef = QueryDef.withOracle(
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 31 = 1),
+      |ac AS (
+      |  SELECT c.vec_id, cent_id,
+      |    list_cosine_similarity(c.emb, cent_emb) AS cent_sim
+      |  FROM c CROSS JOIN cents),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+      |    FROM ac) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, cent_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+      |    FROM ac WHERE vec_id % 50 = 0) WHERE rn <= 2),
+      |qz AS (
+      |  SELECT vec_id, list_transform(emb,
+      |    x -> CAST(floor(x * 1048576.0::DOUBLE + 0.5::DOUBLE) AS BIGINT)) AS qe
+      |  FROM c),
+      |sub AS (
+      |  SELECT vec_id, m, qe[m*16+1 : m*16+16] AS sub
+      |  FROM qz, LATERAL (SELECT unnest([0,1,2,3]) AS m) g),
+      |cb AS (SELECT m, vec_id AS cw_id, sub AS cw FROM sub
+      |  WHERE vec_id % 127 = 1 AND vec_id < 127 * 256),
+      |enc AS (
+      |  SELECT s.vec_id, s.m, cb.cw_id,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> (s.sub[i] - cb.cw[i]) * (s.sub[i] - cb.cw[i]))) AS BIGINT) AS d
+      |  FROM sub s JOIN cb ON s.m = cb.m),
+      |codes AS (
+      |  SELECT vec_id, m, cw_id AS code FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY vec_id, m ORDER BY d, cw_id) AS rn FROM enc)
+      |  WHERE rn = 1),
+      |qdt AS (
+      |  SELECT vec_id AS q_id, m, cw_id AS code, d FROM enc
+      |  WHERE vec_id % 50 = 0),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id FROM assigned a
+      |  JOIN probes p ON a.cent_id = p.cent_id
+      |  WHERE p.q_id <> a.vec_id),
+      |scored AS (
+      |  SELECT cd.q_id, cd.vec_id AS neighbor_id,
+      |    CAST(sum(q.d) AS BIGINT) AS approx_d
+      |  FROM cand cd
+      |  JOIN codes ON codes.vec_id = cd.vec_id
+      |  JOIN qdt q ON q.q_id = cd.q_id AND q.m = codes.m AND q.code = codes.code
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY approx_d, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id, approx_d FROM ranked WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    val c = corpus(s, d)
+    // inverted lists: ids only — the embedding never rides past here
+    val cents = c.filter(col("vec_id") % 31 === 1)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        VectorExpressions.cosine(col("embedding"), col("cent_emb"))
+          .as("cent_sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cent_sim"), (-col("cent_id")).as("ng"))).as("cent_id"))
+    val probes = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cent_sim").desc, col("cent_id"))
+      c.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_sim",
+          VectorExpressions.cosine(col("q_emb"), col("cent_emb")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= 2)
+        .select("q_id", "cent_id")
+    }
+    // PQ encode (q69's construction): codes + query distance tables
+    val qz = c.select(col("vec_id"), expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1048576.0D + 0.5D) as bigint))")
+      .as("qe"))
+    val sub = qz.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqSubspaces - 1}), m -> slice(qe, m * $PqSubDim + 1, $PqSubDim))"))
+      .as(Seq("m", "sub")))
+    val codebook = sub.filter(col("vec_id") % 127 === 1 &&
+        col("vec_id") < 127 * 256)
+      .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw"))
+    val d2 = expr(
+      "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+    val enc = sub.join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cw_id"), d2.as("d"))
+    val codes = enc
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cw_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cw_id").as("code"))
+    val qdt = enc.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("cw_id").as("code"),
+        col("d"))
+    // probe + ADC: candidates are (q, vec) id pairs from the probed
+    // lists; scoring joins their codes against the broadcast tables
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qdt), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("approx_d"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "neighbor_id", "approx_d")
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q50_ann_brute" -> q50AnnBrute,
     "q51_ann_lsh" -> q51AnnLsh,
     "q52_embed_stats" -> q52EmbedStats,
     "q53_ann_ivf" -> q53AnnIvf,
-    "q69_pq_ann" -> q69PqAnn
+    "q69_pq_ann" -> q69PqAnn,
+    "q72_ivfpq" -> q72IvfPq
   )
 }

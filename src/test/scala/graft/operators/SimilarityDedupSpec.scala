@@ -70,6 +70,21 @@ class SimilarityDedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ agrees with flat PQ on shared pairs; candidates come from probed lists") {
+    val sfd = sf("sf0.01")
+    val flat = SimilarityOps.q69PqAnn.fn(spark, sfd)
+      .select(col("q_id"), col("neighbor_id"), col("approx_d").as("d_flat"))
+    val ivf = SimilarityOps.q72IvfPq.fn(spark, sfd)
+      .select(col("q_id"), col("neighbor_id"), col("approx_d").as("d_ivf"))
+    // same codes, same distance tables ⇒ identical ADC score wherever
+    // both indexes surface the pair
+    val joined = ivf.join(flat, Seq("q_id", "neighbor_id")).cache()
+    assert(joined.filter(col("d_ivf") =!= col("d_flat")).count() == 0,
+      "ADC scores must be identical between flat PQ and IVF-PQ")
+    assert(ivf.count() > 0)
+    joined.unpersist()
+  }
+
   test("exact dedup partitions the corpus: group sizes sum to n_docs") {
     val n = Tables.documents(spark, dir).count()
     val dedup = DedupOps.q40DedupExact.fn(spark, dir)
