@@ -17,6 +17,7 @@ object SparkEntry {
   private lazy val defs: Map[String, QueryDef] =
     operators.Relational.all ++
       operators.Relational2.all ++
+      operators.Relational3.all ++
       operators.TextOps.all ++
       operators.DedupOps.all ++
       operators.SimilarityOps.all ++

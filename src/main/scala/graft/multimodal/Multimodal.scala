@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * sample stages.
   *
   * The Spark-side plumbing — schema, partitioning, batch shape,
-  * operator signatures — is real and tested. The actual codec calls
-  * are STUBBED with a deterministic fake (this container ships no
-  * image/audio libraries): `decodeBatch` is the single seam where a
-  * real implementation would call e.g. libjpeg/ffmpeg on each batch.
+  * operator signatures — is real and tested, and so are the decoders
+  * the JDK can express without external libraries: images via
+  * javax.imageio (PNG/JPEG/GIF/BMP), audio via a hand-rolled PCM-WAV
+  * parse, video via the imageio GIF plugin (frame walk + per-frame
+  * delays). Only non-GIF video codecs (mp4/webm) remain a
+  * deterministic fake: `decodeBatch` is the single seam where a real
+  * build would call ffmpeg on each batch.
   *
   * Batching model: partitions stream through `mapPartitions` in
   * groups of `batchSize` rows, the same shape a vectorized decode
@@ -155,8 +158,76 @@ object Multimodal {
     }
   }
 
-  /** Batch decode: the image path is REAL (javax.imageio) and so is
-    * PCM-WAV audio (decodeWav); video remains a deterministic fake —
+  /** Real video decode for animated GIF — the one video container the
+    * JDK ships a codec for (javax.imageio's GIF plugin), so the video
+    * path needs no external deps either. Frame count via
+    * `getNumImages(true)` (a full stream walk), per-frame delay from
+    * the GraphicControlExtension metadata node (centiseconds → ms),
+    * dims and the 8-bin luminance-histogram feature from the first
+    * frame. Non-GIF video payloads (mp4/webm — no JDK codec) return
+    * None → deterministic fake; that remaining seam is where a real
+    * build would call ffmpeg per batch. */
+  private def decodeGif(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    val isGif = content.length >= 6 &&
+      new String(content, 0, 4, "US-ASCII") == "GIF8"
+    if (!isGif) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      if (iis == null) None
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              var durationCs = 0L
+              var i = 0
+              while (i < n) {
+                val tree = reader.getImageMetadata(i)
+                  .getAsTree("javax_imageio_gif_image_1.0")
+                  .asInstanceOf[org.w3c.dom.Element]
+                val gce = tree.getElementsByTagName("GraphicControlExtension")
+                if (gce.getLength > 0) {
+                  val d = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+                    .getAttribute("delayTime")
+                  if (d.nonEmpty) durationCs += d.toLong
+                }
+                i += 1
+              }
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              val bins = new Array[Float](8)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  bins(math.min(7, (lum / 32).toInt)) += 1f
+                  x += 1
+                }
+                y += 1
+              }
+              val np = (w * h).toFloat
+              Some((w, h, (durationCs * 10L).toInt, bins.map(_ / np)))
+            }
+          } finally reader.dispose()
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      } finally iis.close()
+    }
+  }
+
+  /** Batch decode: the image path is REAL (javax.imageio), so is
+    * PCM-WAV audio (decodeWav) and animated-GIF video (decodeGif);
+    * only non-GIF video codecs fall through to a deterministic fake —
     * the single seam where a real build would call e.g. ffmpeg per
     * batch; everything around it (batching, schema, null handling) is
     * production plumbing. The fake is deterministic in the payload
@@ -171,7 +242,10 @@ object Multimodal {
       } else if (kind == "audio") decodeWav(content).map {
         case (rate, channels, durMs, feature) =>
           Row(id, kind, rate, channels, "wav", durMs, feature)
-      } else None // ??? real video codec here
+      } else if (kind == "video") decodeGif(content).map {
+        case (w, h, durMs, feature) =>
+          Row(id, kind, w, h, "gif", durMs, feature)
+      } else None
     real.getOrElse {
       // deterministic fake derived from the payload bytes
       val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)

@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third tranche of engine-completeness queries (SURVEY §2.11): the
+  * relational surface a standalone engine still owes beyond rollup/
+  * cube/windows — explicit GROUPING SETS, moment statistics with a
+  * deterministic cross-engine contract, array higher-order functions,
+  * explode/unnest, histogram bucketing, window value functions, and
+  * conditional/selective aggregates.
+  *
+  * All follow the established float-parity conventions (README /
+  * SURVEY §6): integer fixed-point sums, identical IEEE op order in
+  * the Spark code and the oracle SQL, unique tiebreak orderings.
+  */
+object Relational3 {
+
+  /** Explicit GROUPING SETS — the general form of q2c's ROLLUP and
+    * q2h's CUBE: per-flag and per-status marginals plus the grand
+    * total in ONE pass (Catalyst plans a 3-way Expand below a single
+    * partial+final HashAggregate, same exchange profile as rollup).
+    * `grouping()` flags disambiguate a NULL group value from a
+    * subtotal row — part of the operator's contract, so the oracle
+    * pins them. */
+  val q2nGroupingSets: QueryDef = QueryDef.withOracle(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total_price"))
+      .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+        "n", "total_price")
+  }
+
+  /** Moment statistics (corr / covar_samp / stddev_samp) with a
+    * deterministic cross-engine contract. Float moment aggregates are
+    * merge-order-dependent, so the EXACT values come from integer
+    * fixed-point sums (n, Σx, Σy, Σx², Σy², Σxy over quantity units ×
+    * discount cents) plugged into the textbook formulas in the
+    * identical IEEE op order on both engines — every double op sees
+    * bit-identical inputs. Spark's native `corr`/`covar_samp`/
+    * `stddev_samp` are then asserted against the exact values to
+    * 1e-6 (q2a's contract pattern: DuckDB pins the flag as TRUE).
+    *
+    * Scale note: the int64 cross-moments hold to ~sf1 on this schema
+    * (n·Σx² < 2^53); past that the exact path moves to DECIMAL(38) or
+    * the native one-pass aggregates with a wider tolerance. */
+  val q2oCorrStats: QueryDef = QueryDef.withOracle(
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM b GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_disc,
+      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+      |    AS stddev_qty,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 100.0
+      |    AS covar_qty_disc,
+      |  TRUE AS corr_ok, TRUE AS stddev_ok, TRUE AS covar_ok
+      |FROM m""".stripMargin
+  ) { (s, d) =>
+    val b = Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_quantity"), col("l_discount"),
+      floor(col("l_quantity") + 0.5).cast("long").as("x"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+    val m = b.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      corr(col("l_quantity"), col("l_discount")).as("corr_native"),
+      stddev_samp(col("l_quantity")).as("stddev_native"),
+      covar_samp(col("l_quantity"), col("l_discount")).as("covar_native"))
+    val corrExact = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    val stdExact = sqrt(
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("n") * (col("n") - 1)).cast("double"))
+    val covExact = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * (col("n") - 1)).cast("double") / 100.0
+    m.select(
+      col("l_returnflag"), col("n"),
+      corrExact.as("corr_qty_disc"),
+      stdExact.as("stddev_qty"),
+      covExact.as("covar_qty_disc"),
+      (abs(col("corr_native") - corrExact) <= 1e-6).as("corr_ok"),
+      (abs(col("stddev_native") - stdExact) <= 1e-6).as("stddev_ok"),
+      (abs(col("covar_native") - covExact) <= 1e-6).as("covar_ok"))
+  }
+
+  /** Array higher-order functions over the token list — transform /
+    * filter / aggregate (fold) / slice, all codegen'd builtins inside
+    * one projection: no explode, no shuffle, scales embarrassingly.
+    * Integer token-length math keeps every value engine-exact. */
+  val q2pArrayOps: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    t -> length(t) > 5)) AS BIGINT) AS n_long_toks,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    t -> length(t))) AS BIGINT) AS total_tok_len,
+      |  array_to_string(list_transform(string_split(text, ' ')[1:3],
+      |    t -> upper(t)), '_') AS head3
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ", -1)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) > 5)).cast("long").as("n_long_toks"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .as("total_tok_len"),
+      array_join(transform(slice(toks, 1, 3), t => upper(t)), "_").as("head3"))
+  }
+
+  /** Explode/unnest: token list → one row per token, then an
+    * order-free vocabulary rollup (occurrences, document frequency,
+    * first doc). The generator runs inside whole-stage codegen and the
+    * only shuffle is the final aggregate on the word key. */
+  val q2qExplodeVocab: QueryDef = QueryDef.withOracle(
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents)
+      |SELECT word, count(*) AS n_occ,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  min(doc_id) AS first_doc
+      |FROM w GROUP BY word HAVING count(*) >= 5""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ", -1)).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= 5)
+  }
+
+  /** Fixed-width histogram of order totals: bucket index from ONE
+    * double division + floor (identical op on identical inputs on
+    * both engines — no width_bucket builtin needed, and DuckDB lacks
+    * one), clamped into the top bucket. Map-side bucketing, one
+    * 12-key aggregate: the degenerate-cardinality shuffle histograms
+    * want at any scale. */
+  val q2rHistogram: QueryDef = QueryDef.withOracle(
+    """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(11))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  /** Window VALUE functions — first_value / last_value / nth_value
+    * over the full partition frame (UNBOUNDED..UNBOUNDED), per-user
+    * ordered by (ts, event_id): a total order, so the selected rows
+    * are engine-identical, and the values are exact 2-dp doubles (no
+    * sums). */
+  val q2sFirstLast: QueryDef = QueryDef.withOracle(
+    """SELECT event_id, user_id,
+      |  first_value(value) OVER w AS first_val,
+      |  last_value(value) OVER w AS last_val,
+      |  nth_value(value, 2) OVER w AS second_val
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      first(col("value")).over(w).as("first_val"),
+      last(col("value")).over(w).as("last_val"),
+      nth_value(col("value"), 2).over(w).as("second_val"))
+  }
+
+  /** Conditional & selective aggregates: count_if, bool_and/bool_or,
+    * and max_by/min_by (argmax/argmin). The max_by ordering key is
+    * made UNIQUE (price cents ·10⁷ + orderkey, exact int64) — bare
+    * max_by on a tied price is nondeterministic in any engine, so the
+    * composite tiebreak is part of the operator contract here. */
+  val q2tArgmax: QueryDef = QueryDef.withOracle(
+    """SELECT o_orderpriority,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_big,
+      |  bool_or(o_totalprice > 500000) AS any_huge,
+      |  bool_and(o_totalprice > 900) AS all_over_900,
+      |  arg_max(o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey)
+      |    AS best_order,
+      |  arg_min(o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey)
+      |    AS worst_order
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    val rankKey = floor(col("o_totalprice") * 100 + 0.5).cast("long") *
+      10000000L + col("o_orderkey")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_or(col("o_totalprice") > 500000).as("any_huge"),
+        bool_and(col("o_totalprice") > 900).as("all_over_900"),
+        max_by(col("o_orderkey"), rankKey).as("best_order"),
+        min_by(col("o_orderkey"), rankKey).as("worst_order"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q2n_grouping_sets" -> q2nGroupingSets,
+    "q2o_corr_stats" -> q2oCorrStats,
+    "q2p_array_ops" -> q2pArrayOps,
+    "q2q_explode_vocab" -> q2qExplodeVocab,
+    "q2r_histogram" -> q2rHistogram,
+    "q2s_first_last" -> q2sFirstLast,
+    "q2t_argmax" -> q2tArgmax
+  )
+}

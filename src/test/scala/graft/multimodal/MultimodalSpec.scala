@@ -88,6 +88,68 @@ class MultimodalSpec extends SparkSpec {
     assert(fake.getString(4) == "wav" && fake.getInt(5) >= 1000)
   }
 
+  test("real animated GIF decodes to true dims, frame-delay duration, histogram") {
+    import spark.implicits._
+    import javax.imageio.metadata.IIOMetadataNode
+    // write a 3-frame 31×17 GIF, 25 cs (=250 ms) per frame, with the
+    // JDK's own GIF writer; frame 1 is left-half black / right white
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (_ <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(31, 17,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 17; x <- 0 until 31)
+        img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+      val md = writer.getDefaultImageMetadata(
+        javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img),
+        writer.getDefaultWriteParam)
+      val fmt = md.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val existing = root.getElementsByTagName("GraphicControlExtension")
+      val gce =
+        if (existing.getLength > 0) existing.item(0).asInstanceOf[IIOMetadataNode]
+        else { val n = new IIOMetadataNode("GraphicControlExtension"); root.appendChild(n); n }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "25")
+      gce.setAttribute("transparentColorIndex", "0")
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    val gif = bos.toByteArray
+
+    val media = Seq((1L, "video", gif), (2L, "video", "not a video".getBytes))
+      .toDF("media_id", "kind", "content")
+    val decoded = Multimodal.decode(media)
+    val rows = decoded.orderBy("media_id").collect()
+
+    val real = rows(0)
+    assert(real.getInt(2) == 31 && real.getInt(3) == 17) // true dims
+    assert(real.getString(4) == "gif")
+    assert(real.getInt(5) == 750, "3 frames × 25 cs = 750 ms")
+    val hist = real.getSeq[Float](6)
+    assert(math.abs(hist.head - 16f / 31f) < 1e-6)
+    assert(math.abs(hist.last - 15f / 31f) < 1e-6)
+    assert(math.abs(hist.sum - 1f) < 1e-5)
+
+    // non-GIF video payloads fall back to the deterministic fake
+    val fake = rows(1)
+    assert(fake.getString(4) == "mp4" && fake.getInt(5) >= 1000)
+
+    // frame sampling over the real duration: 750 ms at 250 ms spacing
+    // → frame indices 0..3 (sequence is end-inclusive)
+    val frames = Multimodal.sampleFrames(decoded, everyMs = 250)
+      .filter(col("media_id") === 1L)
+    assert(frames.count() == 4)
+    assert(frames.agg(max("frame_ms")).head().getInt(0) == 750)
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)
