@@ -239,6 +239,72 @@ object Relational3 {
         min_by(col("o_orderkey"), rankKey).as("worst_order"))
   }
 
+  /** Skew-salted aggregation UNDER THE HARD ORACLE: the two-phase
+    * salted groupBy (graft.functions.Salting — phase 1 on
+    * (key, salt), phase 2 re-merge on key) must be bit-identical to
+    * the plain single-shuffle aggregate, which is what the DuckDB SQL
+    * computes. events.event_type is exactly the shape salting exists
+    * for — a handful of hot keys over millions of rows. Integer cents
+    * sums make the two-phase re-merge order-free, so the parity is
+    * exact by construction, and the oracle proves it. */
+  val q73SaltedAgg: QueryDef = QueryDef.withOracle(
+    """SELECT event_type,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+      |    AS total_value,
+      |  count(*) AS n,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value
+      |FROM events GROUP BY event_type""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.Salting
+    Salting.saltedAggregate(
+      Tables.events(s, d), Seq("event_type"), salts = 16,
+      Seq(
+        Salting.sumOf(floor(col("value") * 100 + 0.5).cast("long"), "cents"),
+        Salting.countOf("n"),
+        Salting.minOf(col("value"), "min_value"),
+        Salting.maxOf(col("value"), "max_value")))
+      .select(col("event_type"),
+        (col("cents").cast("double") / 100.0).as("total_value"),
+        col("n"), col("min_value"), col("max_value"))
+  }
+
+  /** Approximate percentile with an accuracy CONTRACT (q2a's pattern
+    * for sketch aggregates): the exact interpolated quartiles ride on
+    * integer cents — power-of-2 interpolation fractions over exact
+    * int64 doubles, so every arithmetic step is exact in BOTH engines
+    * — and Spark's approx_percentile (GK sketch, accuracy 10⁴ → rank
+    * error ≤ n/10⁴) must land inside the exact [p45, p55] band, a
+    * bound that holds under ANY partial-merge order. DuckDB pins the
+    * flag TRUE. At 100 TB the approx path IS the operator — exact
+    * percentiles need a full sort — so its contract belongs in the
+    * gate. */
+  val q74ApproxQuantile: QueryDef = QueryDef.withOracle(
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type,
+      |  quantile_cont(cents, 0.25) / 100.0 AS p25,
+      |  quantile_cont(cents, 0.5) / 100.0 AS median,
+      |  quantile_cont(cents, 0.75) / 100.0 AS p75,
+      |  count(*) AS n,
+      |  TRUE AS approx_ok
+      |FROM c GROUP BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        (expr("percentile(cents, 0.25)") / 100.0).as("p25"),
+        (expr("percentile(cents, 0.5)") / 100.0).as("median"),
+        (expr("percentile(cents, 0.75)") / 100.0).as("p75"),
+        count(lit(1)).as("n"),
+        expr("approx_percentile(cents, 0.5, 10000)")
+          .between(expr("percentile(cents, 0.45)"),
+            expr("percentile(cents, 0.55)")).as("approx_ok"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2n_grouping_sets" -> q2nGroupingSets,
     "q2o_corr_stats" -> q2oCorrStats,
@@ -246,6 +312,8 @@ object Relational3 {
     "q2q_explode_vocab" -> q2qExplodeVocab,
     "q2r_histogram" -> q2rHistogram,
     "q2s_first_last" -> q2sFirstLast,
-    "q2t_argmax" -> q2tArgmax
+    "q2t_argmax" -> q2tArgmax,
+    "q73_salted_agg" -> q73SaltedAgg,
+    "q74_approx_quantile" -> q74ApproxQuantile
   )
 }

@@ -112,4 +112,41 @@ class PlanSpec extends SparkSpec {
         s"bloom filter must be scan-side, found shuffle below it:\n$f")
     }
   }
+
+  test("q2n: grouping sets plan one Expand + partial/final aggregate") {
+    val p = plan("q2n_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q2p: array higher-order functions are map-only — no exchange") {
+    val p = plan("q2p_array_ops")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  // formatted explain prints every operator twice (tree line + detail
+  // header "(N) Op"); count the detail headers for an exact node count
+  private def nodes(p: String, op: String): Int =
+    s"\\(\\d+\\) $op".r.findAllIn(p).length
+
+  test("q2q: explode runs as a Generate, shuffling only for the aggregate") {
+    val p = plan("q2q_explode_vocab")
+    assert(nodes(p, "Generate") == 1, p)
+    // word-count + distinct-doc count: at most the two aggregate
+    // exchanges, never a pre-generator materialization
+    assert(nodes(p, "Exchange") <= 2, p)
+  }
+
+  test("q2s: window value functions need exactly one shuffle") {
+    val p = plan("q2s_first_last")
+    assert(nodes(p, "Exchange") == 1, p)
+  }
+
+  test("q73: salted aggregate keeps partial combine on both phases") {
+    // two groupBys → two exchanges max, with map-side partials (≥2
+    // HashAggregates per phase: partial below, final above)
+    val p = plan("q73_salted_agg")
+    assert(nodes(p, "Exchange") <= 2, p)
+    assert(nodes(p, "HashAggregate") >= 3, p)
+  }
 }
