@@ -24,6 +24,7 @@ object SparkEntry {
       operators.RankingOps.all ++
       operators.CurationOps.all ++
       operators.ClusteringOps.all ++
+      operators.GraphOps.all ++
       operators.SmartHomeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

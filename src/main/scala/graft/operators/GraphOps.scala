@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational-derived edge lists. The dedup
+  * clustering path (DedupCluster) already ships label propagation /
+  * connected components; this adds the other staple iterative graph
+  * op — PageRank — in a DETERMINISTIC integer-arithmetic formulation
+  * so even an iterative float algorithm sits under the DuckDB
+  * hash-match gate.
+  *
+  * Determinism: ranks are int64 micro-units. One iteration is
+  *   contrib(u→v) = r(u) div deg(u)                 (integer floor div)
+  *   r'(v)        = 150000 + (850 · Σ contrib) div 1000
+  * Every step is integer math, so partial-aggregate merge order can't
+  * perturb a single bit — the same recurrence unrolls as plain SQL in
+  * the oracle. (A float PageRank would be merge-order-dependent and
+  * unverifiable across engines; the integer recurrence IS the
+  * operator contract here, with ~1e-6 quantization per step.)
+  *
+  * Scale shape per iteration: one shuffle keyed by edge src (the
+  * contribution join — AQE broadcasts the rank table while it fits,
+  * degenerating to sort-merge at web scale) and one aggregate shuffle
+  * keyed by dst. Iterations are a fixed small count, each a
+  * self-contained stage — at real scale you'd localCheckpoint the
+  * rank frame every few rounds exactly as DedupCluster does for its
+  * propagation loop.
+  */
+object GraphOps {
+
+  /** Bipartite supplier↔customer graph from who-supplied-whom:
+    * lineitem ⋈ orders gives (supplier, customer) pairs; both
+    * directions become edges so rank mass actually circulates.
+    * Node ids are disambiguated into one integer namespace
+    * (supplier → 2k, customer → 2k+1). */
+  val q75Pagerank: QueryDef = QueryDef.withOracle(
+    """WITH pair AS (
+      |  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (
+      |  SELECT s AS src, c AS dst FROM pair
+      |  UNION
+      |  SELECT c AS src, s AS dst FROM pair),
+      |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |n AS (SELECT DISTINCT src AS node FROM e
+      |      UNION SELECT DISTINCT dst AS node FROM e),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+      |s1 AS (SELECT e.dst AS node, CAST(sum(r0.r // deg.d) AS BIGINT) AS c
+      |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT n.node,
+      |         150000 + (850 * COALESCE(s1.c, 0)) // 1000 AS r
+      |       FROM n LEFT JOIN s1 ON n.node = s1.node),
+      |s2 AS (SELECT e.dst AS node, CAST(sum(r1.r // deg.d) AS BIGINT) AS c
+      |       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT n.node,
+      |         150000 + (850 * COALESCE(s2.c, 0)) // 1000 AS r
+      |       FROM n LEFT JOIN s2 ON n.node = s2.node),
+      |s3 AS (SELECT e.dst AS node, CAST(sum(r2.r // deg.d) AS BIGINT) AS c
+      |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT n.node,
+      |         150000 + (850 * COALESCE(s3.c, 0)) // 1000 AS r
+      |       FROM n LEFT JOIN s3 ON n.node = s3.node)
+      |SELECT node, r AS rank_micro FROM r3""".stripMargin
+  ) { (s, d) =>
+    val pair = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("s"), (col("o_custkey") * 2 + 1).as("c"))
+      .distinct()
+    val e = pair.select(col("s").as("src"), col("c").as("dst"))
+      .union(pair.select(col("c").as("src"), col("s").as("dst")))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("r div d").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("c"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("150000L + (850L * coalesce(c, 0L)) div 1000L").as("r"))
+    }
+    r.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q75_pagerank" -> q75Pagerank
+  )
+}

@@ -305,6 +305,86 @@ object Relational3 {
             expr("percentile(cents, 0.55)")).as("approx_ok"))
   }
 
+  /** Edit-distance (Levenshtein) similarity — the fuzzy-string staple
+    * for entity resolution. Distance histogram against a fixed probe
+    * string: the DP distance is integer-exact in any engine, and the
+    * aggregate keys on it, so the whole query is deterministic. At
+    * scale this is map-side compute + a tiny-key aggregate; pairwise
+    * fuzzy joins would instead go through the q41/q42 candidate-
+    * generation paths with levenshtein as the verify step. */
+  val q76EditDistance: QueryDef = QueryDef.withOracle(
+    """SELECT levenshtein(p_name, 'midnight amber rose') AS dist,
+      |  count(*) AS n,
+      |  min(p_partkey) AS first_part
+      |FROM part GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy(levenshtein(col("p_name"), lit("midnight amber rose")).as("dist"))
+      .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("first_part"))
+  }
+
+  /** Conversion funnel: signup → first click AFTER the signup → first
+    * purchase AFTER that click, per user, folded to one summary row.
+    * The per-stage anchor is min(epoch µs) under a strict-inequality
+    * chain — pure integer comparisons, so stage membership and the
+    * mean gaps (int64 sums / counts, one double division) are
+    * engine-exact. Scale shape: three filtered partial aggregates
+    * keyed by user_id and two user-keyed joins — AQE broadcasts the
+    * shrinking stage frames; nothing global until the final 1-row
+    * fold. */
+  val q77Funnel: QueryDef = QueryDef.withOracle(
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(ts_us) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c1 AS (
+      |  SELECT ev.user_id, min(ev.ts_us) AS t2, min(s1.t1) AS t1
+      |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.t1
+      |  GROUP BY ev.user_id),
+      |p1 AS (
+      |  SELECT ev.user_id, min(ev.ts_us) AS t3, min(c1.t2) AS t2
+      |  FROM ev JOIN c1 ON ev.user_id = c1.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.ts_us > c1.t2
+      |  GROUP BY ev.user_id)
+      |SELECT count(s1.t1) AS n_signup,
+      |  count(c1.t2) AS n_click,
+      |  count(p1.t3) AS n_purchase,
+      |  CAST(CAST(sum(c1.t2 - c1.t1) AS BIGINT) AS DOUBLE) / count(c1.t2)
+      |    AS mean_signup_to_click_us,
+      |  CAST(CAST(sum(p1.t3 - p1.t2) AS BIGINT) AS DOUBLE) / count(p1.t3)
+      |    AS mean_click_to_purchase_us
+      |FROM s1
+      |LEFT JOIN c1 ON s1.user_id = c1.user_id
+      |LEFT JOIN p1 ON s1.user_id = p1.user_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val c1 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"), min(col("t1")).as("t1"))
+    val p1 = ev.filter(col("event_type") === "purchase")
+      .join(c1.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t3"), min(col("t2")).as("t2"))
+    s1.join(c1.select(col("user_id"), col("t1").as("c_t1"), col("t2")),
+        Seq("user_id"), "left")
+      .join(p1.select(col("user_id"), col("t2").as("p_t2"), col("t3")),
+        Seq("user_id"), "left")
+      .agg(
+        count(col("t1")).as("n_signup"),
+        count(col("t2")).as("n_click"),
+        count(col("t3")).as("n_purchase"),
+        (sum(col("t2") - col("c_t1")).cast("double") / count(col("t2")))
+          .as("mean_signup_to_click_us"),
+        (sum(col("t3") - col("p_t2")).cast("double") / count(col("t3")))
+          .as("mean_click_to_purchase_us"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2n_grouping_sets" -> q2nGroupingSets,
     "q2o_corr_stats" -> q2oCorrStats,
@@ -314,6 +394,8 @@ object Relational3 {
     "q2s_first_last" -> q2sFirstLast,
     "q2t_argmax" -> q2tArgmax,
     "q73_salted_agg" -> q73SaltedAgg,
-    "q74_approx_quantile" -> q74ApproxQuantile
+    "q74_approx_quantile" -> q74ApproxQuantile,
+    "q76_edit_distance" -> q76EditDistance,
+    "q77_funnel" -> q77Funnel
   )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the third relational tranche + graph ops —
+  * properties the DuckDB hash-match can't express (cross-query
+  * consistency, determinism across reruns). */
+class Relational3Spec extends SparkSpec {
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("q77: funnel stage counts are monotone non-increasing") {
+    val r = q("q77_funnel").head()
+    val (s, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s >= c && c >= p && p >= 0, (s, c, p))
+    assert(s > 0, "fixture must produce signups")
+  }
+
+  test("q73: salted aggregate is EXACTLY the plain aggregate") {
+    val salted = q("q73_salted_agg")
+    val plain = Tables.events(spark, sf("sf0.001"))
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(floor(col("value") * 100 + 0.5).cast("long")).cast("double")
+          / 100.0).as("total_value"),
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0)
+  }
+
+  test("q2n: grouping-set marginals are consistent with the grand total") {
+    val rows = q("q2n_grouping_sets").collect()
+    val grand = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(grand.length == 1)
+    val flagRows = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    val statusRows = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 0)
+    val n = grand.head.getAs[Long]("n")
+    assert(flagRows.map(_.getAs[Long]("n")).sum == n)
+    assert(statusRows.map(_.getAs[Long]("n")).sum == n)
+  }
+
+  test("q75: pagerank ranks respect the damping bounds and determinism") {
+    val r1 = q("q75_pagerank").cache()
+    val nNodes = r1.count()
+    // every node keeps at least the teleport mass; total never exceeds
+    // the initial mass (floor-division only sheds micro-units)
+    assert(r1.filter(col("rank_micro") < 150000L).count() == 0)
+    val total = r1.agg(sum(col("rank_micro"))).head().getLong(0)
+    assert(total <= nNodes * 1000000L, s"total=$total nodes=$nNodes")
+    assert(total >= nNodes * 150000L)
+    // some node must have accumulated more than the uniform share —
+    // otherwise the recurrence never circulated any mass
+    assert(r1.filter(col("rank_micro") > 1000000L).count() > 0)
+    // integer recurrence ⇒ bit-identical rerun
+    val r2 = q("q75_pagerank")
+    assert(r1.exceptAll(r2).count() == 0 && r2.exceptAll(r1).count() == 0)
+    r1.unpersist()
+  }
+
+  test("q74: exact quartiles are ordered and the approx flag holds") {
+    q("q74_approx_quantile").collect().foreach { r =>
+      val (p25, med, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= med && med <= p75, r)
+      assert(r.getBoolean(5), s"approx_percentile outside [p45,p55]: $r")
+    }
+  }
+}

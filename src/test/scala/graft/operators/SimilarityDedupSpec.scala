@@ -212,9 +212,9 @@ class SimilarityDedupSpec extends SparkSpec {
 
   test("query group maps have no name collisions") {
     val groups = Seq(
-      Relational.all, Relational2.all, TextOps.all, DedupOps.all,
-      SimilarityOps.all, RankingOps.all, ClusteringOps.all,
-      CurationOps.all, SmartHomeOps.all)
+      Relational.all, Relational2.all, Relational3.all, TextOps.all,
+      DedupOps.all, SimilarityOps.all, RankingOps.all, ClusteringOps.all,
+      CurationOps.all, GraphOps.all, SmartHomeOps.all)
     val total = groups.map(_.size).sum
     assert(graft.SparkEntry.queries.size == total,
       s"collision: merged ${graft.SparkEntry.queries.size} != sum $total")
