@@ -15,7 +15,8 @@ object ExplainAudit {
         "q4_join_multi", "q5_window_rolling", "q7_topk", "q25_rank",
         "q38_curate_topk", "q39_vocab_topk", "q41_ngram_jaccard",
         "q44_embed_neardup", "q46_doc_pack", "q50_ann_brute",
-        "q57_winnow", "q58_bloom_decontam", "q67_bigram_novelty")
+        "q57_winnow", "q58_bloom_decontam", "q67_bigram_novelty",
+        "q73_salted_agg", "q75_pagerank", "q77_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
