@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over the generic events stream — the streaming
+  * counterparts of the batch event operators (q2j interval join,
+  * q77 funnel) where incremental semantics change the execution
+  * story: a stream-stream join holds bounded per-key state instead of
+  * re-scanning a lookback window per tick.
+  */
+object EventStreams {
+
+  /** Watermarked stream-stream interval join: click → purchase
+    * conversions within `windowDur` per user (streaming analog of the
+    * batch q2j bucketed interval join). Both sides carry a watermark
+    * and the join predicate bounds purchase_ts to
+    * (click_ts, click_ts + windowDur], so Spark derives state
+    * eviction: a buffered click is dropped once the purchase-side
+    * watermark passes click_ts + windowDur — state is bounded by
+    * in-flight rows inside the watermark horizon, not the stream
+    * history. Scale shape: one hash shuffle per side keyed by
+    * user_id, identical to the batch equi-join profile.
+    *
+    * Inputs need columns (user_id, event_id, ts); both frames may be
+    * streaming, or bounded for a batch parity check — the plan is the
+    * same declarative join either way. */
+  def conversionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowDur: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowDur"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+}
