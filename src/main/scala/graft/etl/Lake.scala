@@ -99,6 +99,68 @@ object Lake {
       .schema(Schemas.billingData)
       .csv(path)
 
+  /** Small-file compaction for a date-partitioned table: rewrite each
+    * partition's many small files (the natural residue of frequent
+    * micro-batch ingest) into ~`targetBytes`-sized ones. Sizing comes
+    * from the actual on-disk bytes per partition, not a row-count
+    * guess, so compaction stays correct as row width drifts. The
+    * rewrite reuses dynamic partition overwrite — same idempotence
+    * contract as the sinks: interrupting and rerunning converges.
+    *
+    * 100 TB shape: each date partition is compacted independently
+    * (repartition keyed by the partition column + a within-partition
+    * file index), so the shuffle moves each partition's bytes once
+    * and partitions compact in parallel; untouched partitions are
+    * never rewritten (the `datesToCompact` predicate prunes them). */
+  def compact(spark: SparkSession, dir: String, partitionCol: String = "date",
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return
+    // per-partition (bytes, fileCount) from the directory listing
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { s =>
+        val files = fs.listStatus(s.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        val value = s.getPath.getName.split("=", 2)(1)
+        (value, files.map(_.getLen).sum, files.length)
+      }
+    val toCompact = parts.collect {
+      // worth rewriting only when it shrinks the file count
+      case (value, bytes, nFiles)
+          if nFiles > math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt) =>
+        value -> math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    }.toMap
+    if (toCompact.isEmpty) return
+    val compacted = spark.read.parquet(dir)
+      .filter(col(partitionCol).cast("string").isin(toCompact.keys.toSeq: _*))
+    // file SIZE is enforced by maxRecordsPerFile (writers roll files
+    // at the row count equivalent to targetBytes at the observed
+    // bytes/row) — robust against AQE coalescing the shuffle; the
+    // salt below only spreads each partition's rows across tasks so
+    // a huge partition doesn't serialize through one writer
+    val totalBytes = toCompact.keys.map(v =>
+      parts.find(_._1 == v).map(_._2).getOrElse(0L)).sum
+    val totalRows = compacted.count()
+    if (totalRows == 0) return
+    val avgRowBytes = math.max(1L, totalBytes / totalRows)
+    // 5% slack: a salt group sized exactly at the target must produce
+    // ONE file, not a full file plus a 1-row residue
+    val maxRecords = math.max(1L, targetBytes / avgRowBytes * 21 / 20)
+    val maxTargetFiles = toCompact.values.max
+    compacted
+      .repartition(col(partitionCol),
+        pmod(monotonically_increasing_id(), lit(maxTargetFiles.toLong)))
+      .write
+      .partitionBy(partitionCol)
+      .option("maxRecordsPerFile", maxRecords)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(dir)
+  }
+
   /** S4-as-batch: Bronze sink partitioned by event date. */
   def writeBronze(bronze: DataFrame, root: String): Unit =
     bronze

@@ -1,0 +1,81 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Map[String, Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { s =>
+        s.getPath.getName ->
+          fs.listStatus(s.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
+  test("compact collapses small files per partition, preserves content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/t"
+    // 2 date partitions × 12 small files each (micro-batch residue)
+    val rows = (1 to 2400).map(i =>
+      (i.toLong, s"device_${i % 7}", java.sql.Date.valueOf(
+        if (i % 2 == 0) "2025-07-01" else "2025-07-02")))
+    rows.toDF("id", "device_id", "date")
+      .repartition(12)
+      .write.partitionBy("date").parquet(dir)
+    val before = parquetFiles(dir)
+    assert(before.values.forall(_ >= 10), before)
+    val originalRows = spark.read.parquet(dir).collect().toSet
+
+    // huge target size → every partition should compact to ONE file
+    Lake.compact(spark, dir, targetBytes = 1L << 30)
+
+    val after = parquetFiles(dir)
+    assert(after.keySet == before.keySet, after)
+    assert(after.values.forall(_ == 1), s"expected 1 file/partition: $after")
+    assert(spark.read.parquet(dir).collect().toSet == originalRows)
+
+    // idempotent: a second pass finds nothing worth rewriting (file
+    // mtimes unchanged proves no rewrite happened)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def mtimes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory)
+      .flatMap(s => fs.listStatus(s.getPath).filter(_.isFile).map(_.getModificationTime))
+      .toSeq.sorted
+    val m1 = mtimes
+    Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(mtimes == m1, "second compact pass must be a no-op")
+  }
+
+  test("compact splits by target size when a partition is oversized") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2")
+      .toString + "/t"
+    val rows = (1 to 5000).map(i =>
+      (i.toLong, scala.util.Random.nextString(0) + ("x" * 100),
+        java.sql.Date.valueOf("2025-07-03")))
+    rows.toDF("id", "payload", "date")
+      .repartition(10)
+      .write.partitionBy("date").parquet(dir)
+    val bytes = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(_.isDirectory)
+        .flatMap(s => fs.listStatus(s.getPath).filter(_.isFile).map(_.getLen)).sum
+    }
+    // target = ~1/3 of the partition bytes → expect ceil(bytes/target)
+    // ≈ 3-4 files, strictly fewer than the original 10
+    Lake.compact(spark, dir, targetBytes = bytes / 3)
+    val after = parquetFiles(dir)
+    val n = after.values.head
+    assert(n < 10 && n >= 2, after)
+    assert(spark.read.parquet(dir).count() == 5000)
+  }
+}
