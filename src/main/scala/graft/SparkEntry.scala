@@ -25,6 +25,7 @@ object SparkEntry {
       operators.CurationOps.all ++
       operators.ClusteringOps.all ++
       operators.GraphOps.all ++
+      operators.ChangeOps.all ++
       operators.SmartHomeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -161,6 +161,19 @@ object Lake {
       .parquet(dir)
   }
 
+  /** Range-clustered write: repartitionByRange + sortWithinPartitions
+    * on the cluster key gives every output file a DISJOINT key range,
+    * so parquet row-group/file min-max statistics prune reads for any
+    * range or point predicate on that key — the poor-man's
+    * Z-ordering for the single-key case, at zero read-path cost.
+    * Range boundaries come from Spark's reservoir sample of the key
+    * distribution, so files are near-equal-sized even under skew. */
+  def clusteredWrite(df: DataFrame, dir: String, clusterCol: String,
+      nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(dir)
+
   /** S4-as-batch: Bronze sink partitioned by event date. */
   def writeBronze(bronze: DataFrame, root: String): Unit =
     bronze

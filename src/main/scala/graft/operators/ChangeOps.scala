@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data operators: snapshot diffing and MERGE-style upserts —
+  * the table-maintenance surface a lakehouse pipeline needs around
+  * the pure queries (Lake.compact is the physical-layout sibling).
+  * Both are single full-outer-join compositions: one shuffle per
+  * side keyed by the natural key, no driver-side state, so they scale
+  * like any co-partitioned join (bucket both sides on the key at
+  * 100 TB and the shuffle disappears).
+  *
+  * Determinism: all value comparisons ride on integer cents
+  * (README §float-parity) — a diff/merge must never hinge on a
+  * float's string rendering.
+  */
+object ChangeOps {
+
+  /** Generic snapshot diff on a composite key: classifies every key
+    * as added / removed / changed / unchanged by comparing the given
+    * integer value columns. */
+  def tableDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val aa = a.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__a", lit(1))
+    val bb = b.select((keys ++ valueCols).map(c => col(c).as(s"b_$c")) ++
+      keys.map(col): _*).withColumn("__b", lit(1))
+    val changed = valueCols.map(c => col(c) =!= col(s"b_$c"))
+      .reduce(_ || _)
+    aa.join(bb, keys, "full")
+      .withColumn("status",
+        when(col("__a").isNull, "added")
+          .when(col("__b").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged"))
+  }
+
+  /** Snapshot diff between two lineitem states: the later snapshot
+    * adds a quarter of shipments, drops heavy lines, and bumps
+    * discounted quantities — exercising all four diff classes. The
+    * oracle recomputes the FULL JOIN classification independently. */
+  val q78TableDiff: QueryDef = QueryDef.withOracle(
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+      |    l_shipdate, l_discount
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_orderkey, l_linenumber, qty, price_c FROM base
+      |  WHERE l_shipdate <= TIMESTAMP '1995-06-30 00:00:00'),
+      |b AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_discount > 0.08 THEN qty + 1 ELSE qty END AS qty,
+      |    price_c
+      |  FROM base
+      |  WHERE l_shipdate <= TIMESTAMP '1995-09-30 00:00:00' AND qty <= 45)
+      |SELECT CASE WHEN a.l_orderkey IS NULL THEN 'added'
+      |            WHEN b.l_orderkey IS NULL THEN 'removed'
+      |            WHEN a.qty != b.qty OR a.price_c != b.price_c THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |  count(*) AS n
+      |FROM a FULL JOIN b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+      |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"),
+      col("l_shipdate"), col("l_discount"))
+    val a = base
+      .filter(col("l_shipdate") <= lit("1995-06-30 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "qty", "price_c")
+    val b = base
+      .filter(col("l_shipdate") <= lit("1995-09-30 00:00:00").cast("timestamp") &&
+        col("qty") <= 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.08, col("qty") + 1).otherwise(col("qty"))
+          .as("qty"),
+        col("price_c"))
+    tableDiff(a, b, Seq("l_orderkey", "l_linenumber"), Seq("qty", "price_c"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
+  /** MERGE-style upsert by full-outer-join composition (no Delta/
+    * Iceberg in scope — this is the plan such engines execute
+    * underneath): source rows update matched targets and insert new
+    * keys, unmatched targets pass through. */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val src = source.select(keys.map(col) ++
+      valueCols.map(c => col(c).as(s"s_$c")): _*)
+    target.join(src, keys, "full")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        coalesce(col(s"s_$c"), col(c)).as(c)) :+
+        col(s"s_${valueCols.head}").isNotNull.as("from_source"): _*)
+  }
+
+  /** Upsert of an order-book snapshot: urgent pre-cutoff orders get a
+    * 10% price bump (update), post-cutoff orders arrive new (insert),
+    * the rest pass through. Cents fixed-point keeps the 10% bump an
+    * integer op (`c*11/10` floor), identical cross-engine. */
+  val q79Merge: QueryDef = QueryDef.withOracle(
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders),
+      |target AS (
+      |  SELECT o_orderkey, price_c FROM o
+      |  WHERE o_orderdate <= DATE '1996-12-31'),
+      |source AS (
+      |  SELECT o_orderkey, price_c * 11 // 10 AS price_c FROM o
+      |  WHERE o_orderdate <= DATE '1996-12-31'
+      |    AND o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, price_c FROM o WHERE o_orderdate > DATE '1996-12-31')
+      |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |  CAST(COALESCE(s.price_c, t.price_c) AS DOUBLE) / 100.0 AS price,
+      |  s.price_c IS NOT NULL AS from_source
+      |FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_c"),
+      col("o_orderdate"), col("o_orderpriority"))
+    val cutoff = lit("1996-12-31").cast("date")
+    val target = o.filter(col("o_orderdate") <= cutoff)
+      .select("o_orderkey", "price_c")
+    val source = o
+      .filter(col("o_orderdate") <= cutoff &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), expr("price_c * 11 div 10").as("price_c"))
+      .unionAll(o.filter(col("o_orderdate") > cutoff)
+        .select("o_orderkey", "price_c"))
+    mergeInto(target, source, Seq("o_orderkey"), Seq("price_c"))
+      .select(col("o_orderkey"),
+        (col("price_c").cast("double") / 100.0).as("price"),
+        col("from_source"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q78_table_diff" -> q78TableDiff,
+    "q79_merge" -> q79Merge
+  )
+}
