@@ -108,16 +108,34 @@ object Lake {
     * contract as the sinks: interrupting and rerunning converges.
     *
     * 100 TB shape: each date partition is compacted independently
-    * (repartition keyed by the partition column + a within-partition
-    * file index), so the shuffle moves each partition's bytes once
-    * and partitions compact in parallel; untouched partitions are
-    * never rewritten (the `datesToCompact` predicate prunes them). */
+    * (repartition keyed by the partition column + a PER-PARTITION
+    * salt sized to that partition's own target file count), so the
+    * shuffle moves each partition's bytes once and partitions compact
+    * in parallel; untouched partitions are never rewritten. The null
+    * partition (`__HIVE_DEFAULT_PARTITION__` — audit-only rows, see
+    * writeBronze) is deliberately left alone: it is excluded from
+    * both the rewrite and the row-size estimate. */
   def compact(spark: SparkSession, dir: String, partitionCol: String = "date",
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(root)) return
+    // Hive-style %xx directory-name unescape, so the listed value
+    // matches the COLUMN value the isin filter compares against
+    // (URLDecoder is wrong here: it also turns '+' into space)
+    def unescape(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     // per-partition (bytes, fileCount) from the directory listing
     val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
@@ -127,11 +145,13 @@ object Lake {
         val value = s.getPath.getName.split("=", 2)(1)
         (value, files.map(_.getLen).sum, files.length)
       }
+      .filter(_._1 != "__HIVE_DEFAULT_PARTITION__")
     val toCompact = parts.collect {
       // worth rewriting only when it shrinks the file count
       case (value, bytes, nFiles)
           if nFiles > math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt) =>
-        value -> math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        unescape(value) ->
+          math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
     }.toMap
     if (toCompact.isEmpty) return
     val compacted = spark.read.parquet(dir)
@@ -139,20 +159,24 @@ object Lake {
     // file SIZE is enforced by maxRecordsPerFile (writers roll files
     // at the row count equivalent to targetBytes at the observed
     // bytes/row) — robust against AQE coalescing the shuffle; the
-    // salt below only spreads each partition's rows across tasks so
-    // a huge partition doesn't serialize through one writer
-    val totalBytes = toCompact.keys.map(v =>
-      parts.find(_._1 == v).map(_._2).getOrElse(0L)).sum
+    // salt spreads each partition's rows over ITS OWN target file
+    // count so a huge partition doesn't serialize through one writer
+    // while a small partition still converges to one file (a global
+    // salt would shred it and break one-pass idempotence)
+    val totalBytes = parts.collect {
+      case (v, bytes, _) if toCompact.contains(unescape(v)) => bytes
+    }.sum
     val totalRows = compacted.count()
     if (totalRows == 0) return
     val avgRowBytes = math.max(1L, totalBytes / totalRows)
     // 5% slack: a salt group sized exactly at the target must produce
     // ONE file, not a full file plus a 1-row residue
     val maxRecords = math.max(1L, targetBytes / avgRowBytes * 21 / 20)
-    val maxTargetFiles = toCompact.values.max
+    val targetFiles = typedLit(toCompact)
     compacted
       .repartition(col(partitionCol),
-        pmod(monotonically_increasing_id(), lit(maxTargetFiles.toLong)))
+        pmod(monotonically_increasing_id(),
+          element_at(targetFiles, col(partitionCol).cast("string"))))
       .write
       .partitionBy(partitionCol)
       .option("maxRecordsPerFile", maxRecords)

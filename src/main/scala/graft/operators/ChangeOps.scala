@@ -27,7 +27,10 @@ object ChangeOps {
       .withColumn("__a", lit(1))
     val bb = b.select((keys ++ valueCols).map(c => col(c).as(s"b_$c")) ++
       keys.map(col): _*).withColumn("__b", lit(1))
-    val changed = valueCols.map(c => col(c) =!= col(s"b_$c"))
+    // null-SAFE inequality: NULL→5 and 5→NULL are real changes; the
+    // null-unsafe =!= would evaluate to NULL and fall through to
+    // 'unchanged'
+    val changed = valueCols.map(c => !(col(c) <=> col(s"b_$c")))
       .reduce(_ || _)
     aa.join(bb, keys, "full")
       .withColumn("status",
@@ -91,12 +94,15 @@ object ChangeOps {
     * keys, unmatched targets pass through. */
   def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
       valueCols: Seq[String]): DataFrame = {
+    // presence marker, not a value-null test: a source row may
+    // legitimately carry NULL in a value column and MERGE semantics
+    // say that NULL must overwrite the target value
     val src = source.select(keys.map(col) ++
-      valueCols.map(c => col(c).as(s"s_$c")): _*)
+      valueCols.map(c => col(c).as(s"s_$c")) :+ lit(1).as("__src"): _*)
     target.join(src, keys, "full")
       .select(keys.map(col) ++ valueCols.map(c =>
-        coalesce(col(s"s_$c"), col(c)).as(c)) :+
-        col(s"s_${valueCols.head}").isNotNull.as("from_source"): _*)
+        when(col("__src").isNotNull, col(s"s_$c")).otherwise(col(c)).as(c)) :+
+        col("__src").isNotNull.as("from_source"): _*)
   }
 
   /** Upsert of an order-book snapshot: urgent pre-cutoff orders get a
@@ -119,8 +125,9 @@ object ChangeOps {
       |  UNION ALL
       |  SELECT o_orderkey, price_c FROM o WHERE o_orderdate > DATE '1996-12-31')
       |SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-      |  CAST(COALESCE(s.price_c, t.price_c) AS DOUBLE) / 100.0 AS price,
-      |  s.price_c IS NOT NULL AS from_source
+      |  CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.price_c
+      |            ELSE t.price_c END AS DOUBLE) / 100.0 AS price,
+      |  s.o_orderkey IS NOT NULL AS from_source
       |FROM target t FULL JOIN source s ON t.o_orderkey = s.o_orderkey""".stripMargin
   ) { (s, d) =>
     val o = Tables.orders(s, d).select(col("o_orderkey"),
