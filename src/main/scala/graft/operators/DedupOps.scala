@@ -351,7 +351,55 @@ object DedupOps {
       .filter(col("cosine") >= 0.3)
   }
 
+  /** Fuzzy (edit-distance) self-join — the entity-resolution staple:
+    * part-name pairs within Levenshtein 3, same brand. The Spark side
+    * must NOT brute-force the self-join, so candidates come from
+    * RECALL-COMPLETE blocking: equi-join on (brand, EXACT length)
+    * with the left side exploded to the 2d+1 admissible lengths —
+    * any pair within distance d has |len(a)−len(b)| ≤ d, so b's exact
+    * length is one of a's 7 probes and every qualifying pair is
+    * produced by EXACTLY one (brand, length) key (the right row owns
+    * one length; a<b kills the mirror). Exact-length keys admit ZERO
+    * length slop — measured ~2× fewer candidates than width-(d+1)
+    * bucket blocking on this corpus, and the candidate count equals
+    * the length-filter bound exactly. Exact levenshtein then verifies
+    * map-side. The oracle brute-forces the same predicate in DuckDB —
+    * blocking must lose nothing to hash-match. At scale: one hash
+    * shuffle on the blocking key (broadcast when a side fits);
+    * tighter blocking (PassJoin segments, q41 shingle postings) slots
+    * into the same shape when blocks run hot. */
+  val q80FuzzyJoin: QueryDef = QueryDef.withOracle(
+    """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+      |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      col("p_brand"), length(col("p_name")).as("lb"))
+    // the dimension-sized input arrives as ONE split (a few MB of
+    // parquet), and AQE broadcasts the build side — without an
+    // explicit fan-out the whole candidate stream (≈ n²/blocks
+    // levenshtein calls) runs on a single core. Round-robin the probe
+    // side across the session's parallelism first: the shuffle moves
+    // only n·(2d+1) tiny rows, the verify stage is what must go wide.
+    val fanout = p.sparkSession.sparkContext.defaultParallelism
+    val left = p.select(col("p_partkey").as("part_a"),
+        col("p_name").as("name_a"), col("p_brand"), col("lb"))
+      .withColumn("bucket", explode(sequence(col("lb") - 3, col("lb") + 3)))
+      .drop("lb")
+      .repartition(fanout)
+    val right = p.select(col("p_partkey").as("part_b"),
+      col("p_name").as("name_b"), col("p_brand"), col("lb").as("bucket"))
+    left.join(right, Seq("p_brand", "bucket"))
+      .filter(col("part_a") < col("part_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select("part_a", "part_b", "dist")
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q80_fuzzy_join" -> q80FuzzyJoin,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_ngram_jaccard" -> q41NgramJaccard,
     "q42_minhash_lsh" -> q42MinHashLsh,

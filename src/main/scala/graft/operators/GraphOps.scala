@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relational-derived edge lists. The dedup
@@ -73,28 +74,42 @@ object GraphOps {
     val e = pair.select(col("s").as("src"), col("c").as("dst"))
       .union(pair.select(col("c").as("src"), col("s").as("dst")))
       .distinct()
-    // out-degree rides ON the edge list (one join, before the loop) so
-    // each iteration is exactly one join + one aggregate. The edge
-    // frames stay LAZY here: for a fixed 3 rounds, recomputing the
-    // edge derivation per round beats materializing it (measured 2.3×
-    // faster at sf0.1 than an eager localCheckpoint of both frames —
-    // checkpoint I/O isn't free). Past ~5 rounds the balance flips and
-    // the DedupCluster pattern (localCheckpoint every N rounds)
-    // becomes mandatory — the plan re-nests the edge lineage each
-    // round and optimizer input grows superlinearly.
+    pagerank(e, iterations = 3).select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Reusable deterministic PageRank over an (src, dst) edge list —
+    * see the object doc for the integer recurrence. Out-degree rides
+    * ON the edge list (one join, before the loop) so each iteration
+    * is exactly one join + one aggregate. The edge frames stay LAZY:
+    * for a handful of rounds, recomputing the edge derivation per
+    * round beats materializing it (measured 2.3× faster at sf0.1 than
+    * an eager localCheckpoint of both frames — checkpoint I/O isn't
+    * free). Past `checkpointAfter` rounds the balance flips and the
+    * DedupCluster pattern kicks in: the plan re-nests the edge
+    * lineage each round and optimizer input grows superlinearly, so
+    * the loop cuts lineage with an eager localCheckpoint every
+    * `checkpointAfter` rounds. */
+  def pagerank(e: DataFrame, iterations: Int,
+      checkpointAfter: Int = 5): DataFrame = {
     val ewd = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    var r = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to 3) {
-      val contrib = ewd.join(r, ewd("src") === r("node"))
+    val fixedEwd =
+      if (iterations > checkpointAfter) ewd.localCheckpoint(true) else ewd
+    val fixedNodes =
+      if (iterations > checkpointAfter) nodes.localCheckpoint(true) else nodes
+    var r = fixedNodes.withColumn("r", lit(1000000L))
+    for (i <- 1 to iterations) {
+      val contrib = fixedEwd.join(r, fixedEwd("src") === r("node"))
         .select(col("dst").as("node"), expr("r div d").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("c"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      r = fixedNodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           expr("150000L + (850L * coalesce(c, 0L)) div 1000L").as("r"))
+      if (i % checkpointAfter == 0 && i < iterations)
+        r = r.localCheckpoint(true)
     }
-    r.select(col("node"), col("r").as("rank_micro"))
+    r
   }
 
   val all: Map[String, QueryDef] = Map(
