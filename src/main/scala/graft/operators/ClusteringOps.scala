@@ -87,37 +87,7 @@ object ClusteringOps {
       |FROM cents2""".stripMargin
   ) { (s, d) =>
     val c = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents0 = c.filter(col("vec_id") % 101 === 1)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-
-    // argmax-cosine assignment (tiebreak: min cent_id), embedding
-    // carried inside the max_by value so it never re-joins
-    def assign(cents: DataFrame): DataFrame =
-      c.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          VectorExpressions.cosine(col("embedding"), col("cent_emb")).as("sim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("cent_id"), col("embedding")),
-          struct(col("sim"), (-col("cent_id")).as("ng"))).as("best"))
-        .select(col("vec_id"), col("best.embedding").as("embedding"),
-          col("best.cent_id").as("cent_id"))
-
-    // quantized-exact centroid mean; also returns member counts
-    def update(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pm", "v")))
-        .select(col("cent_id"), (col("pm") + 1).as("dim"), col("v"))
-        .groupBy(col("cent_id"), col("dim"))
-        .agg(sum(floor(col("v") * Quant + 0.5).cast("long")).as("sq"),
-          count(lit(1)).as("n"))
-        .groupBy(col("cent_id"))
-        .agg(expr("transform(array_sort(collect_list(named_struct(" +
-          s"'dim', dim, 'cv', cast(sq as double) / ${Quant}D / cast(n as double)" +
-          "))), x -> x.cv)").as("cent_emb"),
-          max(col("n")).as("n_members"))
-
-    val cents1 = update(assign(cents0)).select(col("cent_id"), col("cent_emb"))
-    val cents2 = update(assign(cents1))
+    val cents2 = twoRoundCentroids(c)
     cents2.select(
       col("cent_id").as("cluster_id"),
       col("n_members").cast("long").as("n_members"),
@@ -125,7 +95,133 @@ object ClusteringOps {
         / 10000).as("cent_norm"))
   }
 
+  /** argmax-cosine assignment (tiebreak: min cent_id), embedding
+    * carried inside the max_by value so it never re-joins. */
+  private def assign(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        VectorExpressions.cosine(col("embedding"), col("cent_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("embedding")),
+        struct(col("sim"), (-col("cent_id")).as("ng"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cent_id").as("cent_id"))
+
+  /** quantized-exact centroid mean; also returns member counts. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pm", "v")))
+      .select(col("cent_id"), (col("pm") + 1).as("dim"), col("v"))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(sum(floor(col("v") * Quant + 0.5).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+        s"'dim', dim, 'cv', cast(sq as double) / ${Quant}D / cast(n as double)" +
+        "))), x -> x.cv)").as("cent_emb"),
+        max(col("n")).as("n_members"))
+
+  /** The q56 centroid chain: seed on vec_id % 101 = 1, two
+    * assign→update rounds. Shared by q56 (centroid stats) and q81
+    * (semantic keep). */
+  private def twoRoundCentroids(c: DataFrame): DataFrame = {
+    val cents0 = c.filter(col("vec_id") % 101 === 1)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    val cents1 = update(assign(c, cents0)).select(col("cent_id"), col("cent_emb"))
+    update(assign(c, cents1))
+  }
+
+  /** Semantic dedup by cluster representative: after the q56 k-means
+    * rounds, each vector joins its argmax-cosine cluster and the
+    * cluster keeps ONLY the member most similar to its centroid
+    * (tiebreak: min vec_id) — the "one doc per semantic bucket"
+    * reduction behind diversity-preserving corpus thinning. Two
+    * max_by aggregations: per-vector best centroid, then per-cluster
+    * best member — both collapse map-side, so the shuffles carry one
+    * narrow row per vector / per cluster. Determinism: identical
+    * cosine doubles cross-engine (q56's contract) and total-order
+    * tiebreaks at both argmax steps. */
+  val q81SemanticKeep: QueryDef = QueryDef.withOracle(
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents0 AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 101 = 1),
+      |a1 AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT c.vec_id, c.emb, cent_id, row_number() OVER
+      |      (PARTITION BY c.vec_id
+      |       ORDER BY list_cosine_similarity(c.emb, cent_emb) DESC, cent_id) AS rn
+      |    FROM c CROSS JOIN cents0) WHERE rn = 1),
+      |d1 AS (
+      |  SELECT cent_id, i AS dim, emb[i] AS v
+      |  FROM a1, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i) g),
+      |s1 AS (
+      |  SELECT cent_id, dim,
+      |    CAST(sum(CAST(floor(v * 1048576.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))
+      |      AS BIGINT) AS sq,
+      |    count(*) AS n
+      |  FROM d1 GROUP BY 1, 2),
+      |cents1 AS (
+      |  SELECT cent_id,
+      |    list(CAST(sq AS DOUBLE) / 1048576.0::DOUBLE / CAST(n AS DOUBLE)
+      |         ORDER BY dim) AS cent_emb
+      |  FROM s1 GROUP BY 1),
+      |a2 AS (
+      |  SELECT vec_id, emb, cent_id FROM (
+      |    SELECT c.vec_id, c.emb, cent_id, row_number() OVER
+      |      (PARTITION BY c.vec_id
+      |       ORDER BY list_cosine_similarity(c.emb, cent_emb) DESC, cent_id) AS rn
+      |    FROM c CROSS JOIN cents1) WHERE rn = 1),
+      |d2 AS (
+      |  SELECT cent_id, i AS dim, emb[i] AS v
+      |  FROM a2, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i) g),
+      |s2 AS (
+      |  SELECT cent_id, dim,
+      |    CAST(sum(CAST(floor(v * 1048576.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))
+      |      AS BIGINT) AS sq,
+      |    count(*) AS n
+      |  FROM d2 GROUP BY 1, 2),
+      |cents2 AS (
+      |  SELECT cent_id,
+      |    list(CAST(sq AS DOUBLE) / 1048576.0::DOUBLE / CAST(n AS DOUBLE)
+      |         ORDER BY dim) AS cent_emb
+      |  FROM s2 GROUP BY 1),
+      |a3 AS (
+      |  SELECT vec_id, cent_id, sim FROM (
+      |    SELECT c.vec_id, cent_id,
+      |      list_cosine_similarity(c.emb, cent_emb) AS sim,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.emb, cent_emb) DESC, cent_id) AS rn
+      |    FROM c CROSS JOIN cents2) WHERE rn = 1)
+      |SELECT cent_id AS cluster_id, vec_id AS kept_vec,
+      |  CAST(n_members AS BIGINT) AS n_members,
+      |  floor(sim * 1000000 + 0.5) / 1000000 AS sim
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY cent_id ORDER BY sim DESC, vec_id) AS rk,
+      |        count(*) OVER (PARTITION BY cent_id) AS n_members
+      |      FROM a3)
+      |WHERE rk = 1""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents2 = twoRoundCentroids(c).select(col("cent_id"), col("cent_emb"))
+    c.crossJoin(broadcast(cents2))
+      .select(col("vec_id"), col("cent_id"),
+        VectorExpressions.cosine(col("embedding"), col("cent_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("sim")),
+        struct(col("sim"), (-col("cent_id")).as("ng"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cluster_id"),
+        col("best.sim").as("sim"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("vec_id"), col("sim")),
+          struct(col("sim"), (-col("vec_id")).as("nv"))).as("keep"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("keep.vec_id").as("kept_vec"),
+        col("n_members"),
+        (floor(col("keep.sim") * 1000000 + 0.5) / 1000000).as("sim"))
+  }
+
   val all: Map[String, QueryDef] = Map(
-    "q56_kmeans" -> q56Kmeans
+    "q56_kmeans" -> q56Kmeans,
+    "q81_semantic_keep" -> q81SemanticKeep
   )
 }

@@ -61,6 +61,18 @@ class Relational3Spec extends SparkSpec {
     r1.unpersist()
   }
 
+  test("pagerank checkpoint path (iterations > threshold) matches the lazy path") {
+    import spark.implicits._
+    // tiny directed graph, deep enough that 6 rounds move mass around
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val lazyPath = GraphOps.pagerank(e, iterations = 6, checkpointAfter = 99)
+    val checkpointed = GraphOps.pagerank(e, iterations = 6, checkpointAfter = 2)
+    assert(lazyPath.exceptAll(checkpointed).count() == 0 &&
+      checkpointed.exceptAll(lazyPath).count() == 0)
+    assert(lazyPath.count() == 4)
+  }
+
   test("q74: exact quartiles are ordered and the approx flag holds") {
     q("q74_approx_quantile").collect().foreach { r =>
       val (p25, med, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
