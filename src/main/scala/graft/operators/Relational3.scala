@@ -385,6 +385,63 @@ object Relational3 {
           .as("mean_click_to_purchase_us"))
   }
 
+  /** Time-series resampling with forward fill: each user's irregular
+    * events land on a regular 6-hour grid spanning [first, last]
+    * event; empty buckets carry the last observed value forward
+    * (`is_gap` marks them). Wholly composed from existing operators —
+    * per-bucket last-observation via max_by with a total-order
+    * tiebreak, grid generation via sequence+explode (a generator, so
+    * no driver materialization), fill via last(ignoreNulls) over an
+    * UNBOUNDED PRECEDING frame. Everything is integer bucket math and
+    * exact value selection — no arithmetic on the filled values — so
+    * both engines agree bit-for-bit. Scale shape: one aggregate and
+    * one window, both keyed by user_id; grid size is span/Δ per key,
+    * independent of event count. */
+  val q82ResampleFfill: QueryDef = QueryDef.withOracle(
+    """WITH e AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, value, event_id
+      |  FROM events),
+      |b AS (SELECT user_id, us // 21600000000 AS bucket, value, us, event_id
+      |      FROM e),
+      |obs AS (
+      |  SELECT user_id, bucket, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+      |      ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM b) WHERE rn = 1),
+      |span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      |         FROM b GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+      |         FROM span)
+      |SELECT g.user_id, g.bucket * 21600000000 AS bucket_us,
+      |  last_value(o.value IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  o.bucket IS NULL AS is_gap
+      |FROM grid g LEFT JOIN obs o
+      |  ON g.user_id = o.user_id AND g.bucket = o.bucket""".stripMargin
+  ) { (s, d) =>
+    val du = 21600000000L // 6 h in µs
+    val e = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
+      .withColumn("bucket", expr(s"us div $du"))
+    // presence marker, not value-nullness: a legitimately-NULL
+    // observation must still count as observed (mergeInto's lesson)
+    val obs = e.groupBy(col("user_id"), col("bucket"))
+      .agg(max_by(col("value"), struct(col("us"), col("event_id")))
+        .as("obs_value"))
+      .withColumn("__obs", lit(1))
+    val grid = e.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("user_id"),
+        explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("user_id", "bucket"), "left")
+      .select(col("user_id"), (col("bucket") * du).as("bucket_us"),
+        last(col("obs_value"), ignoreNulls = true).over(w).as("value"),
+        col("__obs").isNull.as("is_gap"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2n_grouping_sets" -> q2nGroupingSets,
     "q2o_corr_stats" -> q2oCorrStats,
@@ -396,6 +453,7 @@ object Relational3 {
     "q73_salted_agg" -> q73SaltedAgg,
     "q74_approx_quantile" -> q74ApproxQuantile,
     "q76_edit_distance" -> q76EditDistance,
-    "q77_funnel" -> q77Funnel
+    "q77_funnel" -> q77Funnel,
+    "q82_resample_ffill" -> q82ResampleFfill
   )
 }
