@@ -121,22 +121,12 @@ object Lake {
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(root)) return
-    // Hive-style %xx directory-name unescape, so the listed value
-    // matches the COLUMN value the isin filter compares against
-    // (URLDecoder is wrong here: it also turns '+' into space)
-    def unescape(s: String): String = {
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-    // per-partition (bytes, fileCount) from the directory listing
+    // per-partition (bytes, fileCount) from the directory listing.
+    // Everything downstream keys on the RAW directory segment (via
+    // input_file_name), never on a cast-to-string of the partition
+    // column — the two can disagree (Hive %xx escaping, zero-padded
+    // numerics rendered back as "7" for dir "07"), and matching the
+    // path bytes against themselves is exact by construction.
     val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map { s =>
@@ -145,38 +135,41 @@ object Lake {
         val value = s.getPath.getName.split("=", 2)(1)
         (value, files.map(_.getLen).sum, files.length)
       }
+      // the null partition holds audit-only rows (see writeBronze);
+      // never rewritten
       .filter(_._1 != "__HIVE_DEFAULT_PARTITION__")
     val toCompact = parts.collect {
       // worth rewriting only when it shrinks the file count
       case (value, bytes, nFiles)
           if nFiles > math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt) =>
-        unescape(value) ->
-          math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
+        value -> math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
     }.toMap
     if (toCompact.isEmpty) return
-    val compacted = spark.read.parquet(dir)
-      .filter(col(partitionCol).cast("string").isin(toCompact.keys.toSeq: _*))
-    // file SIZE is enforced by maxRecordsPerFile (writers roll files
-    // at the row count equivalent to targetBytes at the observed
-    // bytes/row) — robust against AQE coalescing the shuffle; the
-    // salt spreads each partition's rows over ITS OWN target file
-    // count so a huge partition doesn't serialize through one writer
-    // while a small partition still converges to one file (a global
-    // salt would shred it and break one-pass idempotence)
-    val totalBytes = parts.collect {
-      case (v, bytes, _) if toCompact.contains(unescape(v)) => bytes
-    }.sum
-    val totalRows = compacted.count()
-    if (totalRows == 0) return
-    val avgRowBytes = math.max(1L, totalBytes / totalRows)
-    // 5% slack: a salt group sized exactly at the target must produce
+    val pvPattern =
+      "/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/"
+    val withPv = spark.read.parquet(dir)
+      .withColumn("__pv", regexp_extract(input_file_name(), pvPattern, 1))
+      .filter(col("__pv").isin(toCompact.keys.toSeq: _*))
+    // Sizing is row-count-based PER PARTITION: each partition's salt
+    // spreads its rows over its own target file count (a global salt
+    // would shred small partitions and break rerun convergence), and
+    // maxRecordsPerFile — the backstop for AQE coalescing several
+    // salt groups into one task — is the largest per-partition
+    // rows-per-file bound, so no partition is ever split finer than
+    // its own target no matter how row widths vary across partitions.
+    val rowCounts = withPv.groupBy(col("__pv")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (rowCounts.isEmpty || rowCounts.values.forall(_ == 0L)) return
+    // 5% slack: a salt group sized exactly at the bound must produce
     // ONE file, not a full file plus a 1-row residue
-    val maxRecords = math.max(1L, targetBytes / avgRowBytes * 21 / 20)
+    val maxRecords = math.max(1L, rowCounts.map { case (v, n) =>
+      (n + toCompact(v) - 1) / toCompact(v)
+    }.max * 21 / 20)
     val targetFiles = typedLit(toCompact)
-    compacted
+    withPv
       .repartition(col(partitionCol),
-        pmod(monotonically_increasing_id(),
-          element_at(targetFiles, col(partitionCol).cast("string"))))
+        pmod(monotonically_increasing_id(), element_at(targetFiles, col("__pv"))))
+      .drop("__pv")
       .write
       .partitionBy(partitionCol)
       .option("maxRecordsPerFile", maxRecords)

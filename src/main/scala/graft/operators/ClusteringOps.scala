@@ -32,12 +32,12 @@ object ClusteringOps {
     * member quantization and the final division are exact. */
   private val Quant = 1048576.0
 
-  /** Spherical k-means over `embeddings`: seeds = vectors with
-    * vec_id % 101 = 1, two assign→update rounds, then a final
-    * assignment; output is per-cluster membership count and the
-    * 4-dp-rounded centroid L2 norm. Clusters that lose every member
-    * drop out (both engines aggregate only over assigned rows). */
-  val q56Kmeans: QueryDef = QueryDef.withOracle(
+  /** Shared two-round centroid CTE chain (c -> cents0 -> a1 -> d1 ->
+    * s1 -> cents1 -> a2 -> d2 -> s2) - the SQL mirror of
+    * `twoRoundCentroids`, interpolated into both the q56 and q81
+    * oracles so the recurrence can never silently diverge between
+    * them. */
+  private val centroidChainSql: String =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |cents0 AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 101 = 1),
       |a1 AS (
@@ -74,8 +74,16 @@ object ClusteringOps {
       |    CAST(sum(CAST(floor(v * 1048576.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))
       |      AS BIGINT) AS sq,
       |    count(*) AS n
-      |  FROM d2 GROUP BY 1, 2),
-      |cents2 AS (
+      |  FROM d2 GROUP BY 1, 2)""".stripMargin
+
+
+  /** Spherical k-means over `embeddings`: seeds = vectors with
+    * vec_id % 101 = 1, two assign→update rounds, then a final
+    * assignment; output is per-cluster membership count and the
+    * 4-dp-rounded centroid L2 norm. Clusters that lose every member
+    * drop out (both engines aggregate only over assigned rows). */
+  val q56Kmeans: QueryDef = QueryDef.withOracle(centroidChainSql + ",\n" +
+    """      |cents2 AS (
       |  SELECT cent_id,
       |    list(CAST(sq AS DOUBLE) / 1048576.0::DOUBLE / CAST(n AS DOUBLE)
       |         ORDER BY dim) AS cent_emb,
@@ -141,45 +149,8 @@ object ClusteringOps {
     * narrow row per vector / per cluster. Determinism: identical
     * cosine doubles cross-engine (q56's contract) and total-order
     * tiebreaks at both argmax steps. */
-  val q81SemanticKeep: QueryDef = QueryDef.withOracle(
-    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |cents0 AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 101 = 1),
-      |a1 AS (
-      |  SELECT vec_id, emb, cent_id FROM (
-      |    SELECT c.vec_id, c.emb, cent_id, row_number() OVER
-      |      (PARTITION BY c.vec_id
-      |       ORDER BY list_cosine_similarity(c.emb, cent_emb) DESC, cent_id) AS rn
-      |    FROM c CROSS JOIN cents0) WHERE rn = 1),
-      |d1 AS (
-      |  SELECT cent_id, i AS dim, emb[i] AS v
-      |  FROM a1, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i) g),
-      |s1 AS (
-      |  SELECT cent_id, dim,
-      |    CAST(sum(CAST(floor(v * 1048576.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))
-      |      AS BIGINT) AS sq,
-      |    count(*) AS n
-      |  FROM d1 GROUP BY 1, 2),
-      |cents1 AS (
-      |  SELECT cent_id,
-      |    list(CAST(sq AS DOUBLE) / 1048576.0::DOUBLE / CAST(n AS DOUBLE)
-      |         ORDER BY dim) AS cent_emb
-      |  FROM s1 GROUP BY 1),
-      |a2 AS (
-      |  SELECT vec_id, emb, cent_id FROM (
-      |    SELECT c.vec_id, c.emb, cent_id, row_number() OVER
-      |      (PARTITION BY c.vec_id
-      |       ORDER BY list_cosine_similarity(c.emb, cent_emb) DESC, cent_id) AS rn
-      |    FROM c CROSS JOIN cents1) WHERE rn = 1),
-      |d2 AS (
-      |  SELECT cent_id, i AS dim, emb[i] AS v
-      |  FROM a2, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i) g),
-      |s2 AS (
-      |  SELECT cent_id, dim,
-      |    CAST(sum(CAST(floor(v * 1048576.0::DOUBLE + 0.5::DOUBLE) AS BIGINT))
-      |      AS BIGINT) AS sq,
-      |    count(*) AS n
-      |  FROM d2 GROUP BY 1, 2),
-      |cents2 AS (
+  val q81SemanticKeep: QueryDef = QueryDef.withOracle(centroidChainSql + ",\n" +
+    """      |cents2 AS (
       |  SELECT cent_id,
       |    list(CAST(sq AS DOUBLE) / 1048576.0::DOUBLE / CAST(n AS DOUBLE)
       |         ORDER BY dim) AS cent_emb

@@ -120,6 +120,34 @@ class CompactionSpec extends SparkSpec {
     assert(parquetFiles(dir)("date=2025-08-01") == 1)
   }
 
+  test("compact sizes by per-partition rows, not a global byte/row average") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact4")
+      .toString + "/t"
+    // wide-row partition (stays untouched: its target exceeds its file
+    // count) + narrow-row partition targeting ONE file. A global
+    // bytes/row estimate is dominated by the wide rows and would shred
+    // the narrow partition into ~bytes/avgRow tiny files.
+    val wide = (1 to 500).map(i =>
+      (i.toLong, "w" * 1000, java.sql.Date.valueOf("2025-09-01")))
+    val narrow = (1 to 2000).map(i =>
+      (i.toLong, "n" * 10, java.sql.Date.valueOf("2025-09-02")))
+    (wide ++ narrow).toDF("id", "payload", "date")
+      .repartition(10)
+      .write.partitionBy("date").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val narrowBytes = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/date=2025-09-02"))
+      .filter(_.isFile).map(_.getLen).sum
+
+    Lake.compact(spark, dir, targetBytes = narrowBytes)
+    val after = parquetFiles(dir)
+    assert(after("date=2025-09-02") == 1,
+      s"narrow partition must compact to exactly one file: $after")
+    assert(spark.read.parquet(dir).count() == 2500)
+  }
+
   test("clustered write: files carry disjoint key ranges for skipping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cluster")
       .toString + "/t"
