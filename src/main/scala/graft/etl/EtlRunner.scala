@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.etl.EtlRunner --lake <dir> [--fixtures]
   *     [--devices 10] [--rows-per-device 3600]
   *     [--hours-back 24] [--days-back 7] [--at 2025-07-15T06:00:00Z]
+  *     [--compact] [--compact-target-mb 128]
   *
   * `--fixtures` seeds the lake's Bronze layer from the deterministic
   * generator first (demo/CI mode; production Bronze comes from the
@@ -31,6 +32,7 @@ object EtlRunner {
       while (i < args.length) {
         args(i) match {
           case "--fixtures" => m += "--fixtures" -> "true"; i += 1
+          case "--compact" => m += "--compact" -> "true"; i += 1
           case k if k.startsWith("--") && i + 1 < args.length =>
             m += k -> args(i + 1); i += 2
           case other =>
@@ -103,6 +105,16 @@ object EtlRunner {
     for (it <- 1 to iterations) {
       onePass()
       if (it < iterations && intervalS > 0) Thread.sleep(intervalS * 1000)
+    }
+    // optional lake maintenance after the passes: rewrite small-file
+    // residue in the partitioned sinks (micro-batch ingest accretes
+    // it; the scheduler would run this on a slower cadence)
+    if (opts.contains("--compact")) {
+      val target = opts.getOrElse("--compact-target-mb", "128").toLong << 20
+      Seq(s"$lake/bronze/telemetry", s"$lake/silver/energy_usage",
+        s"$lake/gold/daily_business_summary")
+        .foreach(Lake.compact(spark, _, targetBytes = target))
+      println(s"[etl] compacted partitioned sinks (target ${target >> 20} MB)")
     }
     spark.stop()
   }
