@@ -50,4 +50,23 @@ class SourceFormatsSpec extends SparkSpec {
       assert(math.abs(sumBack - sumOrig) < 1e-6, fmt)
     }
   }
+
+  test("schema evolution: mergeSchema unions batches, old rows null-fill") {
+    import spark.implicits._
+    val dir = s"$tmp/evolving"
+    // batch 1: v1 schema; batch 2 adds a column (the additive-evolution
+    // path a long-lived lake table takes; renames/drops need a rewrite)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "c", 0.9)).toDF("id", "payload", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "payload", "score"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("score").isNull).count() == 2,
+      "pre-evolution rows surface as NULL in the new column")
+    assert(merged.filter(col("score").isNotNull).select("id").head().getLong(0) == 3L)
+    // WITHOUT mergeSchema the footer picked is undefined across files —
+    // the option is the contract, not a default behavior
+  }
 }
