@@ -442,6 +442,32 @@ object Relational3 {
         col("__obs").isNull.as("is_gap"))
   }
 
+  /** The streaming conversion join (graft.streaming.EventStreams)
+    * applied to bounded frames, under the hard oracle: the SAME
+    * declarative join plan serves both the watermarked stream-stream
+    * execution (EventStreamsSpec proves batch parity across a
+    * micro-batch split) and this batch run — so the oracle hash here
+    * pins the operator's semantics for both modes. */
+  val q83StreamConversions: QueryDef = QueryDef.withOracle(
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(epoch_us(ts) AS BIGINT) AS a_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, CAST(epoch_us(ts) AS BIGINT) AS b_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, b_us - a_us AS gap_us
+      |FROM c JOIN p USING (user_id)
+      |WHERE b_us > a_us AND b_us <= a_us + 1800000000""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.streaming.EventStreams.conversionJoin(
+      ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts"),
+      ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts"),
+      windowDur = "30 minutes")
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q2n_grouping_sets" -> q2nGroupingSets,
     "q2o_corr_stats" -> q2oCorrStats,
@@ -454,6 +480,7 @@ object Relational3 {
     "q74_approx_quantile" -> q74ApproxQuantile,
     "q76_edit_distance" -> q76EditDistance,
     "q77_funnel" -> q77Funnel,
-    "q82_resample_ffill" -> q82ResampleFfill
+    "q82_resample_ffill" -> q82ResampleFfill,
+    "q83_stream_conversions" -> q83StreamConversions
   )
 }
