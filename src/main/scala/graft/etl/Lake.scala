@@ -145,31 +145,50 @@ object Lake {
         value -> math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
     }.toMap
     if (toCompact.isEmpty) return
-    val pvPattern =
-      "/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/"
-    val withPv = spark.read.parquet(dir)
-      .withColumn("__pv", regexp_extract(input_file_name(), pvPattern, 1))
-      .filter(col("__pv").isin(toCompact.keys.toSeq: _*))
+    // Read each selected partition DIRECTORY by path: pruning is by
+    // construction (untouched partitions are never opened — no
+    // predicate has to survive pushdown), no string-matching of
+    // partition values anywhere (cast-to-string renderings, Hive %xx
+    // escaping, and input_file_name's URL-encoding all disagree with
+    // the raw listing in corner cases), and the per-partition salt
+    // modulus rides along as a literal column. mergeSchema +
+    // unionByName(allowMissingColumns): an additively-evolved table
+    // keeps its newer columns (older rows null-fill) instead of being
+    // silently narrowed to whichever footer Spark samples first.
+    val frames = toCompact.toSeq.map { case (value, nf) =>
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", dir)
+        .parquet(s"$dir/$partitionCol=$value")
+        .withColumn("__nf", lit(nf))
+    }
+    val unioned = frames.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
     // Sizing is row-count-based PER PARTITION: each partition's salt
     // spreads its rows over its own target file count (a global salt
-    // would shred small partitions and break rerun convergence), and
-    // maxRecordsPerFile — the backstop for AQE coalescing several
-    // salt groups into one task — is the largest per-partition
-    // rows-per-file bound, so no partition is ever split finer than
-    // its own target no matter how row widths vary across partitions.
-    val rowCounts = withPv.groupBy(col("__pv")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (rowCounts.isEmpty || rowCounts.values.forall(_ == 0L)) return
-    // 5% slack: a salt group sized exactly at the bound must produce
-    // ONE file, not a full file plus a 1-row residue
-    val maxRecords = math.max(1L, rowCounts.map { case (v, n) =>
-      (n + toCompact(v) - 1) / toCompact(v)
+    // would shred small partitions and break rerun convergence).
+    // maxRecordsPerFile is a coarse backstop only — the max of the
+    // per-partition rows-per-file bounds (+5% so a group sized exactly
+    // at the bound yields ONE file, not a file plus a 1-row residue).
+    val bounds = unioned.groupBy(col(partitionCol), col("__nf"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("__nf"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (bounds.isEmpty) return
+    val maxRecords = math.max(1L, bounds.map { case (nf, n) =>
+      (n + nf - 1) / nf
     }.max * 21 / 20)
-    val targetFiles = typedLit(toCompact)
-    withPv
-      .repartition(col(partitionCol),
-        pmod(monotonically_increasing_id(), element_at(targetFiles, col("__pv"))))
-      .drop("__pv")
+    // EXPLICIT shuffle partition count (2× the total target files):
+    // a user-specified repartition count is exempt from AQE partition
+    // coalescing, so distinct (partition, salt) groups stay in
+    // distinct tasks except for hash collisions — a collision merges
+    // two salt groups into one file of ~2× the target, bounded and
+    // rare, where AQE coalescing could merge ALL of them.
+    val shuffleN = math.max(1, (toCompact.values.sum * 2).toInt)
+    unioned
+      .repartition(shuffleN, col(partitionCol),
+        pmod(monotonically_increasing_id(), col("__nf")))
+      .drop("__nf")
       .write
       .partitionBy(partitionCol)
       .option("maxRecordsPerFile", maxRecords)

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Relational2 {
 
+  /** Click→purchase interval-join oracle, shared by q2j (the bucketed
+    * batch composition) and q83 (the stream-stream operator run in
+    * batch mode) — one SQL text so the two gates can never silently
+    * diverge about the join semantics. */
+  private[operators] val intervalJoinOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(epoch_us(ts) AS BIGINT) AS a_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, CAST(epoch_us(ts) AS BIGINT) AS b_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, b_us - a_us AS gap_us
+      |FROM c JOIN p USING (user_id)
+      |WHERE b_us > a_us AND b_us <= a_us + 1800000000""".stripMargin
+
   /** lead/lag offsets per key — inter-event deltas. 2-dp values make
     * the delta exact double arithmetic in both engines. */
   val q24LagLead: QueryDef = QueryDef.withOracle(
@@ -479,15 +494,7 @@ object Relational2 {
     * (user, bucket). The exact range filter then prunes the ≤2×
     * candidate inflation map-side. */
   val q2jIntervalJoin: QueryDef = QueryDef.withOracle(
-    """WITH c AS (
-      |  SELECT user_id, event_id AS click_id, CAST(epoch_us(ts) AS BIGINT) AS a_us
-      |  FROM events WHERE event_type = 'click'),
-      |p AS (
-      |  SELECT user_id, event_id AS purchase_id, CAST(epoch_us(ts) AS BIGINT) AS b_us
-      |  FROM events WHERE event_type = 'purchase')
-      |SELECT click_id, purchase_id, b_us - a_us AS gap_us
-      |FROM c JOIN p USING (user_id)
-      |WHERE b_us > a_us AND b_us <= a_us + 1800000000""".stripMargin
+    Relational2.intervalJoinOracleSql
   ) { (s, d) =>
     val du = 1800000000L // 30 min in µs = the bucket width
     val ev = Tables.events(s, d)

@@ -449,15 +449,7 @@ object Relational3 {
     * micro-batch split) and this batch run — so the oracle hash here
     * pins the operator's semantics for both modes. */
   val q83StreamConversions: QueryDef = QueryDef.withOracle(
-    """WITH c AS (
-      |  SELECT user_id, event_id AS click_id, CAST(epoch_us(ts) AS BIGINT) AS a_us
-      |  FROM events WHERE event_type = 'click'),
-      |p AS (
-      |  SELECT user_id, event_id AS purchase_id, CAST(epoch_us(ts) AS BIGINT) AS b_us
-      |  FROM events WHERE event_type = 'purchase')
-      |SELECT click_id, purchase_id, b_us - a_us AS gap_us
-      |FROM c JOIN p USING (user_id)
-      |WHERE b_us > a_us AND b_us <= a_us + 1800000000""".stripMargin
+    Relational2.intervalJoinOracleSql
   ) { (s, d) =>
     val ev = Tables.events(s, d)
     graft.streaming.EventStreams.conversionJoin(

@@ -148,6 +148,29 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2500)
   }
 
+  test("compact preserves columns added by schema evolution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact5")
+      .toString + "/t"
+    // one partition, mixed footers: 8 old-schema files + 4 new-schema
+    // files with an extra column — compaction must keep the union
+    // schema, not whichever footer Spark samples first
+    Seq.tabulate(800)(i => (i.toLong, "p", java.sql.Date.valueOf("2025-10-01")))
+      .toDF("id", "payload", "date")
+      .repartition(8).write.partitionBy("date").parquet(dir)
+    Seq.tabulate(400)(i => (1000L + i, "p", 0.5, java.sql.Date.valueOf("2025-10-01")))
+      .toDF("id", "payload", "score", "date")
+      .repartition(4).write.mode("append").partitionBy("date").parquet(dir)
+
+    Lake.compact(spark, dir, targetBytes = 1L << 30)
+    assert(parquetFiles(dir)("date=2025-10-01") == 1)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.contains("score"),
+      "evolved column must survive the rewrite")
+    assert(back.count() == 1200)
+    assert(back.filter(col("score").isNotNull).count() == 400)
+  }
+
   test("clustered write: files carry disjoint key ranges for skipping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cluster")
       .toString + "/t"
