@@ -149,4 +149,20 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 2, p)
     assert(nodes(p, "HashAggregate") >= 3, p)
   }
+
+  test("q80: fuzzy join broadcasts the build side after the probe fan-out") {
+    val p = plan("q80_fuzzy_join")
+    // candidate verification must run wide (explicit round-robin
+    // exchange) against a broadcast build side — never a sort-merge
+    // of two single-split dims
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q82: resample generates the grid without a pre-shuffle, fills in one window") {
+    val p = plan("q82_resample_ffill")
+    assert(nodes(p, "Generate") == 1, p)
+    assert(nodes(p, "Window") == 1, p)
+  }
 }
