@@ -210,6 +210,38 @@ object Lake {
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(dir)
 
+  /** Z-order clustered write: range-cluster on the MORTON interleave
+    * of two keys instead of one key, so every file bounds BOTH
+    * dimensions — 2-D range/point predicates prune files where a
+    * lexicographic sort only prunes the leading key (the trailing key
+    * spans its full range in every file).
+    *
+    * Both keys are min-max normalized to 16 bits BEFORE interleaving
+    * (one tiny stats pass): raw interleaving only helps when the two
+    * domains have comparable bit widths — with an 11-bit key against
+    * an 8-bit key, every high interleaved bit belongs to the wide key
+    * and the split degenerates to a 1-D sort. Normalization gives
+    * both dims equal weight at every split granularity (the same move
+    * production Z-order implementations make by interleaving
+    * range-bucket ids). The interleave itself is the native codegen'd
+    * `LayoutExpressions.morton`. */
+  def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
+      nFiles: Int): Unit = {
+    val r = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head()
+    def lv(i: Int): Double = r.getAs[Number](i).doubleValue()
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi > lo)
+        ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("long")
+      else lit(0L)
+    df.withColumn("__z", graft.functions.LayoutExpressions.morton(
+        norm(colA, lv(0), lv(1)), norm(colB, lv(2), lv(3))))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** S4-as-batch: Bronze sink partitioned by event date. */
   def writeBronze(bronze: DataFrame, root: String): Unit =
     bronze

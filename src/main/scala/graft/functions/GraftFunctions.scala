@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_rolling_fp(tokens)   order-sensitive rolling fingerprint
   *   graft_lsh_sig(a, L, k)     hyperplane LSH buckets (L tables × k bits;
   *                              L and k must be foldable integers)
+  *   graft_morton(a, b)         Z-order interleave of two bigints' low 32 bits
   *
   * Two registration paths:
   *   - `GraftExtensions` via `spark.sql.extensions` /
@@ -51,6 +52,7 @@ object GraftFunctions {
     },
     unary("graft_simhash")(TextExpressions.SimHash64(_)),
     unary("graft_rolling_fp")(TextExpressions.RollingFingerprint(_)),
+    binary("graft_morton")(LayoutExpressions.MortonCode(_, _)),
     "graft_lsh_sig" -> { args =>
       require(args.length == 3, "graft_lsh_sig expects 3 arguments")
       def intLit(e: Expression, what: String): Int = e match {
