@@ -151,13 +151,25 @@ object Lake {
     // partition values anywhere (cast-to-string renderings, Hive %xx
     // escaping, and input_file_name's URL-encoding all disagree with
     // the raw listing in corner cases), and the per-partition salt
-    // modulus rides along as a literal column. mergeSchema +
-    // unionByName(allowMissingColumns): an additively-evolved table
-    // keeps its newer columns (older rows null-fill) instead of being
-    // silently narrowed to whichever footer Spark samples first.
+    // modulus rides along as a literal column.
+    //
+    // The reads use an EXPLICIT schema: the table's merged data
+    // schema (one root schema resolution, so an additively-evolved
+    // table keeps its newer columns — older rows null-fill via
+    // unionByName) plus the partition column AS STRING. String is
+    // deliberate: per-directory type INFERENCE can render a value
+    // differently than its directory name (date=01 inferred as int 1
+    // would be rewritten into a NEW date=1 directory, duplicating the
+    // rows), while string parsing round-trips the directory name
+    // byte-for-byte through the dynamic-overwrite write.
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      spark.read.option("mergeSchema", "true").parquet(dir)
+        .schema.filterNot(_.name == partitionCol))
+    val readSchema = dataSchema.add(partitionCol,
+      org.apache.spark.sql.types.StringType)
     val frames = toCompact.toSeq.map { case (value, nf) =>
       spark.read
-        .option("mergeSchema", "true")
+        .schema(readSchema)
         .option("basePath", dir)
         .parquet(s"$dir/$partitionCol=$value")
         .withColumn("__nf", lit(nf))
@@ -227,9 +239,21 @@ object Lake {
     * `LayoutExpressions.morton`. */
   def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
       nFiles: Int): Unit = {
-    val r = df.agg(min(col(colA)), max(col(colA)),
-      min(col(colB)), max(col(colB))).head()
-    def lv(i: Int): Double = r.getAs[Number](i).doubleValue()
+    // numeric or timestamp keys only — anything else has no defined
+    // min-max normalization here (cast a date to timestamp first)
+    Seq(colA, colB).foreach { c =>
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        t == org.apache.spark.sql.types.TimestampType,
+        s"zorderWrite key '$c' must be numeric or timestamp, got ${t.sql}")
+    }
+    val r = df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (r.isNullAt(0)) { // empty input: nothing to cluster
+      df.write.mode("overwrite").parquet(dir)
+      return
+    }
+    def lv(i: Int): Double = r.getDouble(i)
     def norm(c: String, lo: Double, hi: Double) =
       if (hi > lo)
         ((col(c).cast("double") - lo) / (hi - lo) * 65535.0).cast("long")

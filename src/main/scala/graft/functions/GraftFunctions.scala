@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_rolling_fp(tokens)   order-sensitive rolling fingerprint
   *   graft_lsh_sig(a, L, k)     hyperplane LSH buckets (L tables × k bits;
   *                              L and k must be foldable integers)
-  *   graft_morton(a, b)         Z-order interleave of two bigints' low 32 bits
+  *   graft_morton(a, b)         Z-order interleave of two bigints' low 31 bits
   *
   * Two registration paths:
   *   - `GraftExtensions` via `spark.sql.extensions` /

@@ -22,9 +22,13 @@ import org.apache.spark.sql.types._
   */
 object LayoutExpressions {
 
-  /** Interleave the low 32 bits of two longs: bit i of `left` lands
+  /** Interleave the low 31 bits of two longs: bit i of `left` lands
     * at position 2i, bit i of `right` at 2i+1. Total order over
-    * (left, right) pairs following the Z-curve. */
+    * (left, right) pairs following the Z-curve. 31 bits, not 32: the
+    * result stays within a POSITIVE int64 (max bit 62), so ordering
+    * comparisons never wrap negative and the identical arithmetic
+    * replays in engines with overflow-checked shifts (DuckDB's `<<`
+    * errors where Java wraps — the q84 oracle depends on this). */
   case class MortonCode(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -37,7 +41,7 @@ object LayoutExpressions {
     }
 
     @inline private def spread(v: Long): Long = {
-      var x = v & 0xFFFFFFFFL
+      var x = v & 0x7FFFFFFFL
       x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
       x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
       x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
@@ -50,10 +54,13 @@ object LayoutExpressions {
       spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // instance method, not static: addNewFunction may spill into a
+      // non-static nested class when the generated class grows large,
+      // where a static member fails Janino compilation
       val fn = ctx.addNewFunction("graftMortonSpread",
         s"""
-           |private static long graftMortonSpread(long v) {
-           |  long x = v & 0xFFFFFFFFL;
+           |private long graftMortonSpread(long v) {
+           |  long x = v & 0x7FFFFFFFL;
            |  x = (x | (x << 16)) & 0x0000FFFF0000FFFFL;
            |  x = (x | (x << 8)) & 0x00FF00FF00FF00FFL;
            |  x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL;

@@ -471,7 +471,7 @@ object Relational3 {
   val q84Zorder: QueryDef = QueryDef.withOracle(
     """WITH o AS (
       |  SELECT o_custkey AS a, o_orderkey AS b FROM orders),
-      |t0 AS (SELECT a, b, a & 4294967295 AS xa, b & 4294967295 AS xb FROM o),
+      |t0 AS (SELECT a, b, a & 2147483647 AS xa, b & 2147483647 AS xb FROM o),
       |t1 AS (SELECT a, b, (xa | (xa << 16)) & 281470681808895 AS xa,
       |                    (xb | (xb << 16)) & 281470681808895 AS xb FROM t0),
       |t2 AS (SELECT a, b, (xa | (xa << 8)) & 71777214294589695 AS xa,

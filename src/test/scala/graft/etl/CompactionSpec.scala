@@ -82,16 +82,19 @@ class CompactionSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact3")
       .toString + "/t"
-    // small partition (needs 1 file) + big partition (needs several):
-    // a GLOBAL salt would shred the small one across the big one's
-    // file count and a second pass would rewrite it again
-    val small = (1 to 200).map(i =>
-      (i.toLong, "x" * 100, java.sql.Date.valueOf("2025-08-01")))
-    val big = (1 to 4000).map(i =>
-      (i.toLong, "x" * 100, java.sql.Date.valueOf("2025-08-02")))
-    (small ++ big).toDF("id", "payload", "date")
-      .repartition(10)
-      .write.partitionBy("date").parquet(dir)
+    // small partition (BYTES below the target → exactly 1 file) + big
+    // partition (needs several): a GLOBAL salt would shred the small
+    // one across the big one's file count and a second pass would
+    // rewrite it again. The two are written separately so the small
+    // one's on-disk bytes (parquet per-file overhead included) stay
+    // under the big-derived target — the 1-file expectation must be
+    // byte-true, not hash-luck
+    (1 to 4000).map(i => (i.toLong, "x" * 100, java.sql.Date.valueOf("2025-08-02")))
+      .toDF("id", "payload", "date")
+      .repartition(10).write.partitionBy("date").parquet(dir)
+    (1 to 200).map(i => (i.toLong, "x" * 100, java.sql.Date.valueOf("2025-08-01")))
+      .toDF("id", "payload", "date")
+      .repartition(3).write.mode("append").partitionBy("date").parquet(dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val bigBytes = fs.listStatus(

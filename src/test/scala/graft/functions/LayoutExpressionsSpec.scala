@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class LayoutExpressionsSpec extends SparkSpec {
 
   private def refSpread(v: Long): Long = {
-    var x = v & 0xFFFFFFFFL
+    var x = v & 0x7FFFFFFFL
     x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
     x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
     x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
