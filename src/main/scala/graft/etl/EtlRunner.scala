@@ -113,7 +113,11 @@ object EtlRunner {
       val target = opts.getOrElse("--compact-target-mb", "128").toLong << 20
       Seq(s"$lake/bronze/telemetry", s"$lake/silver/energy_usage",
         s"$lake/gold/daily_business_summary")
-        .foreach(Lake.compact(spark, _, targetBytes = target))
+        // skipHotPartitions = 1: micro-batch ingest actively appends
+        // to the newest date partition; compacting it here would race
+        // the writer (see Lake.compact's concurrency contract)
+        .foreach(Lake.compact(spark, _, targetBytes = target,
+          skipHotPartitions = 1))
       println(s"[etl] compacted partitioned sinks (target ${target >> 20} MB)")
     }
     spark.stop()

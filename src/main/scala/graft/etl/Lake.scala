@@ -114,9 +114,20 @@ object Lake {
     * in parallel; untouched partitions are never rewritten. The null
     * partition (`__HIVE_DEFAULT_PARTITION__` — audit-only rows, see
     * writeBronze) is deliberately left alone: it is excluded from
-    * both the rewrite and the row-size estimate. */
+    * both the rewrite and the row-size estimate.
+    *
+    * CONCURRENCY CONTRACT: a partition being rewritten must have no
+    * concurrent writer — files appended between the listing/read and
+    * the dynamic-overwrite commit would be silently dropped. Under
+    * micro-batch ingest only the newest (hot) date partition is
+    * actively written, so `skipHotPartitions = 1` (what EtlRunner
+    * passes) excludes the lexicographically greatest partition value
+    * — for zero-padded dates that IS the newest — and yesterday's
+    * partitions, which the ingest never touches again, compact
+    * safely. Cold tables can keep the 0 default. */
   def compact(spark: SparkSession, dir: String, partitionCol: String = "date",
-      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      skipHotPartitions: Int = 0): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -138,6 +149,10 @@ object Lake {
       // the null partition holds audit-only rows (see writeBronze);
       // never rewritten
       .filter(_._1 != "__HIVE_DEFAULT_PARTITION__")
+      // hot-partition exclusion (see concurrency contract above):
+      // drop the N greatest partition values from consideration
+      .sortBy(_._1)
+      .dropRight(skipHotPartitions)
     val toCompact = parts.collect {
       // worth rewriting only when it shrinks the file count
       case (value, bytes, nFiles)
@@ -197,9 +212,18 @@ object Lake {
     // two salt groups into one file of ~2× the target, bounded and
     // rare, where AQE coalescing could merge ALL of them.
     val shuffleN = math.max(1, (toCompact.values.sum * 2).toInt)
+    // DETERMINISTIC salt: hash of the data columns, not
+    // monotonically_increasing_id() — the id is assigned per task
+    // attempt, so a speculative/retried map task would redistribute
+    // rows across salt groups mid-write (file sizes skew on retry and
+    // reruns don't converge byte-identically). A content hash gives
+    // the same spread, survives retries, and makes compaction a pure
+    // function of the input rows. Duplicate rows co-locate, but
+    // maxRecordsPerFile still bounds any one file.
+    val saltCols = dataSchema.map(f => col(f.name))
     unioned
       .repartition(shuffleN, col(partitionCol),
-        pmod(monotonically_increasing_id(), col("__nf")))
+        pmod(xxhash64(saltCols: _*), col("__nf")))
       .drop("__nf")
       .write
       .partitionBy(partitionCol)
@@ -249,9 +273,21 @@ object Lake {
     }
     val r = df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    if (r.isNullAt(0)) { // empty input: nothing to cluster
-      df.write.mode("overwrite").parquet(dir)
-      return
+    // a key with no non-null values has no min-max domain: degrade
+    // gracefully instead of NPE-ing on getDouble — both keys absent
+    // (or empty input) → plain write; one absent → 1-D clustering on
+    // the surviving key, which is the best layout available
+    (r.isNullAt(0), r.isNullAt(2)) match {
+      case (true, true) =>
+        df.write.mode("overwrite").parquet(dir)
+        return
+      case (true, false) =>
+        clusteredWrite(df, dir, colB, nFiles)
+        return
+      case (false, true) =>
+        clusteredWrite(df, dir, colA, nFiles)
+        return
+      case _ => ()
     }
     def lv(i: Int): Double = r.getDouble(i)
     def norm(c: String, lo: Double, hi: Double) =

@@ -55,12 +55,20 @@ object GraftFunctions {
     binary("graft_morton")(LayoutExpressions.MortonCode(_, _)),
     "graft_lsh_sig" -> { args =>
       require(args.length == 3, "graft_lsh_sig expects 3 arguments")
-      def intLit(e: Expression, what: String): Int = e match {
-        case lit: org.apache.spark.sql.catalyst.expressions.Literal
-            if lit.foldable && lit.value != null =>
-          lit.value.toString.toInt
-        case other => throw new IllegalArgumentException(
-          s"graft_lsh_sig $what must be an integer literal, got $other")
+      // integer-TYPED literals only: a string '4' or double 4.0 must
+      // raise the intended type error, not be coerced (or crash with a
+      // raw NumberFormatException) via value.toString.toInt
+      def intLit(e: Expression, what: String): Int = {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        e match {
+          case Literal(v: Byte, ByteType)   => v.toInt
+          case Literal(v: Short, ShortType) => v.toInt
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_sig $what must be an integer literal, got $other")
+        }
       }
       VectorExpressions.HyperplaneSignature(args(0),
         intLit(args(1), "table count"), intLit(args(2), "bit count"))

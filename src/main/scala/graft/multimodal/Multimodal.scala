@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * the JDK can express without external libraries: images via
   * javax.imageio (PNG/JPEG/GIF/BMP), audio via a hand-rolled PCM-WAV
   * parse, video via the imageio GIF plugin (frame walk + per-frame
-  * delays). Only non-GIF video codecs (mp4/webm) remain a
-  * deterministic fake: `decodeBatch` is the single seam where a real
-  * build would call ffmpeg on each batch.
+  * delays) AND via a hand-rolled MJPEG-in-AVI RIFF walk (per-frame
+  * javax.imageio JPEG decode — same pattern as the WAV parser). Only
+  * inter-frame-coded containers (mp4/webm — no JVM codec exists)
+  * remain a deterministic fake: `decodeBatch` is the single seam
+  * where a real build would call ffmpeg on each batch.
   *
   * Batching model: partitions stream through `mapPartitions` in
   * groups of `batchSize` rows, the same shape a vectorized decode
@@ -225,9 +227,66 @@ object Multimodal {
     }
   }
 
+  /** Real video decode for MJPEG-in-AVI — AVI is a RIFF container
+    * (the same public chunk grammar as WAV, walked the same way) and
+    * Motion-JPEG stores every frame as a standalone JPEG the JDK's
+    * imageio can decode, so this needs no external codec either.
+    * Frame count from the `##dc`/`##db` movi chunks (ground truth —
+    * the avih header's dwTotalFrames is advisory and often wrong in
+    * the wild), per-frame interval from avih's dwMicroSecPerFrame,
+    * dims + the 8-bin luminance histogram from the FIRST frame's JPEG
+    * via the shared decodeImage. LIST chunks (`hdrl`, `movi`, `rec `)
+    * recurse; anything malformed returns None → deterministic fake
+    * (decodeImage's never-kill-the-task contract). */
+  private def decodeAviMjpeg(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    // Long offsets end-to-end, as in decodeWav: a declared chunk size
+    // near 2^31 must not overflow the walk into a negative index
+    def le32(o: Long): Long = {
+      val i = o.toInt
+      ((content(i) & 0xffL)) | ((content(i + 1) & 0xffL) << 8) |
+        ((content(i + 2) & 0xffL) << 16) | ((content(i + 3) & 0xffL) << 24)
+    }
+    def tag(o: Long): String = new String(content, o.toInt, 4, "US-ASCII")
+    try {
+      if (content.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") None
+      else {
+        var usPerFrame = 0L
+        var nFrames = 0
+        var first: Option[(Int, Int, String, Array[Float])] = None
+        def walk(start: Long, end: Long): Unit = {
+          var off = start
+          while (off + 8 <= end) {
+            val id = tag(off)
+            val size = le32(off + 4)
+            val body = off + 8
+            if (id == "LIST" && size >= 4)
+              walk(body + 4, math.min(end, body + size))
+            else if (id == "avih" && size >= 4)
+              usPerFrame = le32(body) // dwMicroSecPerFrame
+            else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
+              nFrames += 1
+              if (first.isEmpty && size > 0 && body + size <= content.length)
+                first = decodeImage(java.util.Arrays.copyOfRange(
+                  content, body.toInt, (body + size).toInt))
+            }
+            off = body + size + (size & 1) // chunks are word-aligned
+          }
+        }
+        walk(12L, content.length.toLong)
+        first.collect { case (w, h, _, feature) if nFrames > 0 =>
+          (w, h, (nFrames * usPerFrame / 1000L).toInt, feature)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** Batch decode: the image path is REAL (javax.imageio), so is
-    * PCM-WAV audio (decodeWav) and animated-GIF video (decodeGif);
-    * only non-GIF video codecs fall through to a deterministic fake —
+    * PCM-WAV audio (decodeWav), animated-GIF video (decodeGif) and
+    * MJPEG-in-AVI video (decodeAviMjpeg); only inter-frame-coded
+    * video containers fall through to a deterministic fake —
     * the single seam where a real build would call e.g. ffmpeg per
     * batch; everything around it (batching, schema, null handling) is
     * production plumbing. The fake is deterministic in the payload
@@ -245,7 +304,10 @@ object Multimodal {
       } else if (kind == "video") decodeGif(content).map {
         case (w, h, durMs, feature) =>
           Row(id, kind, w, h, "gif", durMs, feature)
-      } else None
+      }.orElse(decodeAviMjpeg(content).map {
+        case (w, h, durMs, feature) =>
+          Row(id, kind, w, h, "avi", durMs, feature)
+      }) else None
     real.getOrElse {
       // deterministic fake derived from the payload bytes
       val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
@@ -306,9 +368,69 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"),
         col("frame_idx"), (col("frame_idx") * everyMs).as("frame_ms"))
 
+  /** Deterministic MJPEG-in-AVI sample clip: hand-assembled RIFF
+    * (avih + strl headers, `00dc` movi chunks) around javax.imageio
+    * JPEG frames — a REAL clip for the real decoder, built from the
+    * same public chunk grammar the decoder walks. Each frame is a
+    * half-black / half-white card, so the decoded luminance histogram
+    * concentrates in bins 0 and 7 (JPEG ringing bleeds a little into
+    * the neighbors). */
+  def syntheticAviMjpeg(nFrames: Int = 3, w: Int = 33, h: Int = 21,
+      usPerFrame: Int = 200000): Array[Byte] = {
+    val jpegs = (0 until nFrames).map { _ =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def even(n: Int): Int = n + (n & 1)
+    val strlSize = 4 + (8 + 56) + (8 + 40)          // "strl" + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)    // "hdrl" + avih + LIST strl
+    val moviSize = 4 + jpegs.map(j => 8 + even(j.length)).sum
+    fourcc("RIFF"); le32(4 + (8 + hdrlSize) + (8 + moviSize)); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(usPerFrame); le32(0); le32(0); le32(0)     // usPerFrame, maxBytes/s, padding, flags
+    le32(nFrames); le32(0); le32(1); le32(0)        // totalFrames, initial, streams, sugBuf
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0) // dims + 4 reserved
+    fourcc("LIST"); le32(strlSize); fourcc("strl")
+    fourcc("strh"); le32(56)
+    fourcc("vids"); fourcc("MJPG"); le32(0)         // type, handler, flags
+    le16(0); le16(0); le32(0)                       // priority, language, initFrames
+    le32(1); le32(1000000 / usPerFrame)             // scale, rate (fps)
+    le32(0); le32(nFrames); le32(0); le32(10000); le32(0) // start, length, sugBuf, quality, sampleSize
+    le16(0); le16(0); le16(w); le16(h)              // rcFrame
+    fourcc("strf"); le32(40)
+    le32(40); le32(w); le32(h); le16(1); le16(24)   // BITMAPINFOHEADER
+    fourcc("MJPG"); le32(w * h * 3); le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(moviSize); fourcc("movi")
+    jpegs.foreach { j =>
+      fourcc("00dc"); le32(j.length); out.write(j, 0, j.length)
+      if ((j.length & 1) == 1) out.write(0) // word alignment
+    }
+    out.toByteArray
+  }
+
   /** Deterministic media fixture derived from the documents table:
-    * text bytes as payload, kind cycling image/audio/video. */
-  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame =
+    * text bytes as payload, kind cycling image/audio/video — plus one
+    * REAL MJPEG-in-AVI clip (media_id −1, below the doc_id range) so
+    * the q66 pipeline exercises the real video decoder end-to-end,
+    * not just the fake seam. */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val avi = syntheticAviMjpeg()
+    val aviRow = spark.range(1).select(
+      lit(-1L).as("media_id"), lit("video").as("kind"),
+      lit(avi).as("content"),
+      struct(lit("synthetic_avi").as("source"),
+        lit(avi.length.toLong).as("n_bytes")).as("meta"))
     documents.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -317,4 +439,6 @@ object Multimodal {
       struct(col("source").as("source"),
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .as("meta"))
+      .unionByName(aviRow)
+  }
 }

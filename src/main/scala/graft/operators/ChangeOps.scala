@@ -20,7 +20,13 @@ object ChangeOps {
 
   /** Generic snapshot diff on a composite key: classifies every key
     * as added / removed / changed / unchanged by comparing the given
-    * integer value columns. */
+    * integer value columns.
+    *
+    * Output is the public contract, no working columns: the keys,
+    * then for each value column `c` its old (a-side) value as `c` and
+    * new (b-side) value as `c_new`, then `status` — so 'added' rows
+    * carry nulls in `c` and the value in `c_new`, 'removed' rows the
+    * reverse. */
   def tableDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     val aa = a.select((keys ++ valueCols).map(col): _*)
@@ -38,6 +44,10 @@ object ChangeOps {
           .when(col("__b").isNull, "removed")
           .when(changed, "changed")
           .otherwise("unchanged"))
+      // presence markers and b_ working names stay internal
+      .select(keys.map(col) ++
+        valueCols.flatMap(c => Seq(col(c), col(s"b_$c").as(s"${c}_new"))) :+
+        col("status"): _*)
   }
 
   /** Snapshot diff between two lineitem states: the later snapshot

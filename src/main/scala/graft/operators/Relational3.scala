@@ -209,26 +209,48 @@ object Relational3 {
 
   /** Conditional & selective aggregates: count_if, bool_and/bool_or,
     * and max_by/min_by (argmax/argmin). The max_by ordering key is
-    * made UNIQUE (price cents ·10⁷ + orderkey, exact int64) — bare
-    * max_by on a tied price is nondeterministic in any engine, so the
-    * composite tiebreak is part of the operator contract here. */
+    * made UNIQUE — bare max_by on a tied price is nondeterministic in
+    * any engine, so the (price, orderkey) composite tiebreak is part
+    * of the operator contract here. The key is a STRUCT (lexicographic
+    * field order), not a packed int64: a `cents·10ᵏ + orderkey` pack
+    * silently misorders once orderkeys outgrow 10ᵏ, and no k fits
+    * both TPC-H sf≥10 orderkeys and int64. DuckDB's arg_max can't
+    * order by struct, so the oracle derives the identical argmax via
+    * a row_number window — same (price DESC, orderkey DESC) order. */
   val q2tArgmax: QueryDef = QueryDef.withOracle(
-    """SELECT o_orderpriority,
-      |  count(*) AS n,
-      |  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_big,
-      |  bool_or(o_totalprice > 500000) AS any_huge,
-      |  bool_and(o_totalprice > 900) AS all_over_900,
-      |  arg_max(o_orderkey,
-      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey)
-      |    AS best_order,
-      |  arg_min(o_orderkey,
-      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey)
-      |    AS worst_order
-      |FROM orders GROUP BY o_orderpriority""".stripMargin
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      |  FROM orders),
+      |best AS (
+      |  SELECT o_orderpriority, o_orderkey AS best_order FROM (
+      |    SELECT o_orderpriority, o_orderkey, row_number() OVER (
+      |      PARTITION BY o_orderpriority
+      |      ORDER BY price_c DESC, o_orderkey DESC) AS rn FROM o)
+      |  WHERE rn = 1),
+      |worst AS (
+      |  SELECT o_orderpriority, o_orderkey AS worst_order FROM (
+      |    SELECT o_orderpriority, o_orderkey, row_number() OVER (
+      |      PARTITION BY o_orderpriority
+      |      ORDER BY price_c ASC, o_orderkey ASC) AS rn FROM o)
+      |  WHERE rn = 1),
+      |agg AS (
+      |  SELECT o_orderpriority,
+      |    count(*) AS n,
+      |    CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_big,
+      |    bool_or(o_totalprice > 500000) AS any_huge,
+      |    bool_and(o_totalprice > 900) AS all_over_900
+      |  FROM o GROUP BY o_orderpriority)
+      |SELECT agg.o_orderpriority, n, n_big, any_huge, all_over_900,
+      |  best_order, worst_order
+      |FROM agg
+      |JOIN best USING (o_orderpriority)
+      |JOIN worst USING (o_orderpriority)""".stripMargin
   ) { (s, d) =>
-    val rankKey = floor(col("o_totalprice") * 100 + 0.5).cast("long") *
-      10000000L + col("o_orderkey")
+    val rankKey = struct(
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_c"),
+      col("o_orderkey"))
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),

@@ -81,5 +81,17 @@ class GoldenSpec extends SparkSpec {
       spark.sql("SELECT graft_lsh_sig(embedding, vec_id, 4) FROM emb_g")
         .collect()
     }
+    // non-INTEGER literals get the intended type error (not a silent
+    // string coercion for '4', not a raw NumberFormatException for 4.0)
+    Seq("'4'", "4.0").foreach { bad =>
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_lsh_sig(embedding, $bad, 4) FROM emb_g")
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("must be an integer literal")),
+        s"$bad: ${e.getMessage}")
+    }
   }
 }

@@ -174,6 +174,66 @@ class CompactionSpec extends SparkSpec {
     assert(back.filter(col("score").isNotNull).count() == 400)
   }
 
+  test("compact layout is deterministic: same input twice ⇒ identical file layout") {
+    import spark.implicits._
+    // the salt is a content hash (pmod(xxhash64(data cols), nf)), not
+    // monotonically_increasing_id — so two compactions of the same
+    // rows must land every row in the same salt group and produce the
+    // same per-file row counts. (Byte-identity is not asserted: row
+    // ORDER within a salt group depends on shuffle fetch order, which
+    // parquet encodes differently; the layout — file count and row
+    // spread — is the retry/speculation-stability contract.)
+    def build(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-det-$tag")
+        .toString + "/t"
+      (1 to 5000).map(i => (i.toLong, "x" * 100, java.sql.Date.valueOf("2025-07-04")))
+        .toDF("id", "payload", "date")
+        .repartition(10).write.partitionBy("date").parquet(dir)
+      dir
+    }
+    def layout(dir: String): Seq[Long] = spark.read.parquet(dir)
+      .groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1)).toSeq.sorted
+    val (d1, d2) = (build("a"), build("b"))
+    val bytes = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(d1), spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$d1/date=2025-07-04"))
+        .filter(_.isFile).map(_.getLen).sum
+    }
+    // a multi-file split (≈3 files) exercises the salt, not just a
+    // coalesce-to-one
+    Lake.compact(spark, d1, targetBytes = bytes / 3)
+    Lake.compact(spark, d2, targetBytes = bytes / 3)
+    val (l1, l2) = (layout(d1), layout(d2))
+    assert(l1.length >= 2, s"split expected: $l1")
+    assert(l1 == l2, s"layouts diverged: $l1 vs $l2")
+  }
+
+  test("compact skipHotPartitions leaves the newest partition untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hot")
+      .toString + "/t"
+    // 3 date partitions × 8 small files; the greatest date is the hot
+    // one a concurrent micro-batch ingest would still be appending to
+    val rows = (1 to 2400).map { i =>
+      val d = Seq("2025-07-01", "2025-07-02", "2025-07-03")(i % 3)
+      (i.toLong, s"device_${i % 7}", java.sql.Date.valueOf(d))
+    }
+    rows.toDF("id", "device_id", "date")
+      .repartition(8).write.partitionBy("date").parquet(dir)
+    val before = parquetFiles(dir)
+    assert(before.values.forall(_ >= 6), before)
+
+    Lake.compact(spark, dir, targetBytes = 1L << 30, skipHotPartitions = 1)
+
+    val after = parquetFiles(dir)
+    assert(after("date=2025-07-01") == 1 && after("date=2025-07-02") == 1, after)
+    assert(after("date=2025-07-03") == before("date=2025-07-03"),
+      s"hot partition must not be rewritten: $after")
+    assert(spark.read.parquet(dir).count() == 2400)
+  }
+
   test("clustered write: files carry disjoint key ranges for skipping") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cluster")
       .toString + "/t"

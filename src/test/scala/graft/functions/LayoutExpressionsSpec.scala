@@ -35,6 +35,35 @@ class LayoutExpressionsSpec extends SparkSpec {
       refMorton(3, 3) == 15L)
   }
 
+  test("zorderWrite degrades to 1-D clustering when one key is all-NULL") {
+    import spark.implicits._
+    // colB has no non-null values → no min-max domain to normalize;
+    // the write must fall back to clustering on colA (not NPE on the
+    // missing stats), and files must still carry disjoint colA ranges
+    val df = (1 to 4000).map(i => (i.toLong * 7 % 4001, None: Option[Double]))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-znull")
+      .toString + "/t"
+    Lake.zorderWrite(df, dir, "a", "b", nFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4000)
+    val ranges = back.groupBy(input_file_name())
+      .agg(min("a").as("lo"), max("a").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 3, s"expected ~4 files: ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.toSeq)
+      case _ =>
+    }
+    // both keys all-NULL (or empty input) → plain write, no crash
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-znull2")
+      .toString + "/t"
+    Lake.zorderWrite(
+      Seq((None: Option[Long], None: Option[Double])).toDF("a", "b"),
+      dir2, "a", "b", nFiles = 4)
+    assert(spark.read.parquet(dir2).count() == 1)
+  }
+
   test("zorderWrite bounds BOTH dims per file where 1-D clustering bounds one") {
     val li = graft.Tables.lineitem(spark, sf("sf0.001"))
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))

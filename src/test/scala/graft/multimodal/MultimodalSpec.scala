@@ -150,6 +150,39 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.agg(max("frame_ms")).head().getInt(0) == 750)
   }
 
+  test("real MJPEG-in-AVI bytes decode to true dims, frame-count duration, histogram") {
+    import spark.implicits._
+    val avi = Multimodal.syntheticAviMjpeg(nFrames = 3, w = 33, h = 21,
+      usPerFrame = 200000)
+    // valid RIFF/AVI magic but truncated before any movi frame chunk
+    val truncated = java.util.Arrays.copyOf(avi, 40)
+    val media = Seq((1L, "video", avi), (2L, "video", truncated))
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.decode(media).orderBy("media_id").collect()
+
+    val real = rows(0)
+    assert(real.getInt(2) == 33 && real.getInt(3) == 21) // true dims
+    assert(real.getString(4) == "avi")
+    assert(real.getInt(5) == 600, "3 movi frames × 200 ms from avih")
+    val hist = real.getSeq[Float](6)
+    // half black / half white card: mass concentrates in the end bins
+    // (JPEG ringing bleeds a little into the neighbors, so no exact
+    // 16/33 + 17/33 like the lossless PNG test)
+    assert(hist.head > 0.4f && hist.last > 0.4f, hist)
+    assert(math.abs(hist.sum - 1f) < 1e-5)
+
+    // a frameless AVI shell falls back to the deterministic fake
+    val fake = rows(1)
+    assert(fake.getString(4) == "mp4")
+
+    // the q66 media fixture carries the clip: the real decoder runs
+    // inside the oracled pipeline, not just in this unit test
+    val fx = Multimodal.mediaFromDocuments(spark,
+      Tables.documents(spark, sf("sf0.001")))
+    val clip = Multimodal.decode(fx.filter(col("media_id") === -1L)).head()
+    assert(clip.getString(4) == "avi" && clip.getInt(5) == 600)
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)
