@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep harness: proves the heavy query families' scaling
+  * curves empirically (the 100 TB design claims are otherwise only
+  * plan-shape arguments).
+  *
+  *   runMain graft.Scale gen   <srcSfDir> <dstDir> <copies>
+  *   runMain graft.Scale sweep <sfDir> <q1> <q2> ...
+  *
+  * `gen` replicates a driver SF directory N× with CONTENT
+  * PERTURBATION, not plain duplication: byte-identical copies would
+  * make every document/vector an exact near-duplicate of its N−1
+  * clones, inflating the true-pair output quadratically in N — the
+  * sweep would then measure the pair explosion of a degenerate
+  * corpus, not the operator's scaling. Instead each copy k:
+  *   - shifts every id column by k × (max id + 1) — disjoint id
+  *     spaces, so joins/graphs become N independent populations of
+  *     the original's shape (exactly what 10× more real data looks
+  *     like: more users, not hotter users);
+  *   - rewrites text by a copy-specific rotation of the 10 most
+  *     common English letters (`translate`, codegen'd): lengths,
+  *     within-copy duplicate structure, and token statistics are
+  *     preserved while nearly every cross-copy shingle differs;
+  *   - decorrelates embeddings by a copy-specific deterministic
+  *     per-dimension sign flip: norms and within-copy geometry are
+  *     exactly preserved (sign flips are an isometry), while
+  *     cross-copy cosine collapses to ~0 under the pseudo-random
+  *     sign pattern.
+  * Orders/lineitem shift (orderkey, custkey, suppkey, partkey)
+  * consistently so referential joins stay intact per copy.
+  *
+  * `sweep` mirrors Bench's protocol (same session config, untimed
+  * footer warmup, min of 2 timed runs) and prints one JSON line.
+  */
+object Scale {
+
+  // 10 most common English letters; copy k translates by rotation
+  // k mod 10, and a second disjoint alphabet rotates by the tens
+  // digit so up to 100 copies stay pairwise decorrelated.
+  private val Letters = "etaoinshrd"
+  private val Letters2 = "lcumwfgypb"
+  private def rot(s: String, k: Int): String = {
+    val r = k % s.length
+    s.drop(r) + s.take(r)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args(0) match {
+      case "gen"   => gen(spark, args(1), args(2), args(3).toInt)
+      case "sweep" => sweep(spark, args(1), args.drop(2).toSeq)
+      case other   => sys.error(s"unknown mode $other (gen|sweep)")
+    }
+    spark.stop()
+  }
+
+  def gen(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+
+    val docs = read("documents"); val emb = read("embeddings")
+    val ev = read("events"); val ord = read("orders")
+    val li = read("lineitem"); val prt = read("part")
+    val docS = stride(docs, "doc_id")
+    val vecS = stride(emb, "vec_id")
+    val evS = stride(ev, "event_id"); val userS = stride(ev, "user_id")
+    val okS = stride(ord, "o_orderkey"); val ckS = stride(ord, "o_custkey")
+    val skS = stride(li, "l_suppkey"); val pkS = stride(prt, "p_partkey")
+
+    def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(k => f(df, k)).reduce(_ unionAll _)
+    def shift(c: String, s: Long, k: Int): Column = col(c) + lit(k * s)
+    def mutate(c: Column, k: Int): Column =
+      if (k == 0) c
+      else {
+        val once = translate(c, Letters, rot(Letters, k % 10))
+        if (k < 10) once
+        else translate(once, Letters2, rot(Letters2, (k / 10) % 10))
+      }
+
+    write(rep(docs) { (d, k) =>
+      d.withColumn("doc_id", shift("doc_id", docS, k))
+        .withColumn("text", mutate(col("text"), k))
+    }, "documents")
+    write(rep(emb) { (d, k) =>
+      d.withColumn("vec_id", shift("vec_id", vecS, k))
+        .withColumn("embedding",
+          if (k == 0) col("embedding")
+          else transform(col("embedding"), (x, i) =>
+            when(pmod(hash(i, lit(k)), lit(2)) === 0, x).otherwise(-x)))
+    }, "embeddings")
+    write(rep(ev) { (d, k) =>
+      d.withColumn("event_id", shift("event_id", evS, k))
+        .withColumn("user_id", shift("user_id", userS, k))
+    }, "events")
+    write(rep(ord) { (d, k) =>
+      d.withColumn("o_orderkey", shift("o_orderkey", okS, k))
+        .withColumn("o_custkey", shift("o_custkey", ckS, k))
+    }, "orders")
+    write(rep(li) { (d, k) =>
+      d.withColumn("l_orderkey", shift("l_orderkey", okS, k))
+        .withColumn("l_suppkey", shift("l_suppkey", skS, k))
+        .withColumn("l_partkey", shift("l_partkey", pkS, k))
+    }, "lineitem")
+    write(rep(prt) { (d, k) =>
+      d.withColumn("p_partkey", shift("p_partkey", pkS, k))
+        .withColumn("p_name", mutate(col("p_name"), k))
+    }, "part")
+    // dims not in the sweep's hot paths: copy through unchanged
+    Seq("customer", "supplier", "nation", "region").foreach { t =>
+      write(read(t), t)
+    }
+    println(s"""{"gen":"$dst","copies":$copies}""")
+  }
+
+  def sweep(spark: SparkSession, sfDir: String, names: Seq[String]): Unit = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(5).collect()
+      catch { case _: Throwable => () }
+    }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val results = names.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
+          Double.NaN
+        }
+      }
+      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val q = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    println(s"""{"sweep":"$sfDir","queries":${q.mkString("{", ",", "}")}}""")
+  }
+}

@@ -328,11 +328,12 @@ object DedupOps {
     // embedding arrays never ride the bucket shuffle; they are
     // attached afterwards by two vec_id joins against the corpus scan.
     // At 100 TB that's the difference between shuffling (id, bucket)
-    // pairs and shuffling every vector L times.
-    val sig = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(VectorExpressions.lshSignature(col("embedding"), 3, 4))
-          .as(Seq("t", "bucket")))
+    // pairs and shuffling every vector L times. The buckets are the
+    // SHARED SimilarityOps frame (adaptive bit count — fixed k made
+    // this join quadratic at 10× data), which is also what Verify
+    // dumps for the oracle, so query and fixture agree by
+    // construction.
+    val sig = SimilarityOps.lshBucketsFrame(s, d)
     val pairs = sig.select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
       .join(sig.select(col("t"), col("bucket"), col("vec_id").as("vec_b")),
         Seq("t", "bucket"))
@@ -352,22 +353,40 @@ object DedupOps {
   }
 
   /** Fuzzy (edit-distance) self-join — the entity-resolution staple:
-    * part-name pairs within Levenshtein 3, same brand. The Spark side
-    * must NOT brute-force the self-join, so candidates come from
-    * RECALL-COMPLETE blocking: equi-join on (brand, EXACT length)
-    * with the left side exploded to the 2d+1 admissible lengths —
-    * any pair within distance d has |len(a)−len(b)| ≤ d, so b's exact
-    * length is one of a's 7 probes and every qualifying pair is
-    * produced by EXACTLY one (brand, length) key (the right row owns
-    * one length; a<b kills the mirror). Exact-length keys admit ZERO
-    * length slop — measured ~2× fewer candidates than width-(d+1)
-    * bucket blocking on this corpus, and the candidate count equals
-    * the length-filter bound exactly. Exact levenshtein then verifies
-    * map-side. The oracle brute-forces the same predicate in DuckDB —
-    * blocking must lose nothing to hash-match. At scale: one hash
-    * shuffle on the blocking key (broadcast when a side fits);
-    * tighter blocking (PassJoin segments, q41 shingle postings) slots
-    * into the same shape when blocks run hot. */
+    * part-name pairs within Levenshtein d=3, same brand. Two-level
+    * scale design, each level attacking a different blow-up:
+    *
+    * 1. COMPRESS: edit distance is a function of the name STRINGS, so
+    *    fuzzy matching runs on the distinct (brand, name) space and
+    *    row multiplicity is re-attached afterwards by plain
+    *    equi-joins. On low-entropy key spaces (this corpus: ~3 chars
+    *    of entropy — hundreds of distinct names over 10⁵..10⁶ rows)
+    *    the OUTPUT is inherently quadratic-in-rows (every duplicated
+    *    name pairs with every near-copy); compression makes the
+    *    matching cost track distinct names and leaves the output
+    *    expansion as a streaming equi-join, which is the best any
+    *    algorithm can do when the answer itself is large.
+    * 2. BLOCK: on the distinct space, candidates come from
+    *    RECALL-COMPLETE PassJoin segment blocking (Li/Deng/Feng's
+    *    partition scheme, public literature): every name splits into
+    *    d+1 = 4 contiguous segments; if dist(a,b) ≤ d, pigeonhole
+    *    says some segment of b survives UNEDITED in a, shifted by at
+    *    most d — b indexes its 4 exact segments, a probes its
+    *    substrings at the admissible (partner length, segment index,
+    *    tight position window) triples, and the equi-join key CARRIES
+    *    THE SEGMENT STRING, so candidate volume tracks true
+    *    near-matches, not block occupancy. (The round-3 blocking was
+    *    (brand, exact length): fixed key cardinality, blocks ∝ n,
+    *    verify ∝ n² — measured 32× time at 10× data. PassJoin alone
+    *    still paid the duplicate tax; compress+block together went
+    *    linear-in-output.)
+    *
+    * The oracle brute-forces the same predicate in DuckDB — the
+    * blocking must lose NOTHING to hash-match, which is the
+    * recall-completeness proof, run at three SFs. At 100 TB: the
+    * distinct shuffle, the segment-key shuffle, and the expansion
+    * joins are all linear; nothing quadratic survives unless the
+    * answer is. */
   val q80FuzzyJoin: QueryDef = QueryDef.withOracle(
     """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
       |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
@@ -375,27 +394,83 @@ object DedupOps {
       |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
   ) { (s, d) =>
-    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-      col("p_brand"), length(col("p_name")).as("lb"))
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      col("p_brand"))
     // the dimension-sized input arrives as ONE split (a few MB of
-    // parquet), and AQE broadcasts the build side — without an
-    // explicit fan-out the whole candidate stream (≈ n²/blocks
-    // levenshtein calls) runs on a single core. Round-robin the probe
-    // side across the session's parallelism first: the shuffle moves
-    // only n·(2d+1) tiny rows, the verify stage is what must go wide.
-    val fanout = p.sparkSession.sparkContext.defaultParallelism
-    val left = p.select(col("p_partkey").as("part_a"),
-        col("p_name").as("name_a"), col("p_brand"), col("lb"))
-      .withColumn("bucket", explode(sequence(col("lb") - 3, col("lb") + 3)))
-      .drop("lb")
-      .repartition(fanout)
-    val right = p.select(col("p_partkey").as("part_b"),
-      col("p_name").as("name_b"), col("p_brand"), col("lb").as("bucket"))
-    left.join(right, Seq("p_brand", "bucket"))
-      .filter(col("part_a") < col("part_b"))
+    // parquet); without explicit fan-outs the generators and the
+    // expansion would run on a single core. Round-robin BEFORE the
+    // explodes: the shuffles move n tiny rows, the wide streams are
+    // generated in parallel.
+    val fanout = parts.sparkSession.sparkContext.defaultParallelism
+    // ---- level 1: the distinct matching space
+    val names = parts.select(col("p_brand"), col("p_name")).distinct()
+      .withColumn("lb", length(col("p_name")))
+    // PassJoin partition arithmetic for a string of length l: extra =
+    // l % 4 segments get length l div 4 + 1, placed LAST; segment i
+    // starts at i*(l div 4) + max(0, i - (4 - extra)).
+    val segLen = "l div 4 + IF(i >= 4 - l % 4, 1, 0)"
+    val segPos = "i * (l div 4) + GREATEST(0, i - (4 - l % 4))"
+    // join key: 64-bit hash of (partner length, segment index,
+    // segment string); brand rides as a real join column. Equal
+    // segments ⇒ equal keys (recall preserved); a hash collision can
+    // only ADD a candidate, which the exact levenshtein rejects.
+    def key(l: Column, i: Column, seg: Column): Column = xxhash64(l, i, seg)
+    val idx = names.repartition(fanout)
+      .withColumn("l", col("lb"))
+      .withColumn("i", explode(sequence(lit(0), lit(3))))
+      .select(col("p_brand"),
+        key(col("l"), col("i"),
+          expr(s"substring(p_name, ($segPos) + 1, $segLen)")).as("k"),
+        col("p_name").as("name_b"))
+    val probes = names.repartition(fanout)
+      // admissible partner lengths: |len(a) − len(b)| ≤ d
+      .withColumn("l", explode(sequence(col("lb") - 3, col("lb") + 3)))
+      .filter(col("l") >= 1)
+      .withColumn("i", explode(sequence(lit(0), lit(3))))
+      .withColumn("li", expr(segLen))
+      .withColumn("pi", expr(segPos))
+      // TIGHT shift window: a match position shift s needs |s| edits
+      // before the segment and the remaining length difference needs
+      // |Δ−s| after it, so |s| + |Δ−s| ≤ d — i.e. s ∈
+      // [min(0,Δ)−t, max(0,Δ)+t] with t = (d−|Δ|) div 2: ~3 probe
+      // positions instead of the naive ±d's 7. Clamped to valid
+      // substring starts (sequence(lo, hi) reverses when lo > hi, so
+      // the upper bound is floored at lo and over-emits filtered).
+      .withColumn("delta", col("lb") - col("l"))
+      .withColumn("t", ((lit(3) - abs(col("delta"))) / lit(2)).cast("int"))
+      .withColumn("plo",
+        greatest(col("pi") + least(lit(0), col("delta")) - col("t"), lit(0)))
+      .withColumn("phi",
+        least(col("pi") + greatest(lit(0), col("delta")) + col("t"),
+          col("lb") - col("li")))
+      .withColumn("p", explode(sequence(col("plo"),
+        greatest(col("phi"), col("plo")))))
+      .filter(col("p") <= col("phi"))
+      .select(col("p_brand"),
+        key(col("l"), col("i"),
+          expr("substring(p_name, p + 1, li)")).as("k"),
+        col("p_name").as("name_a"))
+    // one orientation per unordered name pair (≤ keeps the same-name
+    // diagonal); distinct collapses multi-segment matches BEFORE the
+    // levenshtein verify, so each name pair is verified exactly once
+    val candNames = probes.join(idx, Seq("p_brand", "k"))
+      .filter(col("name_a") <= col("name_b"))
+      .select("p_brand", "name_a", "name_b").distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 3)
-      .select("part_a", "part_b", "dist")
+    // ---- level 2: multiplicity expansion back to id pairs. Same-name
+    // groups self-pair (a<b keeps each unordered pair once); cross-name
+    // pairs arrive in one orientation and are id-normalized.
+    val aSide = parts.select(col("p_brand"), col("p_name").as("name_a"),
+      col("p_partkey").as("part_a")).repartition(fanout)
+    val bSide = parts.select(col("p_brand"), col("p_name").as("name_b"),
+      col("p_partkey").as("part_b"))
+    aSide.join(broadcast(candNames), Seq("p_brand", "name_a"))
+      .join(bSide, Seq("p_brand", "name_b"))
+      .filter(col("name_a") =!= col("name_b") || col("part_a") < col("part_b"))
+      .select(least(col("part_a"), col("part_b")).as("part_a"),
+        greatest(col("part_a"), col("part_b")).as("part_b"),
+        col("dist"))
   }
 
   val all: Map[String, QueryDef] = Map(

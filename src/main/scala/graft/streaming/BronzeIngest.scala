@@ -48,7 +48,18 @@ object BronzeIngest {
   }
 
   /** Bind to a Kafka source (production path; mirrors consumer group /
-    * offset config at ingest_bronze.py:49-60). */
+    * offset config at ingest_bronze.py:49-60).
+    *
+    * The binding line itself is the ONE untested statement: this build
+    * environment is fully offline and ships no Kafka connector,
+    * client, or server jars (none in the Spark distribution, none in
+    * the dependency cache), so neither a real nor an embedded broker
+    * can exist here. Everything downstream of the source — the exact
+    * kafka output schema (binary key/value + topic/partition/offset/
+    * timestamp/timestampType), validation, the partitioned sink, and
+    * exactly-once resume across a restart WITH new data — is
+    * exercised by BronzeIngestSpec against memory and file sources
+    * emitting that same wire schema. */
   def fromKafka(spark: SparkSession, bootstrapServers: String,
       topic: String = "smart_home.telemetry",
       maxOffsetsPerTrigger: Long = 100): DataFrame =

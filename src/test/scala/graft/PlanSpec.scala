@@ -150,19 +150,48 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "HashAggregate") >= 3, p)
   }
 
-  test("q80: fuzzy join broadcasts the build side after the probe fan-out") {
+  test("q80: fuzzy join fans out before the generators, attaches names broadcast") {
     val p = plan("q80_fuzzy_join")
-    // candidate verification must run wide (explicit round-robin
-    // exchange) against a broadcast build side — never a sort-merge
-    // of two single-split dims
-    assert(p.contains("BroadcastHashJoin"), p)
+    // both exploded streams (segment index + substring probes) must
+    // sit above an explicit round-robin exchange — a single-split dim
+    // would otherwise generate and verify on one core
     assert(p.contains("REPARTITION_BY_NUM"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // the name re-attach joins on the id are broadcasts of the dim
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the segment-key candidate join is an equi-join, never a loop
+    // join (PassJoin's whole point is an exact key)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q82: resample generates the grid without a pre-shuffle, fills in one window") {
     val p = plan("q82_resample_ffill")
     assert(nodes(p, "Generate") == 1, p)
     assert(nodes(p, "Window") == 1, p)
+  }
+
+  test("lake scans carry date PartitionFilters (pruning, not full scans)") {
+    import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
+    // the date predicates in readBronze/readSilver must prune at the
+    // partition level — at 100× lake size a lookback query may only
+    // touch its own date directories
+    val lake = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val cfg = EtlConfig(
+      referenceInstant = Some(Fixtures.DefaultStart.plusSeconds(2 * 3600)))
+    val bronze = Fixtures.bronzeTelemetry(spark, nDevices = 2, rowsPerDevice = 30)
+    Lake.writeBronze(bronze, lake)
+    Lake.writeSilver(
+      BronzeToSilver.run(bronze, Fixtures.deviceCatalog(spark, 2), cfg), lake)
+
+    def partitionFilters(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .linesIterator.filter(_.trim.startsWith("PartitionFilters"))
+        .mkString("\n")
+
+    val pb = partitionFilters(Lake.readBronze(spark, lake, hoursBack = 24, cfg))
+    assert(pb.contains("date") && pb.contains(">="),
+      s"bronze scan must prune on date: <$pb>")
+    val ps = partitionFilters(Lake.readSilver(spark, lake, daysBack = 7, cfg))
+    assert(ps.contains("date") && ps.contains(">="),
+      s"silver scan must prune on date: <$ps>")
   }
 }

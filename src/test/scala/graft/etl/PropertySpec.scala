@@ -85,6 +85,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("medallion pipeline invariants hold across randomized fixture seeds") {
+    // the q60-shape pipeline over several RANDOM fixture seeds, not
+    // just the canonical 42 — fuzzes the formula edges the fixed
+    // fixture happens to miss
+    val cfg = EtlConfig(referenceInstant =
+      Some(Fixtures.DefaultStart.plusSeconds(2 * 3600)))
+    for (seed <- Seq(42L, 7L, 99L, 12345L, 987654321L)) {
+      val silver = BronzeToSilver.run(
+        Fixtures.bronzeTelemetry(spark, nDevices = 6, rowsPerDevice = 40,
+          seed = seed, dirty = true),
+        Fixtures.deviceCatalog(spark, 6), cfg)
+      // delay may be slightly NEGATIVE (the dirty fixture stamps some
+      // ingestion times before the event — clock skew the reference
+      // passes through unclamped), but never null, and the late flag
+      // must agree with the threshold
+      assert(silver.filter(col("quality_score") < lit(0.3 - 1e-9) ||
+        col("quality_score") > lit(1.0 + 1e-9) ||
+        col("processing_delay_hours").isNull ||
+        (col("is_late_event") =!=
+          (col("processing_delay_hours") > cfg.watermarkHours)))
+        .count() == 0, s"seed $seed")
+      val de = SilverToGold.dailyEnergyConsumption(silver, cfg)
+      val dh = SilverToGold.deviceHealthMetrics(silver, cfg)
+      val bs = SilverToGold.dailyBusinessSummary(de, dh, cfg)
+      assert(dh.filter(
+        col("health_score") < 0 || col("health_score") > 1 ||
+          col("failure_probability") < 0 || col("failure_probability") > 1 ||
+          col("data_reliability") < 0 || col("data_reliability") > 1 ||
+          col("uptime_percentage") > lit(100.0 + 1e-9)).count() == 0,
+        s"seed $seed")
+      val b = bs.collect()
+      assert(b.nonEmpty && b.forall { r =>
+        r.getAs[Long]("active_devices") <= 6 &&
+          r.getAs[Double]("total_energy_wh") >= 0 &&
+          r.getAs[Double]("cost_per_kwh") >= 0
+      }, s"seed $seed")
+    }
+  }
+
+  test("zero-span and all-late fixtures keep the health formulas in range") {
+    val cfg = EtlConfig(referenceInstant =
+      Some(Fixtures.DefaultStart.plusSeconds(2 * 3600)))
+    // zero-span uptime: a single reading per device makes
+    // max(ts)−min(ts) = 0 — the explicit `when` guard must yield
+    // exactly 100, not a division by zero
+    val one = BronzeToSilver.run(
+      Fixtures.bronzeTelemetry(spark, nDevices = 3, rowsPerDevice = 1,
+        seed = 5L),
+      Fixtures.deviceCatalog(spark, 3), cfg)
+    val dh1 = SilverToGold.deviceHealthMetrics(one, cfg)
+    assert(dh1.count() == 3 &&
+      dh1.filter(col("uptime_percentage") =!= 100.0).count() == 0)
+
+    // all-late batch: EVERY row ingested 49 h after event time — the
+    // late flag saturates (is_late_event_mean = 1) and health /
+    // failure stay clamped to [0, 1]
+    val allLate = Fixtures.bronzeTelemetry(spark, nDevices = 3,
+        rowsPerDevice = 30, seed = 9L)
+      .withColumn("ingestion_time", date_format(
+        try_to_timestamp(col("timestamp")) + expr("INTERVAL 49 HOURS"),
+        "yyyy-MM-dd'T'HH:mm:ssXXX"))
+    val silverLate = BronzeToSilver.run(allLate,
+      Fixtures.deviceCatalog(spark, 3), cfg)
+    assert(silverLate.filter(!col("is_late_event")).count() == 0)
+    val dhLate = SilverToGold.deviceHealthMetrics(silverLate, cfg)
+    assert(dhLate.filter(
+      col("health_score") < 0 || col("health_score") > 1 ||
+        col("failure_probability") < 0 || col("failure_probability") > 1)
+      .count() == 0)
+  }
+
   test("validateAndClean is idempotent (dedup + filters are stable)") {
     for (seed <- 30L to 32L) {
       val rows = draw(60, seed)
