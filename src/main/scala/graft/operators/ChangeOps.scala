@@ -158,8 +158,66 @@ object ChangeOps {
         col("from_source"))
   }
 
+  /** SCD Type-2 interval build from a change stream: per user, the
+    * event-type history collapses into versioned validity intervals —
+    * the slowly-changing-dimension construction every warehouse load
+    * performs on entity-attribute change feeds.
+    *
+    * Shape: gaps-and-islands (null-safe lag ≠ current flags a new
+    * version, running sum numbers it) in ONE window pass over the
+    * change stream, then a per-(entity, version) rollup, then a
+    * second window — over VERSION-level rows, one per interval, not
+    * per event — chains valid_to = next interval's valid_from (null =
+    * current). All three stages share the entity partitioning, so
+    * the whole build is a single shuffle on user_id; timestamps
+    * compare as exact epoch-µs integers (the q2b convention), so
+    * interval boundaries are deterministic across engines. */
+  val q87Scd2: QueryDef = QueryDef.withOracle(
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged),
+      |g AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |    min(event_type) AS event_type,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us,
+      |    count(*) AS n_events
+      |  FROM v GROUP BY user_id, version)
+      |SELECT user_id, version, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to_us,
+      |  n_events
+      |FROM g""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val chain = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(s, d)
+      // null-safe <=> is IS DISTINCT FROM: the first row's null lag
+      // must open version 1, and a null attribute must not reopen
+      .withColumn("chg", when(
+        !(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+        .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"), // constant per island
+        min(unix_micros(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"),
+        lead(col("valid_from_us"), 1).over(chain).as("valid_to_us"),
+        col("n_events"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q78_table_diff" -> q78TableDiff,
-    "q79_merge" -> q79Merge
+    "q79_merge" -> q79Merge,
+    "q87_scd2" -> q87Scd2
   )
 }

@@ -305,12 +305,143 @@ object CurationOps {
     regexp_replace(regexp_replace(regexp_replace(text,
       EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
 
+  /** Data-quality expectation suite (the Deequ/Great-Expectations
+    * pattern): declared constraints over a fact table, each reported
+    * as (check_name, violations, passed). The point of the OPERATOR
+    * is the execution shape, not any one check: every row-local
+    * constraint (completeness, range, non-emptiness) and the key
+    * uniqueness check are fused into ONE aggregate over ONE scan —
+    * adding a tenth check costs zero extra passes — and only the
+    * cross-table referential check pays a join (left_anti, null-safe
+    * on the child key, broadcast-eligible when the parent key set
+    * fits). Violation counts are exact integers, so the suite sits
+    * under the hash gate directly. */
+  val q88Expectations: QueryDef = QueryDef.withOracle(
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS qty_nulls,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS disc_range,
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS key_dups
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT count(*) AS orphans FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |checks AS (
+      |  SELECT 'nonempty' AS check_name,
+      |    CAST(CASE WHEN n > 0 THEN 0 ELSE 1 END AS BIGINT) AS violations
+      |  FROM a
+      |  UNION ALL SELECT 'completeness_l_quantity', qty_nulls FROM a
+      |  UNION ALL SELECT 'range_l_discount', disc_range FROM a
+      |  UNION ALL SELECT 'uniqueness_order_line', CAST(key_dups AS BIGINT) FROM a
+      |  UNION ALL SELECT 'referential_orderkey', CAST(orphans AS BIGINT) FROM o)
+      |SELECT check_name, violations, violations = 0 AS passed
+      |FROM checks""".stripMargin
+  ) { (s, d) =>
+    expectationReport(Tables.lineitem(s, d), Tables.orders(s, d))
+  }
+
+  /** The q88 suite as a reusable function of its two input frames —
+    * see [[q88Expectations]] for the contract. */
+  def expectationReport(li: DataFrame, orders: DataFrame): DataFrame = {
+    val fused = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("disc_range"),
+      (count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("key_dups"))
+    val orphans = li
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    def row(from: DataFrame, name: String, violations: Column) =
+      from.select(lit(name).as("check_name"),
+        violations.cast("long").as("violations"))
+    row(fused, "nonempty", when(col("n") > 0, 0L).otherwise(1L))
+      .unionAll(row(fused, "completeness_l_quantity", col("qty_nulls")))
+      .unionAll(row(fused, "range_l_discount", col("disc_range")))
+      .unionAll(row(fused, "uniqueness_order_line", col("key_dups")))
+      .unionAll(row(orphans, "referential_orderkey", col("orphans")))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Weighted systematic sampling without replacement: exactly k rows
+    * drawn with probability proportional to an integer weight, as one
+    * deterministic dataflow — the mixture-construction primitive when
+    * quotas must be EXACT (q70's per-stratum rates round; a token
+    * budget doesn't).
+    *
+    * Method: shuffle rows into a deterministic pseudo-random order
+    * (md5 of the key — the q48 convention, replayable in any engine),
+    * take the k systematic strata boundaries of the cumulative weight
+    * line: row i is picked iff ⌊cum_i·k/W⌋ > ⌊(cum_i−w_i)·k/W⌋. All
+    * integer math (weights in cents; k·W must stay < 2⁶³ — at 100 TB
+    * shard the draw per mixture source, which is also what a token
+    * budget wants).
+    *
+    * The scale problem is the GLOBAL running sum: a naive
+    * Window.orderBy with no partition executes on ONE task. This
+    * implementation is the two-phase distributed prefix sum —
+    * range-repartition by the sort key, local per-partition cumsums
+    * (partition-parallel window), then a partition-OFFSET table (one
+    * row per partition — metadata-sized, its own tiny window is fine)
+    * joined back so cum = local + offset. The result is independent
+    * of where the range boundaries land, so sampling in
+    * repartitionByRange stays outside the determinism contract. */
+  val q91WeightedSample: QueryDef = QueryDef.withOracle(
+    """WITH w AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS weight_cents,
+      |    md5(CAST(o_orderkey AS VARCHAR)) AS rk
+      |  FROM orders),
+      |c AS (
+      |  SELECT *,
+      |    sum(weight_cents) OVER (ORDER BY rk, o_orderkey
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(weight_cents) OVER () AS tot
+      |  FROM w)
+      |SELECT o_orderkey, weight_cents FROM c
+      |WHERE (cum * 100) // tot > ((cum - weight_cents) * 100) // tot""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = 100
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("weight_cents"),
+      md5(col("o_orderkey").cast("string")).as("rk"))
+    val parts = base
+      .repartitionByRange(base.sparkSession.sparkContext.defaultParallelism,
+        col("rk"), col("o_orderkey"))
+      .sortWithinPartitions(col("rk"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("rk"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cumLocal = parts.withColumn("lcum", sum(col("weight_cents")).over(local))
+    // one row per partition; its global window is metadata-scale
+    val offsets = cumLocal.groupBy(col("pid"))
+      .agg(sum(col("weight_cents")).as("psum"))
+      .withColumn("offset", coalesce(
+        sum(col("psum")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = offsets.agg(sum(col("psum")).as("tot"))
+    cumLocal
+      .join(broadcast(offsets.select(col("pid"), col("offset"))), Seq("pid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("lcum") + col("offset"))
+      .filter(expr(s"(cum * $k) div tot > ((cum - weight_cents) * $k) div tot"))
+      .select(col("o_orderkey"), col("weight_cents"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q57_winnow" -> q57Winnow,
     "q58_bloom_decontam" -> q58BloomDecontam,
     "q59_mixing_weights" -> q59MixingWeights,
     "q67_bigram_novelty" -> q67BigramNovelty,
     "q68_pii_redact" -> q68PiiRedact,
-    "q70_mixture_sample" -> q70MixtureSample
+    "q70_mixture_sample" -> q70MixtureSample,
+    "q88_expectations" -> q88Expectations,
+    "q91_weighted_sample" -> q91WeightedSample
   )
 }

@@ -473,7 +473,61 @@ object DedupOps {
         col("dist"))
   }
 
+  /** Passage-level duplication census — the sub-document granularity
+    * the near-dup family (q41–q44, whole-doc) doesn't cover: docs can
+    * be globally distinct yet share boilerplate passages, the case
+    * suffix-array dedup targets in training-data pipelines. This is
+    * the bounded, shuffle-friendly approximation of that analysis:
+    * fixed-width (8-token, non-overlapping) chunks, hashed, counted
+    * across documents; per doc, how many of its chunks also appear in
+    * ≥1 OTHER doc. Downstream curation drops or trims docs whose
+    * dup_chunks/n_chunks exceeds a policy threshold.
+    *
+    * Scale: chunking is map-side (one generator, no per-chunk
+    * shuffle); the only exchanges are the (doc, chunk)-distinct df
+    * aggregate keyed by chunk hash and the per-doc rollup. A viral
+    * boilerplate chunk makes ONE df row however often it appears —
+    * there is no pair join anywhere, so unlike q41 no df cap is
+    * needed; output is exactly one row per ≥8-token doc. md5 (not
+    * xxhash64) keys keep the chunk ids engine-portable, so the oracle
+    * re-derives them from raw text. */
+  val q90PassageOverlap: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |ch AS (
+      |  SELECT doc_id, md5(array_to_string(t[i*8+1 : i*8+8], ' ')) AS h
+      |  FROM toks, LATERAL
+      |    (SELECT unnest(generate_series(0, len(t) // 8 - 1)) AS i) g),
+      |df AS (SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_chunks
+      |FROM ch JOIN df USING (h)
+      |GROUP BY doc_id""".stripMargin
+  ) { (s, d) => passageOverlap(Tables.documents(s, d)) }
+
+  /** The q90 census as a reusable function of any (doc_id, text)
+    * frame — see [[q90PassageOverlap]] for the contract. */
+  def passageOverlap(docs: DataFrame, chunkTokens: Int = 8): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      // guard BEFORE the generator: sequence(0, -1) descends
+      .filter(size(col("toks")) >= chunkTokens)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) div $chunkTokens - 1), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i * $chunkTokens + 1, " +
+          s"$chunkTokens))))")).as("h"))
+    val df_ = chunks.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    chunks.join(df_, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q90_passage_overlap" -> q90PassageOverlap,
     "q80_fuzzy_join" -> q80FuzzyJoin,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_ngram_jaccard" -> q41NgramJaccard,

@@ -112,7 +112,141 @@ object GraphOps {
     r
   }
 
+  /** Distinct (order, basket-item) rows — the bipartite base both
+    * co-occurrence queries project. Baskets above `maxBasket` items
+    * are dropped BEFORE pair generation: a basket of size B emits
+    * C(B,2) pairs map-side, so the cap bounds per-group work exactly
+    * like q41's shingle df-cap (TPC-H baskets are ≤ ~13 items; the
+    * cap only exists for adversarial inputs and is mirrored in the
+    * oracle SQL so semantics stay exact when it binds). */
+  val DefaultMaxBasket: Int = 1000
+
+  /** Co-occurrence pair counts over any (group, item) frame: for each
+    * unordered item pair, the number of groups containing both. The
+    * 100 TB shape is the q41 posting-list pattern — ONE shuffle
+    * groups items per basket, the i<j pair generator runs map-side on
+    * the capped basket array, and the only other shuffle keys by the
+    * pair itself. Never a base-table self-join: that shape re-shuffles
+    * the full fact table and leaves the quadratic work inside a
+    * skewable join key. */
+  def coOccurrencePairs(groupedItems: DataFrame, group: String, item: String,
+      maxBasket: Int = DefaultMaxBasket): DataFrame =
+    groupedItems
+      .groupBy(col(group))
+      .agg(sort_array(collect_set(col(item))).as("is"))
+      .filter(size(col("is")).between(2, maxBasket))
+      .select(posexplode(col("is")).as(Seq("i", "item_a")), col("is"))
+      .select(col("item_a"),
+        explode(slice(col("is"), col("i") + 2, size(col("is")))).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+
+  private def basketPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    coOccurrencePairs(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct(),
+      group = "o", item = "p")
+      .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+        col("n_groups").as("n_orders"))
+
+  /** Market-basket co-purchase: part pairs bought together in ≥2
+    * orders (support threshold — the association-mining staple and
+    * the output-size control). */
+  val q86Copurchase: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_orders
+      |  FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+      |  JOIN ok ON a.o = ok.o
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, n_orders FROM pairs
+      |WHERE n_orders >= 2""".stripMargin
+  ) { (s, d) =>
+    basketPairs(s, d).filter(col("n_orders") >= 2)
+  }
+
+  /** Triangle + wedge census of the co-purchase graph (edges = part
+    * pairs with support ≥2; the q86 output IS the edge list). Both
+    * counts are plain integers, so the gate is exact.
+    *
+    * Triangles use the degree-ordered node-iterator (compact-forward):
+    * each undirected edge is ORIENTED from its lower-(degree, id)
+    * endpoint to the higher, wedges are generated by joining the
+    * oriented adjacency with itself on the source, and a final
+    * equi-join against the oriented edges confirms closure — each
+    * triangle is counted exactly once from its lowest-key corner.
+    * Orientation is the scale guarantee: wedge volume is bounded by
+    * Σ C(out-deg, 2) with out-degrees capped by graph arboricity
+    * (O(√|E|)), so a high-degree hub never fans out its full
+    * neighborhood squared — the failure mode that makes naive
+    * (id-ordered) triangle joins quadratic on power-law graphs. The
+    * oracle counts the same triangles with the simple a<b<c 3-way
+    * self-join (any consistent orientation yields the same count;
+    * DuckDB at gate SF doesn't need the degree trick).
+    * Wedges (open 2-paths, Σ C(d, 2)) ride along for the global
+    * clustering-coefficient numerator/denominator pair. */
+  val q85Triangles: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |pc AS (
+      |  SELECT a.p AS u, b.p AS v, count(*) AS n
+      |  FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+      |  JOIN ok ON a.o = ok.o
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM pc WHERE n >= 2),
+      |deg AS (SELECT node, count(*) AS d FROM
+      |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      |  GROUP BY 1)
+      |SELECT
+      |  (SELECT count(*)
+      |   FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS triangles,
+      |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS wedges""".stripMargin
+  ) { (s, d) =>
+    triangleCensus(basketPairs(s, d).filter(col("n_orders") >= 2)
+      .select(col("part_a").as("u"), col("part_b").as("v")))
+  }
+
+  /** Degree-ordered triangle + wedge census over an undirected edge
+    * list (u, v) with u < v, no duplicates: one row (triangles,
+    * wedges). See [[q85Triangles]] for the algorithm contract. */
+  def triangleCensus(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient each edge from its lower (degree, id) endpoint. The
+    // degree frame is node-count-sized: small enough that AQE
+    // broadcasts it at bench SF, big enough at web scale that the
+    // join must be allowed to degenerate to shuffle — so no forced
+    // broadcast() here, unlike the dimension-table joins
+    val keyed = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    def k(dc: String, nc: String) = struct(col(dc).as("d"), col(nc).as("n"))
+    val lower = k("du", "u") < k("dv", "v")
+    val oriented = keyed.select(
+      when(lower, col("u")).otherwise(col("v")).as("src"),
+      when(lower, col("v")).otherwise(col("u")).as("dst"),
+      when(lower, k("dv", "v")).otherwise(k("du", "u")).as("kd"))
+    // wedges at the lowest-key corner: (src→a, src→b) with key(a) <
+    // key(b); closure check = does oriented edge a→b exist
+    val wedgeAB = oriented.select(col("src"), col("dst").as("a"), col("kd").as("ka"))
+      .join(oriented.select(col("src"), col("dst").as("b"), col("kd").as("kb")),
+        Seq("src"))
+      .filter(col("ka") < col("kb"))
+    val tri = wedgeAB
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .agg(count(lit(1)).as("triangles"))
+    val wedges = deg.agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("wedges"))
+    tri.crossJoin(broadcast(wedges)) // two 1-row scalars (J2 pattern)
+  }
+
   val all: Map[String, QueryDef] = Map(
-    "q75_pagerank" -> q75Pagerank
+    "q75_pagerank" -> q75Pagerank,
+    "q85_triangles" -> q85Triangles,
+    "q86_copurchase" -> q86Copurchase
   )
 }

@@ -159,8 +159,72 @@ object RankingOps {
         (col("s_fp").cast("double") / ScoreQuantum).as("score"))
   }
 
+  /** Exact-phrase search via positional posting intersection: every
+    * occurrence (doc, position) of a 3-word phrase. The phrase is the
+    * corpus's highest-df trigram (deterministic: df desc, then the
+    * trigram string — a self-contained gate; a user query would slot
+    * into the same plan as a literal).
+    *
+    * The operator is the positional-inverted-index shape, not a
+    * substring scan: tokens explode to (doc_id, pos, tok) postings,
+    * each phrase term filters its own posting stream — the scan-side
+    * predicate is the "seek the term's posting list" of a real
+    * index — and consecutive terms equi-join on (doc_id, pos−i).
+    * Spark executes the intersection as hash joins keyed (doc_id,
+    * pos): co-partitioned after the first, and each join can only
+    * SHRINK the stream, so the cheapest (rarest-term) postings
+    * dominate the cost exactly as in classic rarest-first query
+    * planning. At 100 TB the postings frame is the thing you
+    * pre-bucket by term; the per-query work is then a bucket-pruned
+    * read per phrase term. */
+  val q89PhraseSearch: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL
+      |    (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+      |target AS (
+      |  SELECT s FROM (
+      |    SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+      |  ORDER BY df DESC, s LIMIT 1)
+      |SELECT sh.doc_id, sh.pos, sh.s AS phrase
+      |FROM sh JOIN target ON sh.s = target.s""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // positional unigram postings: (doc_id, pos, tok)
+    val post = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos", "tok")))
+    // the gate's "query": top-df trigram, derived once (an aggregate
+    // over the trigram stream, broadcast as a 1-row frame)
+    val target = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("s"))
+      .limit(1)
+      .select(split(col("s"), " ", -1).as("ws"), col("s").as("phrase"))
+    // one filtered posting stream per phrase term, re-based to the
+    // phrase start; intersection = co-partitioned (doc_id, pos) joins
+    def term(i: Int) = post.crossJoin(broadcast(target))
+      .filter(col("tok") === col("ws")(i))
+      .select(col("doc_id"), (col("pos") - i).cast("long").as("pos"),
+        col("phrase"))
+    term(0)
+      .join(term(1).drop("phrase"), Seq("doc_id", "pos"))
+      .join(term(2).drop("phrase"), Seq("doc_id", "pos"))
+      .select(col("doc_id"), col("pos"), col("phrase"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q54_tfidf" -> q54Tfidf,
-    "q55_bm25" -> q55Bm25
+    "q55_bm25" -> q55Bm25,
+    "q89_phrase_search" -> q89PhraseSearch
   )
 }

@@ -169,6 +169,25 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window") == 1, p)
   }
 
+  test("q86: co-occurrence pairs are generated map-side — no self-join") {
+    val p = plan("q86_copurchase")
+    // the whole query is two aggregates and a generator; a Join node
+    // would mean the bp-self-join shape snuck back in
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Generate") >= 1, p)
+  }
+
+  test("q91: weighted sample runs on a range partition, windows stay keyed") {
+    val p = plan("q91_weighted_sample")
+    // the distributed prefix sum needs the explicit range exchange...
+    assert(p.contains("rangepartitioning"), p)
+    // ...and every Window over ROW data must be partitioned; the only
+    // unpartitioned window runs on the partition-count offset frame,
+    // which aggregates (HashAggregate) before its window — assert the
+    // data-path window keys on the partition id
+    assert(p.contains("windowspecdefinition(pid"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -23,6 +23,30 @@ class ChangeOpsSpec extends SparkSpec {
     assert(status(4L) == "unchanged") // NULL → NULL
   }
 
+  test("q87 scd2: intervals chain gaplessly and partition the event count") {
+    val d = sf("sf0.001")
+    val out = ChangeOps.q87Scd2.fn(spark, d).cache()
+    // versions are dense from 1 per user
+    val dense = out.groupBy("user_id")
+      .agg(min("version").as("lo"), max("version").as("hi"),
+        count(lit(1)).as("k"))
+    assert(dense.filter(col("lo") =!= 1 || col("hi") =!= col("k")).count() == 0)
+    // valid_to == next version's valid_from (gapless chain, last open)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val chained = out.withColumn("next_from", lead("valid_from_us", 1).over(w))
+    assert(chained.filter(!(col("valid_to_us") <=> col("next_from")))
+      .count() == 0)
+    // intervals cover every event exactly once
+    val total = graft.Tables.events(spark, d).count()
+    assert(out.agg(sum("n_events")).head().getLong(0) == total)
+    // a version's type always differs from its predecessor's
+    val flip = out.withColumn("prev_type", lag("event_type", 1).over(w))
+    assert(flip.filter(col("prev_type").isNotNull &&
+      col("prev_type") === col("event_type")).count() == 0)
+    out.unpersist()
+  }
+
   test("mergeInto: a source NULL overwrites the target value") {
     import spark.implicits._
     val target = Seq((1L, Some(10L)), (2L, Some(20L))).toDF("k", "v")

@@ -77,4 +77,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(1L)._1 > 0.9 && !r(1L)._2) // ~all duplicate trigrams → dropped
     assert(r(2L)._1 == 0.0 && r(2L)._2) // fully varied → kept
   }
+
+  test("q90 passage overlap: clones share all chunks, unique docs none") {
+    import spark.implicits._
+    val twelve = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 toks: 1 chunk
+    val docs = Seq(
+      (1L, twelve), (2L, twelve), // exact clones
+      (3L, (1 to 17).map(i => s"u$i").mkString(" ")), // unique, 2 chunks
+      (4L, "too short") // < 8 tokens: no row
+    ).toDF("doc_id", "text")
+    val out = DedupOps.passageOverlap(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ((1L, 1L)), 2L -> ((1L, 1L)), 3L -> ((2L, 0L))))
+    // partial overlap: doc 5 repeats doc 3's FIRST chunk only
+    val five = ((1 to 8).map(i => s"u$i") ++ (1 to 8).map(i => s"w$i"))
+      .mkString(" ")
+    val out2 = DedupOps.passageOverlap(
+      docs.unionAll(Seq((5L, five)).toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out2(3L) == ((2L, 1L)) && out2(5L) == ((2L, 1L)))
+  }
 }

@@ -168,4 +168,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(rollup("s1") == ((2L, 1L, 1L)), s"s1 counts: ${rollup("s1")}")
     assert(rollup("s2") == ((0L, 1L, 0L)), s"s2 counts: ${rollup("s2")}")
   }
+
+  test("q88 expectations: each injected defect is counted by its check") {
+    import spark.implicits._
+    val li = Seq(
+      // (orderkey, linenumber, quantity, discount)
+      (1L, 1, Some(5.0), 0.05),
+      (1L, 2, Some(3.0), 0.05),
+      (2L, 1, None, 0.05), // completeness violation
+      (3L, 1, Some(1.0), 0.25), // range violation
+      (3L, 1, Some(2.0), 0.05), // duplicate (orderkey, linenumber)
+      (9L, 1, Some(1.0), 0.05) // orphan orderkey
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    val orders = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val rep = CurationOps.expectationReport(li, orders)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep("nonempty") == ((0L, true)))
+    assert(rep("completeness_l_quantity") == ((1L, false)))
+    assert(rep("range_l_discount") == ((1L, false)))
+    assert(rep("uniqueness_order_line") == ((1L, false)))
+    assert(rep("referential_orderkey") == ((1L, false)))
+    // a clean frame passes everything
+    val clean = CurationOps.expectationReport(
+      li.filter(col("l_orderkey") === 1L), orders)
+    assert(clean.filter(!col("passed")).count() == 0)
+  }
+
+  test("q91 weighted sample: exactly k rows, equal to the single-window draw") {
+    val d = sf("sf0.001")
+    val out = CurationOps.q91WeightedSample.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.size == 100, s"systematic draw must yield exactly k: ${out.size}")
+    // reference: the same systematic rule on ONE global window (the
+    // shape q91 avoids at scale) — the distributed prefix sum must
+    // reproduce it bit for bit
+    import org.apache.spark.sql.expressions.Window
+    val w = graft.Tables.orders(spark, d).select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("weight_cents"),
+      md5(col("o_orderkey").cast("string")).as("rk"))
+    val g = Window.orderBy(col("rk"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = w.withColumn("cum", sum(col("weight_cents")).over(g))
+      .crossJoin(w.agg(sum(col("weight_cents")).as("tot")))
+      .filter(expr(
+        "(cum * 100) div tot > ((cum - weight_cents) * 100) div tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == ref)
+  }
 }

@@ -119,4 +119,19 @@ class RankingClusteringSpec extends SparkSpec {
       s"flagged set mismatch: engine ${flagged.size} vs brute ${expected.size}")
     assert(expected.nonEmpty, "fixture must actually contain outliers")
   }
+
+  test("q89 phrase search: one phrase, real occurrences, aligned positions") {
+    val out = RankingOps.q89PhraseSearch.fn(spark, d).cache()
+    val phrases = out.select("phrase").distinct().collect().map(_.getString(0))
+    assert(phrases.length == 1 && phrases.head.split(" ").length == 3)
+    assert(out.count() > 0)
+    // every (doc, pos) really is the phrase at that token offset
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+    val checked = out.join(docs, Seq("doc_id"))
+      .withColumn("at", expr(
+        "concat_ws(' ', t[int(pos)], t[int(pos) + 1], t[int(pos) + 2])"))
+    assert(checked.filter(col("at") =!= col("phrase")).count() == 0)
+    out.unpersist()
+  }
 }
