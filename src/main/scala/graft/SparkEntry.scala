@@ -26,6 +26,7 @@ object SparkEntry {
       operators.ClusteringOps.all ++
       operators.GraphOps.all ++
       operators.ChangeOps.all ++
+      operators.AnalyticsOps.all ++
       operators.SmartHomeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

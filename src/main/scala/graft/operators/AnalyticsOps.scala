@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product/decision-analytics operators: Pareto (skyline) extraction,
+  * cohort retention, and Markov transition matrices — the
+  * event-warehouse staples beyond the funnel/session family
+  * (q77/q2b/q2k).
+  *
+  * Scale designs follow the house rules: no all-pairs joins (the
+  * skyline's dominance test — inherently a quadratic predicate — is
+  * decomposed into partition-local prefix minima plus a candidate
+  * merge bounded by the local-skyline union), aggregates keyed to
+  * reuse one shuffle where partitionings coincide, and every float
+  * output either scan-exact or a single IEEE division of integers.
+  */
+object AnalyticsOps {
+
+  /** 2-D skyline (Pareto frontier, minimize both dims) of parts over
+    * (p_retailprice, p_size): rows no other part dominates, where a
+    * dominates b iff a ≤ b on both dims and < on at least one.
+    *
+    * The naive test is an O(n²) NOT EXISTS self-join (the oracle —
+    * fine in DuckDB at gate SF, unusable at 100 TB). The distributed
+    * form exploits the sort characterization: after sorting by
+    * (price, size, id), every dominator of a row precedes it, and
+    * dominance collapses to two prefix minima —
+    *   dominated ⇔ min(size | strictly cheaper prefix) ≤ size
+    *             ∨ min(size | same-price prefix) < size
+    * — both computable with partition-LOCAL windows under ANY
+    * partitioning (a dominator in another partition is handled by
+    * phase 2). Phase 1 runs this locally (wide, one pass, no global
+    * sort) and keeps each partition's local skyline; phase 2 re-runs
+    * the identical logic over the UNION of local skylines on one
+    * task. The merge input is the candidate bound: for anything but
+    * adversarially anti-correlated dims, local skylines are tiny
+    * (here: ≤ a few dozen rows from 200k), and the worst case
+    * degrades to the sort cost, never to n². Equal (price, size)
+    * duplicates dominate neither way and all survive — the strict-<
+    * on the same-price minimum is what encodes that. */
+  val q92Skyline: QueryDef = QueryDef.withOracle(
+    """SELECT p_partkey, p_retailprice, p_size FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))""".stripMargin
+  ) { (s, d) =>
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val local = skylinePass(
+      p.repartition(p.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("pid", spark_partition_id()))
+    // phase 2: the candidate union fits one task by construction
+    skylinePass(local.withColumn("pid", lit(0)).coalesce(1))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
+  /** One sorted-prefix dominance pass within each `pid` group; keeps
+    * the rows not dominated inside their group. */
+  private def skylinePass(df: DataFrame): DataFrame = {
+    val order = Seq(col("p_retailprice"), col("p_size"), col("p_partkey"))
+    val wAll = Window.partitionBy(col("pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy(col("pid"), col("p_retailprice"))
+      .orderBy(col("p_size"), col("p_partkey"))
+    val mAll = df.withColumn("m_all", min(col("p_size")).over(wAll))
+      .withColumn("m_same",
+        min(col("p_size")).over(wSame.rowsBetween(Window.unboundedPreceding, -1)))
+    // the first row of a price group has no same-price predecessors,
+    // so ITS m_all is exactly the strictly-cheaper prefix minimum
+    mAll.withColumn("m_cheaper", first(col("m_all")).over(wSame))
+      .filter(!(coalesce(col("m_cheaper") <= col("p_size"), lit(false)) ||
+        coalesce(col("m_same") < col("p_size"), lit(false))))
+      .drop("m_all", "m_same", "m_cheaper")
+  }
+
+  /** Cohort retention: users grouped by first-seen day, distinct
+    * active users per (cohort, day-offset) — the canonical retention
+    * triangle. Two aggregates and the join all key on user_id /
+    * derive from the user-keyed shuffle, so the whole query is one
+    * exchange of the fact table plus the (cohort × offset)-sized
+    * rollup; nothing rescans events twice at the shuffle level. */
+  val q93Retention: QueryDef = QueryDef.withOracle(
+    """WITH c AS (
+      |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+      |    AS activity_day
+      |  FROM events)
+      |SELECT c.cohort_day,
+      |  CAST(datediff('day', c.cohort_day, a.activity_day) AS BIGINT)
+      |    AS day_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("activity_day"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("activity_day")).as("cohort_day"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("activity_day"), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Markov transition matrix over per-user event sequences:
+    * (src, dst) counts and row-normalized probabilities. One
+    * user-keyed window pass emits consecutive pairs; the transition
+    * aggregate lands on the event-type² domain (tiny at any corpus
+    * size), so the normalizing join is broadcast-scale by
+    * construction. p is a single IEEE division of two exact longs —
+    * bit-identical across engines. */
+  val q94Transitions: QueryDef = QueryDef.withOracle(
+    """WITH o AS (
+      |  SELECT user_id, event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS dst
+      |  FROM events),
+      |t AS (SELECT src, dst, count(*) AS n FROM o
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY 1)
+      |SELECT t.src, t.dst, t.n,
+      |  CAST(t.n AS DOUBLE) / CAST(s.tot AS DOUBLE) AS p
+      |FROM t JOIN s USING (src)""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val tot = t.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    t.join(broadcast(tot), Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q92_skyline" -> q92Skyline,
+    "q93_retention" -> q93Retention,
+    "q94_transitions" -> q94Transitions
+  )
+}

@@ -188,6 +188,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(pid"), p)
   }
 
+  test("q92: the skyline never plans a join — dominance is all windows") {
+    val p = plan("q92_skyline")
+    // the O(n²) NOT EXISTS shape would surface as a nested-loop or
+    // cartesian join; the two-phase prefix-minima form has none
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Window") >= 2, p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contract specs for the analytics operators on closed-form inputs —
+  * the dominance / conservation properties the SF gate can't pin. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("skyline matches brute force on ties, duplicates, and frontiers") {
+    import spark.implicits._
+    def run(pts: Seq[(Long, Double, Int)]): Set[(Double, Int)] = {
+      val df = pts.toDF("p_partkey", "p_retailprice", "p_size")
+      val dir = java.nio.file.Files.createTempDirectory("graft-sky").toString
+      df.write.mode("overwrite").parquet(s"$dir/part.parquet")
+      AnalyticsOps.q92Skyline.fn(spark, dir)
+        .collect().map(r => (r.getDouble(1), r.getInt(2))).toSet
+    }
+    def brute(pts: Seq[(Long, Double, Int)]): Set[(Double, Int)] =
+      pts.filter { case (_, pa, sa) =>
+        !pts.exists { case (_, pb, sb) =>
+          pb <= pa && sb <= sa && (pb < pa || sb < sa)
+        }
+      }.map(t => (t._2, t._3)).toSet
+
+    // plain mix: some dominated, some not
+    val mix = Seq((1L, 10.0, 5), (2L, 12.0, 3), (3L, 11.0, 6),
+      (4L, 10.0, 4), (5L, 15.0, 1), (6L, 15.0, 2))
+    assert(run(mix) == brute(mix))
+    // duplicates on the frontier both survive; same-price strict size
+    val dup = Seq((1L, 10.0, 5), (2L, 10.0, 5), (3L, 10.0, 6), (4L, 9.0, 9))
+    assert(run(dup) == brute(dup))
+    assert(run(dup).contains((10.0, 5)))
+    // fully anti-correlated: EVERY point is on the frontier (the
+    // worst case for the candidate merge — must stay exact)
+    val anti = (1 to 64).map(i => (i.toLong, i.toDouble, 100 - i))
+    assert(run(anti) == brute(anti))
+    assert(run(anti).size == 64)
+    // fully dominated chain: exactly one survivor
+    val chain = (1 to 32).map(i => (i.toLong, i.toDouble, i))
+    assert(run(chain) == Set((1.0, 1)))
+  }
+
+  test("retention: offset 0 equals cohort size; users counted once per day") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q93Retention.fn(spark, d).cache()
+    val ev = graft.Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohortSizes = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      .groupBy("cohort_day").agg(count(lit(1)).as("size"))
+    val off0 = out.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users"))
+    assert(off0.join(cohortSizes, Seq("cohort_day"))
+      .filter(col("n_users") =!= col("size")).count() == 0)
+    assert(out.filter(col("day_offset") < 0).count() == 0)
+    // column total: every (user, active day) tallies exactly once
+    val total = ev.distinct().count()
+    assert(out.agg(sum("n_users")).head().getLong(0) == total)
+    out.unpersist()
+  }
+
+  test("transitions: probabilities are exact n/tot and sum to 1 per source") {
+    val out = AnalyticsOps.q94Transitions.fn(spark, sf("sf0.001")).cache()
+    val bySrc = out.groupBy("src")
+      .agg(sum("n").as("tot"), sum("p").as("psum"))
+    // each row's p is n/tot of exact longs; per-src p sums to 1
+    // within float addition error
+    assert(bySrc.filter(abs(col("psum") - 1.0) > 1e-9).count() == 0)
+    val joined = out.join(bySrc.select(col("src"), col("tot")), Seq("src"))
+    assert(joined.filter(
+      col("p") =!= col("n").cast("double") / col("tot").cast("double"))
+      .count() == 0)
+    out.unpersist()
+  }
+}

@@ -214,7 +214,8 @@ class SimilarityDedupSpec extends SparkSpec {
     val groups = Seq(
       Relational.all, Relational2.all, Relational3.all, TextOps.all,
       DedupOps.all, SimilarityOps.all, RankingOps.all, ClusteringOps.all,
-      CurationOps.all, GraphOps.all, ChangeOps.all, SmartHomeOps.all)
+      CurationOps.all, GraphOps.all, ChangeOps.all, AnalyticsOps.all,
+      SmartHomeOps.all)
     val total = groups.map(_.size).sum
     assert(graft.SparkEntry.queries.size == total,
       s"collision: merged ${graft.SparkEntry.queries.size} != sum $total")
