@@ -77,11 +77,16 @@ object Scale {
     val docs = read("documents"); val emb = read("embeddings")
     val ev = read("events"); val ord = read("orders")
     val li = read("lineitem"); val prt = read("part")
+    val cust = read("customer"); val supp = read("supplier")
     val docS = stride(docs, "doc_id")
     val vecS = stride(emb, "vec_id")
     val evS = stride(ev, "event_id"); val userS = stride(ev, "user_id")
-    val okS = stride(ord, "o_orderkey"); val ckS = stride(ord, "o_custkey")
-    val skS = stride(li, "l_suppkey"); val pkS = stride(prt, "p_partkey")
+    val okS = stride(ord, "o_orderkey")
+    // dim-key strides come from the DIM (the key superset): fact-side
+    // strides would collide when a copy's shifted fact keys overlap
+    // the next copy's dim range
+    val ckS = stride(cust, "c_custkey"); val skS = stride(supp, "s_suppkey")
+    val pkS = stride(prt, "p_partkey")
 
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(k => f(df, k)).reduce(_ unionAll _)
@@ -122,10 +127,17 @@ object Scale {
       d.withColumn("p_partkey", shift("p_partkey", pkS, k))
         .withColumn("p_name", mutate(col("p_name"), k))
     }, "part")
-    // dims not in the sweep's hot paths: copy through unchanged
-    Seq("customer", "supplier", "nation", "region").foreach { t =>
-      write(read(t), t)
-    }
+    // key-carrying dims replicate with the SAME strides as their fact
+    // columns so referential joins stay intact in every copy
+    write(rep(cust) { (d, k) =>
+      d.withColumn("c_custkey", shift("c_custkey", ckS, k))
+    }, "customer")
+    write(rep(supp) { (d, k) =>
+      d.withColumn("s_suppkey", shift("s_suppkey", skS, k))
+    }, "supplier")
+    // nation/region are genuinely fixed-cardinality reference data
+    // (dim keys above keep their nationkeys valid): copy through
+    Seq("nation", "region").foreach { t => write(read(t), t) }
     println(s"""{"gen":"$dst","copies":$copies}""")
   }
 

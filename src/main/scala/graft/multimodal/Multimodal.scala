@@ -253,15 +253,24 @@ object Multimodal {
         var usPerFrame = 0L
         var nFrames = 0
         var first: Option[(Int, Int, String, Array[Float])] = None
-        def walk(start: Long, end: Long): Unit = {
-          var off = start
-          while (off + 8 <= end) {
+        // iterative walk with an explicit range stack (decodeWav's
+        // loop pattern): a crafted chain of nested LIST headers must
+        // exhaust the input, not the JVM stack — StackOverflowError
+        // is not NonFatal and would kill the task
+        val ranges = scala.collection.mutable.Stack((12L, content.length.toLong))
+        while (ranges.nonEmpty) {
+          var (off, end) = ranges.pop()
+          var descend = false
+          while (!descend && off + 8 <= end) {
             val id = tag(off)
             val size = le32(off + 4)
             val body = off + 8
-            if (id == "LIST" && size >= 4)
-              walk(body + 4, math.min(end, body + size))
-            else if (id == "avih" && size >= 4)
+            if (id == "LIST" && size >= 4) {
+              // in-order DFS: park the remainder, enter the body now
+              ranges.push((body + size + (size & 1), end))
+              ranges.push((body + 4, math.min(end, body + size)))
+              descend = true
+            } else if (id == "avih" && size >= 4)
               usPerFrame = le32(body) // dwMicroSecPerFrame
             else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
                 (id.endsWith("dc") || id.endsWith("db"))) {
@@ -273,9 +282,11 @@ object Multimodal {
             off = body + size + (size & 1) // chunks are word-aligned
           }
         }
-        walk(12L, content.length.toLong)
         first.collect { case (w, h, _, feature) if nFrames > 0 =>
-          (w, h, (nFrames * usPerFrame / 1000L).toInt, feature)
+          // clamp: a garbage dwMicroSecPerFrame (up to 2^32−1) times a
+          // large frame count overflows Int when let through raw
+          (w, h, math.min(nFrames * usPerFrame / 1000L,
+            Int.MaxValue.toLong).toInt, feature)
         }
       }
     } catch {

@@ -312,10 +312,14 @@ object CurationOps {
     * constraint (completeness, range, non-emptiness) and the key
     * uniqueness check are fused into ONE aggregate over ONE scan —
     * adding a tenth check costs zero extra passes — and only the
-    * cross-table referential check pays a join (left_anti, null-safe
-    * on the child key, broadcast-eligible when the parent key set
-    * fits). Violation counts are exact integers, so the suite sits
-    * under the hash gate directly. */
+    * cross-table referential check pays a join (left_anti,
+    * broadcast-eligible when the parent key set fits). Null contract,
+    * same in both engines: a NULL child key IS an orphan (NOT EXISTS
+    * semantics — left_anti on `=` keeps null-keyed rows), and
+    * uniqueness counts null-bearing key TUPLES as values (struct
+    * distinct, DuckDB ROW distinct), so two (1, NULL) rows are
+    * duplicates. Violation counts are exact integers, so the suite
+    * sits under the hash gate directly. */
   val q88Expectations: QueryDef = QueryDef.withOracle(
     """WITH a AS (
       |  SELECT count(*) AS n,
@@ -327,7 +331,8 @@ object CurationOps {
       |  FROM lineitem),
       |o AS (
       |  SELECT count(*) AS orphans FROM lineitem
-      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)),
       |checks AS (
       |  SELECT 'nonempty' AS check_name,
       |    CAST(CASE WHEN n > 0 THEN 0 ELSE 1 END AS BIGINT) AS violations
@@ -351,7 +356,8 @@ object CurationOps {
       sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
         .otherwise(0L)).as("disc_range"),
       (count(lit(1)) -
-        countDistinct(col("l_orderkey"), col("l_linenumber"))).as("key_dups"))
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("key_dups"))
     val orphans = li
       .join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")

@@ -75,13 +75,21 @@ object SimilarityOps {
     math.max(LshBits,
       math.ceil(math.log(math.max(n / 125.0, 1.0)) / math.log(2)).toInt)
 
+  /** Corpus row counts memoized per source dir: the count is a pure
+    * function of the (immutable) test data, and constructing a query
+    * plan should not fire a Spark job per construction — q44, q51,
+    * and the Verify fixture dump all build this frame in one run. */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** One fused codegen pass: every (vector, table) row with its LSH
     * bucket, embedding carried alongside. */
   private def bucketed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
+    val n = corpusCounts.computeIfAbsent(d, _ => c.count()).longValue()
     c.select(col("vec_id"), col("embedding"),
       posexplode(VectorExpressions.lshSignature(col("embedding"),
-        LshTables, lshBits(c.count()))).as(Seq("t", "bucket")))
+        LshTables, lshBits(n))).as(Seq("t", "bucket")))
   }
 
   /** Exploded hyperplane-LSH bucket assignments (vec_id, t, bucket) —

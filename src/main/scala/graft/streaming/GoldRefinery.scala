@@ -116,7 +116,10 @@ object GoldRefinery {
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
 
-  /** One-shot drain (Trigger.AvailableNow) for tests/backfill. */
+  /** One-shot drain (Trigger.AvailableNow) for tests/backfill. Blocks
+    * until the drain completes — a large backfill takes as long as it
+    * takes; returning early with the query still overwriting gold
+    * partitions would hand the caller torn tables. */
   def runOnce(spark: SparkSession, lakeRoot: String,
       cfg: EtlConfig = EtlConfig()): Unit = {
     val q = source(spark, lakeRoot).writeStream
@@ -126,6 +129,7 @@ object GoldRefinery {
       .option("checkpointLocation", s"$lakeRoot/_checkpoints/gold_refinery")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    try q.awaitTermination()
+    catch { case e: Throwable => q.stop(); throw e }
   }
 }

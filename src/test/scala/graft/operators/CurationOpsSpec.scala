@@ -195,6 +195,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(clean.filter(!col("passed")).count() == 0)
   }
 
+  test("q88 null contract: null child keys orphan, null tuples deduplicate") {
+    import spark.implicits._
+    val li = Seq(
+      (Some(1L), 1, Some(1.0), 0.05),
+      (None, 1, Some(1.0), 0.05), // NULL key IS an orphan (NOT EXISTS)
+      (Some(2L), 1, Some(1.0), 0.05), // }
+      (Some(2L), 1, Some(1.0), 0.05), // } same non-null tuple: 1 dup
+      (None, 2, Some(1.0), 0.05), // }
+      (None, 2, Some(1.0), 0.05) //  } same NULL-bearing tuple: 1 dup
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    val orders = Seq(1L, 2L).toDF("o_orderkey")
+    val rep = CurationOps.expectationReport(li, orders)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("referential_orderkey") == 3L) // the three NULL-keyed rows
+    assert(rep("uniqueness_order_line") == 2L)
+  }
+
   test("q91 weighted sample: exactly k rows, equal to the single-window draw") {
     val d = sf("sf0.001")
     val out = CurationOps.q91WeightedSample.fn(spark, d)
