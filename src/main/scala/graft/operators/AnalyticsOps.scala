@@ -142,9 +142,43 @@ object AnalyticsOps {
         (col("n").cast("double") / col("tot").cast("double")).as("p"))
   }
 
+  /** Hopping (sliding) window rollup: 10-minute windows every 5
+    * minutes over the event stream — the overlapping-window sibling
+    * of the tumbling q22, via Spark's NATIVE `window(ts, dur, slide)`
+    * TimeWindow generator (the operator that carries unchanged to
+    * Structured Streaming under a watermark). Each event lands in
+    * exactly duration/slide = 2 windows, expanded MAP-SIDE before the
+    * partial aggregate, so the shuffle moves pre-combined
+    * (window, type) rows — never 2× the events. Value sums ride on
+    * integer cents (float-parity convention); the oracle replays the
+    * epoch-aligned window arithmetic: starts at multiples of the
+    * slide with start ≤ ts < start + duration. */
+  val q95Hopping: QueryDef = QueryDef.withOracle(
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us, event_type, value FROM events),
+      |w AS (
+      |  SELECT event_type, value,
+      |    (us // 300000000) * 300000000 - s AS wstart
+      |  FROM e, LATERAL (SELECT unnest([0, 300000000]) AS s) g)
+      |SELECT CAST(wstart AS BIGINT) AS window_start_us, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM w GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q92_skyline" -> q92Skyline,
     "q93_retention" -> q93Retention,
-    "q94_transitions" -> q94Transitions
+    "q94_transitions" -> q94Transitions,
+    "q95_hopping" -> q95Hopping
   )
 }

@@ -188,6 +188,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(pid"), p)
   }
 
+  test("q87: the whole SCD2 build rides ONE entity-keyed exchange") {
+    val p = plan("q87_scd2")
+    // window (user), rollup (user, version), chain window (user): the
+    // user_id hash partitioning satisfies all three stages' clustering
+    // requirements, so exactly one shuffle may appear
+    assert(nodes(p, "Exchange") == 1, p)
+    // lag (offset frame), running sum (unbounded frame), and the
+    // version chain are three Window nodes — same partitioning, so
+    // still zero extra shuffles
+    assert(nodes(p, "Window") == 3, p)
+  }
+
+  test("q90: passage overlap has no pair join — only keyed aggregates") {
+    val p = plan("q90_passage_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // chunk generation is a Generate; dedup/df/rollup are aggregates
+    assert(nodes(p, "Generate") >= 1, p)
+  }
+
   test("q92: the skyline never plans a join — dominance is all windows") {
     val p = plan("q92_skyline")
     // the O(n²) NOT EXISTS shape would surface as a nested-loop or

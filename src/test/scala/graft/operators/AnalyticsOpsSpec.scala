@@ -59,6 +59,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("hopping windows: every event lands in exactly duration/slide windows") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q95Hopping.fn(spark, d).cache()
+    val events = graft.Tables.events(spark, d).count()
+    assert(out.agg(sum("n")).head().getLong(0) == 2 * events)
+    // window starts align to the 5-minute slide grid
+    assert(out.filter(col("window_start_us") % (300L * 1000000L) =!= 0)
+      .count() == 0)
+    // overlapping windows: consecutive starts differ by the slide
+    // where events are dense (spot check: > distinct tumbling count)
+    val tumbling = graft.Tables.events(spark, d)
+      .select(window(col("ts"), "10 minutes").as("w")).distinct().count()
+    assert(out.select("window_start_us").distinct().count() > tumbling / 2)
+    out.unpersist()
+  }
+
   test("transitions: probabilities are exact n/tot and sum to 1 per source") {
     val out = AnalyticsOps.q94Transitions.fn(spark, sf("sf0.001")).cache()
     val bySrc = out.groupBy("src")
