@@ -166,13 +166,10 @@ object AnalyticsOps {
       |    AS value_cents
       |FROM w GROUP BY 1, 2""".stripMargin
   ) { (s, d) =>
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
-      .select(unix_micros(col("w.start")).as("window_start_us"),
-        col("event_type"), col("n"), col("value_cents"))
+    // the SHARED streaming/batch aggregate (EventStreams.hoppingCounts):
+    // one declarative plan serves both modes, the q83 pattern
+    graft.streaming.EventStreams.hoppingCounts(
+      Tables.events(s, d).select(col("ts"), col("event_type"), col("value")))
   }
 
   val all: Map[String, QueryDef] = Map(

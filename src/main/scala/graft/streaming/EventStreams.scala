@@ -25,6 +25,24 @@ object EventStreams {
     * Inputs need columns (user_id, event_id, ts); both frames may be
     * streaming, or bounded for a batch parity check — the plan is the
     * same declarative join either way. */
+  /** Watermarked hopping-window rollup over (ts, event_type, value):
+    * the streaming execution of the batch q95 — the SAME declarative
+    * aggregate serves both modes (the watermark node is a no-op in
+    * batch). In append-mode streaming a (window, type) group emits
+    * once, when the watermark passes window end; state holds only the
+    * duration/slide open windows per type inside the watermark
+    * horizon. EventStreamsSpec proves split parity: a stream fed in
+    * two batches emits exactly the batch aggregate. */
+  def hoppingCounts(events: DataFrame, duration: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("value_cents"))
+
   def conversionJoin(clicks: DataFrame, purchases: DataFrame,
       windowDur: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame = {

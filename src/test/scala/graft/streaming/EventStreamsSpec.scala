@@ -25,6 +25,44 @@ class EventStreamsSpec extends SparkSpec {
     ("u1", 202L, 6000), // joins click 103 (16.6 min), not 100 (>30 min)
     ("u2", 203L, 1500)) // 24 min after click 101, crosses the batch split
 
+  test("streaming hopping windows equal the batch rollup, across a split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rows straddle two 5-min slides; the split lands mid-window so a
+    // window open in batch 1 must keep aggregating into batch 2
+    val rows = Seq(
+      ("view", 30, 1.25), ("click", 290, 2.00), ("view", 310, 0.50),
+      ("view", 650, 3.75), ("click", 700, 1.10), ("view", 1210, 9.99))
+    def frame(rs: Seq[(String, Int, Double)]) =
+      rs.map { case (t, s, v) => (t, ts(s), v) }
+        .toDF("event_type", "ts", "value")
+
+    val expected = EventStreams.hoppingCounts(frame(rows))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // sanity on the closed form: every event in exactly 2 windows
+    assert(expected.toSeq.map(_._3).sum == 2 * rows.size)
+
+    val src = MemoryStream[(String, Timestamp, Double)]
+    val agg = EventStreams.hoppingCounts(
+      src.toDF().toDF("event_type", "ts", "value"))
+    val q = agg.writeStream.format("memory").queryName("hop")
+      .outputMode("append").start()
+    try {
+      src.addData(rows.take(3).map { case (t, s, v) => (t, ts(s), v) }: _*)
+      q.processAllAvailable()
+      src.addData(rows.drop(3).map { case (t, s, v) => (t, ts(s), v) }: _*)
+      // sentinel far past every window + watermark so all groups emit
+      src.addData(("wm", ts(100000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("hop")
+        .filter(col("event_type") =!= "wm")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == expected, s"streaming $got != batch $expected")
+    } finally q.stop()
+  }
+
   test("streaming conversion join equals the batch join, across a batch split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
