@@ -172,10 +172,85 @@ object AnalyticsOps {
       Tables.events(s, d).select(col("ts"), col("event_type"), col("value")))
   }
 
+  /** Equi-depth feature binning: per language, 4 document-count-equal
+    * buckets of n_chars with per-bucket count and bounds — the
+    * feature-engineering discretizer (quantile binning with EXACT
+    * bucket populations, where q74's sketch gives approximate
+    * boundaries). `ntile` semantics are pinned by ANSI (larger
+    * buckets first, assignment by the total order) and the
+    * (n_chars, doc_id) tiebreak makes the order total, so both
+    * engines bin identically. Scale: one window per group — fine
+    * while groups are many/balanced; for few huge groups the scale
+    * path is q74's sketch boundaries + a map-side bucket lookup, and
+    * this operator IS the exactness reference for that. */
+  val q96EquidepthBins: QueryDef = QueryDef.withOracle(
+    """WITH b AS (
+      |  SELECT lang, n_chars,
+      |    ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |      AS bucket
+      |  FROM documents)
+      |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+      |  min(n_chars) AS lo, max(n_chars) AS hi
+      |FROM b GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        ntile(4).over(w).cast("long").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+  }
+
+  /** Group-wise simple linear regression (price on size, per brand)
+    * from EXACT integer moment sums: slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) and the analogous intercept ratio, each a single
+    * IEEE division of two exactly-accumulated int64s — merge-order
+    * cannot perturb a bit, unlike a float-accumulated regr_slope
+    * (the q2o moment-stat convention, extended to the fit itself).
+    * One partial+final aggregate; nothing else. Int64 bounds: with
+    * cents ≤ 2×10⁷ and x ≤ 50 per row, nΣxy stays < 2⁶³ up to ~10⁹
+    * rows per group — document and shard beyond that. */
+  val q97GroupRegression: QueryDef = QueryDef.withOracle(
+    """WITH m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |    CAST(sum(p_size) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS sy,
+      |    CAST(sum(CAST(p_size AS BIGINT) * p_size) AS BIGINT) AS sxx,
+      |    CAST(sum(p_size * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS sxy
+      |  FROM part GROUP BY 1)
+      |SELECT p_brand, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents,
+      |  CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+      |FROM m""".stripMargin
+  ) { (s, d) =>
+    val cents = floor(col("p_retailprice") * 100 + 0.5).cast("long")
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_size").cast("long")).as("sx"),
+        sum(cents).as("sy"),
+        sum(col("p_size").cast("long") * col("p_size")).as("sxx"),
+        sum(col("p_size") * cents).as("sxy"))
+      .select(col("p_brand"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_cents"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("intercept_cents"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q92_skyline" -> q92Skyline,
     "q93_retention" -> q93Retention,
     "q94_transitions" -> q94Transitions,
-    "q95_hopping" -> q95Hopping
+    "q95_hopping" -> q95Hopping,
+    "q96_equidepth_bins" -> q96EquidepthBins,
+    "q97_group_regression" -> q97GroupRegression
   )
 }

@@ -75,6 +75,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("equi-depth bins: populations within 1, ranges ordered, all docs binned") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q96EquidepthBins.fn(spark, d).cache()
+    val perLang = out.groupBy("lang")
+      .agg(sum("n").as("tot"), max("n").as("nmax"), min("n").as("nmin"),
+        count(lit(1)).as("k"))
+    val docsPerLang = graft.Tables.documents(spark, d)
+      .groupBy("lang").agg(count(lit(1)).as("docs"))
+    assert(perLang.join(docsPerLang, Seq("lang"))
+      .filter(col("tot") =!= col("docs") || col("k") =!= 4 ||
+        col("nmax") - col("nmin") > 1).count() == 0)
+    // bucket value ranges are non-overlapping in bucket order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("bucket")
+    assert(out.withColumn("prev_hi", lag("hi", 1).over(w))
+      .filter(col("prev_hi").isNotNull && col("lo") < col("prev_hi"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("group regression matches a driver-side exact least squares") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q97GroupRegression.fn(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val rows = graft.Tables.part(spark, d)
+      .select(col("p_brand"), col("p_size").cast("long"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (brand, ps) =>
+      val n = ps.length.toLong
+      val sx = ps.map(_._2).sum; val sy = ps.map(_._3).sum
+      val sxx = ps.map(p => p._2 * p._2).sum
+      val sxy = ps.map(p => p._2 * p._3).sum
+      val den = (n * sxx - sx * sx).toDouble
+      val (gn, gs, gi) = out(brand)
+      assert(gn == n)
+      assert(gs == (n * sxy - sx * sy).toDouble / den, brand)
+      assert(gi == (sy * sxx - sx * sxy).toDouble / den, brand)
+    }
+  }
+
   test("transitions: probabilities are exact n/tot and sum to 1 per source") {
     val out = AnalyticsOps.q94Transitions.fn(spark, sf("sf0.001")).cache()
     val bySrc = out.groupBy("src")
