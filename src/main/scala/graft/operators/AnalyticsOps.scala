@@ -245,12 +245,105 @@ object AnalyticsOps {
           .as("intercept_cents"))
   }
 
+  /** Time-weighted average (TWAP) per user over irregular samples:
+    * each sample's value holds until the next sample, so the mean
+    * weights by holding duration, not sample count — the correct
+    * average for unevenly-sampled telemetry/prices (a plain avg
+    * over-weights bursts). The last sample of a series has no
+    * successor and carries zero weight (the standard
+    * observed-interval convention).
+    *
+    * Exactness: cents × µs-duration accumulates in int64 — bounded by
+    * max_cents × series-span, ~2.6×10¹⁷ for 10⁵-cent values over a
+    * 30-day span, safely under 2⁶³ at any sample count — and TWAP is
+    * one IEEE division of the two exact sums. One user-keyed exchange
+    * serves the window and the rollup. */
+  val q98Twap: QueryDef = QueryDef.withOracle(
+    """WITH x AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, cents,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+      |      AS dur_us
+      |  FROM x),
+      |g AS (
+      |  SELECT user_id,
+      |    CAST(sum(cents * dur_us) AS BIGINT) AS num,
+      |    CAST(sum(dur_us) AS BIGINT) AS den,
+      |    count(*) AS n_samples
+      |  FROM d WHERE dur_us IS NOT NULL GROUP BY 1)
+      |SELECT user_id,
+      |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS twap,
+      |  den AS span_us, n_samples
+      |FROM g""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("dur_us")).as("num"),
+        sum(col("dur_us")).as("den"),
+        count(lit(1)).as("n_samples"))
+      .select(col("user_id"),
+        (col("num").cast("double") / col("den").cast("double") / 100.0)
+          .as("twap"),
+        col("den").as("span_us"), col("n_samples"))
+  }
+
+  /** OHLC bars: per (event_type, hour), the opening/closing values by
+    * event time plus the high/low — the resampled candle every
+    * time-series store exposes. Open/close are argmin/argmax on the
+    * total order (ts, event_id), computed as a STRUCT min/max inside
+    * the same hash aggregate as high/low (the q2t pattern: one
+    * partial+final agg, no window, no second shuffle); the oracle
+    * reaches the same rows with first_value windows. Values are
+    * scan-exact doubles — no arithmetic, so parity is bitwise. */
+  val q99Ohlc: QueryDef = QueryDef.withOracle(
+    """WITH x AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, epoch_us(ts) AS us,
+      |    event_id, value
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    first_value(value) OVER
+      |      (PARTITION BY event_type, h ORDER BY us, event_id) AS open,
+      |    first_value(value) OVER
+      |      (PARTITION BY event_type, h ORDER BY us DESC, event_id DESC)
+      |      AS close
+      |  FROM x)
+      |SELECT event_type, CAST(epoch_us(h) AS BIGINT) AS hour_us,
+      |  min(open) AS open, max(value) AS high, min(value) AS low,
+      |  min(close) AS close, count(*) AS n
+      |FROM w GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q92_skyline" -> q92Skyline,
     "q93_retention" -> q93Retention,
     "q94_transitions" -> q94Transitions,
     "q95_hopping" -> q95Hopping,
     "q96_equidepth_bins" -> q96EquidepthBins,
-    "q97_group_regression" -> q97GroupRegression
+    "q97_group_regression" -> q97GroupRegression,
+    "q98_twap" -> q98Twap,
+    "q99_ohlc" -> q99Ohlc
   )
 }

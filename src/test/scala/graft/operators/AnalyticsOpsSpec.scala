@@ -117,6 +117,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("twap weights by holding duration, not sample count") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-15T00:00:00Z")
+    def t(s: Int) = java.sql.Timestamp.from(base.plusSeconds(s.toLong))
+    // user a: 10.00 held 90 s then 20.00 held 10 s → twap 11.00
+    // (a plain mean would say 15.00); user b: constant → that constant
+    val ev = Seq(
+      (1L, t(0), 100L, "x", 10.0), (1L, t(90), 101L, "x", 20.0),
+      (1L, t(100), 102L, "x", 999.0), // terminal sample: zero weight
+      (2L, t(0), 200L, "x", 7.25), (2L, t(50), 201L, "x", 7.25),
+      (2L, t(60), 202L, "x", 7.25)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-twap").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q98Twap.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((11.0, 100000000L, 2L)), out(1L).toString)
+    assert(out(2L) == ((7.25, 60000000L, 2L)), out(2L).toString)
+  }
+
+  test("ohlc: low <= open/close <= high; bars partition the events") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q99Ohlc.fn(spark, d).cache()
+    assert(out.filter(col("low") > col("open") || col("low") > col("close") ||
+      col("high") < col("open") || col("high") < col("close") ||
+      col("low") > col("high")).count() == 0)
+    val events = graft.Tables.events(spark, d).count()
+    assert(out.agg(sum("n")).head().getLong(0) == events)
+    // single-sample bars collapse to one price
+    assert(out.filter(col("n") === 1 &&
+      (col("open") =!= col("close") || col("high") =!= col("low")))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("transitions: probabilities are exact n/tot and sum to 1 per source") {
     val out = AnalyticsOps.q94Transitions.fn(spark, sf("sf0.001")).cache()
     val bySrc = out.groupBy("src")
