@@ -336,6 +336,60 @@ object AnalyticsOps {
         count(lit(1)).as("n"))
   }
 
+  /** Variable-length interval coalescing (coverage islands): each
+    * event opens a lease of floor(value) minutes; per user, the
+    * overlapping-or-touching leases merge into coverage islands, and
+    * the islands' complement is the downtime report. This is the
+    * TRUE interval-union operator — distinct from gap sessionization
+    * (q2b/q2k), whose lag-based break test silently mis-splits when a
+    * long interval swallows later short ones. The correct break
+    * predicate needs the running MAX of all preceding interval ends,
+    * not the previous row's end:
+    *   new island ⇔ start > max(end | preceding rows)
+    * Three window expressions share one (user)-keyed sort — the q87
+    * convention (different frames ⇒ separate Window nodes, still ONE
+    * Exchange, PlanSpec-locked). All arithmetic is integer µs
+    * (floor(value) is IEEE-exact on identical doubles), so the gate
+    * is exact. Touching intervals (start == prior end) merge —
+    * half-open [s, e) coverage semantics, pinned by the oracle. */
+  val q100IntervalMerge: QueryDef = QueryDef.withOracle(
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |f AS (
+      |  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+      |    AS brk
+      |  FROM m),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM f)
+      |SELECT user_id, CAST(island AS BIGINT) AS island_idx,
+      |  min(s) AS start_us, max(e) AS end_us, count(*) AS n_events
+      |FROM g GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          floor(col("value")).cast("long") * 60000000L).as("e"))
+      .withColumn("pmax", max(col("e")).over(prev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island_idx", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("island_idx"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q92_skyline" -> q92Skyline,
     "q93_retention" -> q93Retention,
@@ -344,6 +398,7 @@ object AnalyticsOps {
     "q96_equidepth_bins" -> q96EquidepthBins,
     "q97_group_regression" -> q97GroupRegression,
     "q98_twap" -> q98Twap,
-    "q99_ohlc" -> q99Ohlc
+    "q99_ohlc" -> q99Ohlc,
+    "q100_interval_merge" -> q100IntervalMerge
   )
 }

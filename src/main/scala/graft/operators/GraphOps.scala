@@ -244,9 +244,133 @@ object GraphOps {
     tri.crossJoin(broadcast(wedges)) // two 1-row scalars (J2 pattern)
   }
 
+  /** Seeded k-hop reachability (bounded BFS, k=2) over the
+    * co-purchase graph: for every 20th part node, the count of
+    * distinct neighbors at distance exactly 1 and exactly 2. The
+    * missing distance primitive beside the census (q85) and the
+    * components (q49): frontier expansion with exact-distance
+    * semantics — hop-2 candidates are DISTINCT'd (state is bounded by
+    * reachable nodes, never by path count, the difference between
+    * BFS and path enumeration) and then anti-joined against hop-1 ∪
+    * {seed} so "exactly 2" means shortest distance, not "some 2-edge
+    * walk". Each hop is one equi-join keyed on the frontier node plus
+    * one distinct — the per-round shape of DedupCluster/PageRank, so
+    * deeper k is the same loop with a localCheckpoint cadence. The
+    * seed predicate (key mod 20) is the user's radius-vs-cost knob:
+    * all-sources 2-hop is the wedge volume (q85's Σ C(d,2)), which is
+    * the right bound for a census but not for a seeded query. */
+  val q101Khop: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |pc AS (
+      |  SELECT a.p AS u, b.p AS v, count(*) AS n
+      |  FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+      |  JOIN ok ON a.o = ok.o
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM pc WHERE n >= 2),
+      |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      |seeds AS (SELECT DISTINCT a AS seed FROM adj WHERE a % 20 = 0),
+      |h1 AS (
+      |  SELECT DISTINCT s.seed, adj.b AS n1
+      |  FROM seeds s JOIN adj ON adj.a = s.seed),
+      |h2 AS (
+      |  SELECT DISTINCT h1.seed, adj.b AS n2
+      |  FROM h1 JOIN adj ON adj.a = h1.n1
+      |  WHERE adj.b <> h1.seed
+      |    AND NOT EXISTS (SELECT 1 FROM h1 x
+      |                    WHERE x.seed = h1.seed AND x.n1 = adj.b)),
+      |c1 AS (SELECT seed, count(*) AS n_1hop FROM h1 GROUP BY 1),
+      |c2 AS (SELECT seed, count(*) AS n_2hop FROM h2 GROUP BY 1)
+      |SELECT c1.seed, c1.n_1hop,
+      |  coalesce(c2.n_2hop, CAST(0 AS BIGINT)) AS n_2hop
+      |FROM c1 LEFT JOIN c2 ON c1.seed = c2.seed""".stripMargin
+  ) { (s, d) =>
+    val e = basketPairs(s, d).filter(col("n_orders") >= 2)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val seeds = adj.select(col("a").as("seed")).distinct()
+      .filter(col("seed") % 20 === 0)
+    val h1 = seeds.join(adj, seeds("seed") === adj("a"))
+      .select(col("seed"), col("b").as("n1")).distinct()
+    val h2 = h1.join(adj, h1("n1") === adj("a"))
+      .select(col("seed"), col("b").as("n2")).distinct()
+      .filter(col("n2") =!= col("seed"))
+      .join(h1.select(col("seed"), col("n1").as("n2")),
+        Seq("seed", "n2"), "left_anti")
+    val c1 = h1.groupBy(col("seed")).agg(count(lit(1)).as("n_1hop"))
+    val c2 = h2.groupBy(col("seed")).agg(count(lit(1)).as("n_2hop"))
+    c1.join(c2, Seq("seed"), "left")
+      .select(col("seed"), col("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+  }
+
+  /** Item-item cosine similarity (co-occurrence collaborative
+    * filtering): sim(i,j) = n_ij / √(n_i · n_j) over qualifying
+    * baskets, top-3 neighbors per item — the "customers also bought"
+    * operator, and the k-NN graph builder for item embeddings that
+    * don't exist yet. n_i counts the SAME capped baskets the pair
+    * counts come from (a raw-frequency denominator would skew sim on
+    * any basket the cap or min-size filter dropped). Float parity is
+    * exact: n_ij, n_i·n_j are int64s (< 2⁵³, so the double cast is
+    * lossless), and √ and ÷ are each correctly-rounded IEEE ops —
+    * identical bits in both engines. Top-3 is rank over (sim DESC,
+    * neighbor) — a total order, so rank ≤ 3 is deterministic and
+    * Spark runs it as a WindowGroupLimit partial+final (the q25
+    * shape, never a full per-item sort materialization). The n_i
+    * attach join is node-cardinality-sized: AQE broadcasts it at
+    * bench SF and degenerates to shuffle at web scale (the
+    * triangleCensus deg-join rule — no forced broadcast). */
+  val q102ItemSim: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |qb AS (SELECT bp.o, bp.p FROM bp JOIN ok USING (o)),
+      |cnt AS (SELECT p, count(*) AS n FROM qb GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa, pb, nab FROM pairs WHERE nab >= 2),
+      |dir AS (SELECT pa AS item, pb AS nbr, nab FROM e
+      |        UNION ALL SELECT pb, pa, nab FROM e),
+      |sim AS (
+      |  SELECT d.item, d.nbr, d.nab,
+      |    CAST(d.nab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS sim
+      |  FROM dir d JOIN cnt ca ON ca.p = d.item JOIN cnt cb ON cb.p = d.nbr),
+      |r AS (SELECT *, rank() OVER
+      |        (PARTITION BY item ORDER BY sim DESC, nbr) AS rnk
+      |      FROM sim)
+      |SELECT item, nbr, nab, sim, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val qb = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val sizes = qb.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
+    val cnt = qb.join(sizes, "o").groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = basketPairs(s, d).filter(col("n_orders") >= 2)
+    val dir = e.select(col("part_a").as("item"), col("part_b").as("nbr"),
+        col("n_orders").as("nab"))
+      .unionAll(e.select(col("part_b"), col("part_a"), col("n_orders")))
+    val sim = dir
+      .join(cnt.select(col("p").as("item"), col("n").as("na")), "item")
+      .join(cnt.select(col("p").as("nbr"), col("n").as("nb")), "nbr")
+      .select(col("item"), col("nbr"), col("nab"),
+        (col("nab").cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("nbr"))
+    sim.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q75_pagerank" -> q75Pagerank,
     "q85_triangles" -> q85Triangles,
-    "q86_copurchase" -> q86Copurchase
+    "q86_copurchase" -> q86Copurchase,
+    "q101_khop" -> q101Khop,
+    "q102_item_sim" -> q102ItemSim
   )
 }

@@ -153,6 +153,54 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("interval merge: running max catches swallowed intervals; touching merge") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-15T00:00:00Z")
+    val baseUs = base.toEpochMilli * 1000L
+    def t(s: Int) = java.sql.Timestamp.from(base.plusSeconds(s.toLong))
+    val ev = Seq(
+      // user 1: e1 opens [0, 6000 s) — floor(100.7) = 100 min. e2 is
+      // SWALLOWED ([1200, 1812 s)): lag-based logic would see its end
+      // 1812 < e3.start 5990 and mis-split; the running max (6000)
+      // must keep e3 in the island, which e3 then extends to 6050 s.
+      (1L, t(0), 100L, "x", 100.7),
+      (1L, t(1200), 101L, "x", 10.2),
+      (1L, t(5990), 102L, "x", 1.0),
+      (1L, t(7000), 103L, "x", 2.0), // 7000 > 6050 → new island
+      // user 2: touching intervals ([0,600) then start==600) merge
+      (2L, t(0), 200L, "x", 10.0),
+      (2L, t(600), 201L, "x", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-iv").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q100IntervalMerge.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def us(s: Int) = baseUs + s * 1000000L
+    assert(out == Map(
+      (1L, 1L) -> ((us(0), us(6050), 3L)),
+      (1L, 2L) -> ((us(7000), us(7120), 1L)),
+      (2L, 1L) -> ((us(0), us(660), 2L))), out.toString)
+  }
+
+  test("interval merge on sf0.001: islands partition events, no overlaps") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q100IntervalMerge.fn(spark, d).cache()
+    assert(out.agg(sum("n_events")).head().getLong(0) ==
+      graft.Tables.events(spark, d).count())
+    // value < 1 floors to a 0-minute lease: end == start is legal
+    // (a point island), end < start is not
+    assert(out.filter(col("end_us") < col("start_us")).count() == 0)
+    // per user, islands are disjoint and strictly ordered: the next
+    // island starts after the previous one ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("island_idx")
+    assert(out.withColumn("pe", lag(col("end_us"), 1).over(w))
+      .filter(col("pe").isNotNull && col("start_us") <= col("pe"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("transitions: probabilities are exact n/tot and sum to 1 per source") {
     val out = AnalyticsOps.q94Transitions.fn(spark, sf("sf0.001")).cache()
     val bySrc = out.groupBy("src")

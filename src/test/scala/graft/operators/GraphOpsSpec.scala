@@ -46,6 +46,83 @@ class GraphOpsSpec extends SparkSpec {
     assert(census(k4p) == ((4L, 15L)))
   }
 
+  test("khop: exact-distance counts on a known graph") {
+    import spark.implicits._
+    // graph (every edge needs support 2 → two size-2 baskets each):
+    // 20—1, 1—2, 2—3, 20—40, 40—3. Seeds are the %20==0 nodes.
+    // seed 20: h1 {1,40}; h2 nbrs(1)∪nbrs(40) = {20,2}∪{20,3} minus
+    // seed/h1 → {2,3}. seed 40: h1 {20,3}; h2 {1,2}.
+    val edges = Seq((20L, 1L), (1L, 2L), (2L, 3L), (20L, 40L), (40L, 3L))
+    val li = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((2L * i, u), (2L * i, v), (2L * i + 1, u), (2L * i + 1, v))
+    }.toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-khop").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.q101Khop.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(20L -> ((2L, 2L)), 40L -> ((2L, 2L))), out.toString)
+  }
+
+  test("khop on sf0.001 matches driver-side BFS over the same edges") {
+    val d = sf("sf0.001")
+    val edges = GraphOps.q86Copurchase.fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val out = GraphOps.q101Khop.fn(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val seeds = adj.keySet.filter(_ % 20 == 0)
+    assert(out.keySet == seeds)
+    for (s <- seeds) {
+      val h1 = adj(s)
+      val h2 = h1.flatMap(adj(_)) -- h1 - s
+      assert(out(s) == ((h1.size.toLong, h2.size.toLong)), s"seed $s")
+    }
+  }
+
+  test("item-sim: cosine values and tiebreak rank on a closed form") {
+    import spark.implicits._
+    // baskets {1,2}×2 and {1,3}×2: n1=4, n2=n3=2, nab=2 both pairs →
+    // sim(1,2) = sim(1,3) = 2/√8 — an exact-tie rank broken by nbr
+    val li = Seq(
+      (0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 3L), (3L, 1L), (3L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-isim").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.q102ItemSim.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val s12 = 2.0 / math.sqrt(8.0)
+    assert(out((1L, 2L)) == ((2L, s12, 1L)), out.toString) // tie → nbr order
+    assert(out((1L, 3L)) == ((2L, s12, 2L)))
+    assert(out((2L, 1L)) == ((2L, s12, 1L)))
+    assert(out((3L, 1L)) == ((2L, s12, 1L)))
+    assert(out.size == 4) // 2 and 3 never co-occur: no edge, no row
+  }
+
+  test("item-sim on sf0.001: top-3, symmetric sims, exact formula") {
+    val d = sf("sf0.001")
+    val out = GraphOps.q102ItemSim.fn(spark, d).cache()
+    assert(out.filter(col("rnk") > 3 || col("rnk") < 1).count() == 0)
+    assert(out.filter(col("sim") <= 0 || col("sim") > 1.0 + 1e-12)
+      .count() == 0)
+    // per item, rank is dense from 1 and sim is non-increasing in rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy("rnk")
+    assert(out.withColumn("ps", lag(col("sim"), 1).over(w))
+      .filter(col("ps").isNotNull && col("sim") > col("ps"))
+      .count() == 0)
+    // an edge's sim is identical in both directions when both survive
+    val ab = out.select(col("item").as("a"), col("nbr").as("b"),
+      col("sim").as("s1"))
+    val ba = out.select(col("nbr").as("a"), col("item").as("b"),
+      col("sim").as("s2"))
+    assert(ab.join(ba, Seq("a", "b")).filter(col("s1") =!= col("s2"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("q85/q86 on sf0.001: edges are exactly the support-2 pairs") {
     val pairs = GraphOps.q86Copurchase.fn(spark, sf("sf0.001")).cache()
     assert(pairs.filter(col("n_orders") < 2).count() == 0)
