@@ -390,6 +390,146 @@ object AnalyticsOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Two-proportion z-test per experiment metric (the A/B-test
+    * readout): users split into control/treatment by id parity, a
+    * "conversion" is an event with value > 100, and per event_type
+    * the pooled-variance z statistic decides the winner. One
+    * conditional-sum aggregate — a single shuffle on a tiny key
+    * domain, partial combine map-side, so the scan dominates at any
+    * scale (the shape a metrics platform needs: the scorecard is one
+    * pass over the event log regardless of metric count).
+    *
+    * Cross-engine float parity: every input to the arithmetic is an
+    * int64 count; each division, multiply, and sqrt is a single
+    * correctly-rounded IEEE op evaluated in the same order in both
+    * engines (the q102 convention), so the doubles are bit-identical.
+    * Degenerate cells (pooled rate 0 or 1, i.e. se = 0) yield null z
+    * rather than ±inf, pinned by the oracle. */
+  val q104AbTest: QueryDef = QueryDef.withOracle(
+    """WITH c AS (
+      |  SELECT event_type,
+      |    count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+      |    count(*) FILTER (WHERE user_id % 2 = 0 AND value > 100) AS x_a,
+      |    count(*) FILTER (WHERE user_id % 2 = 1) AS n_b,
+      |    count(*) FILTER (WHERE user_id % 2 = 1 AND value > 100) AS x_b
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n_a, x_a, n_b, x_b,
+      |  CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |  CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |  CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+      |    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |  END AS z
+      |FROM c""".stripMargin
+  ) { (s, d) =>
+    val ctl = col("user_id") % 2 === 0
+    val conv = col("value") > 100
+    val agg = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(ctl, 1)).as("n_a"),
+        count(when(ctl && conv, 1)).as("x_a"),
+        count(when(!ctl, 1)).as("n_b"),
+        count(when(!ctl && conv, 1)).as("x_b"))
+    val dbl = (c: Column) => c.cast("double")
+    val pa = dbl(col("x_a")) / dbl(col("n_a"))
+    val pb = dbl(col("x_b")) / dbl(col("n_b"))
+    val pool = dbl(col("x_a") + col("x_b")) / dbl(col("n_a") + col("n_b"))
+    agg.select(col("event_type"), col("n_a"), col("x_a"),
+      col("n_b"), col("x_b"), pa.as("p_a"), pb.as("p_b"),
+      when(col("x_a") + col("x_b") > 0 &&
+           col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+        (pa - pb) / sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / dbl(col("n_a")) + lit(1.0) / dbl(col("n_b")))))
+        .as("z"))
+  }
+
+  /** Robust outlier report per metric: exact median, exact MAD
+    * (median absolute deviation), and the count of points beyond
+    * 3·1.4826·MAD — the robust-statistics alternative to the z-score
+    * anomaly pass (q2l), immune to the outliers it is hunting.
+    *
+    * Exact medians come from ORDER STATISTICS, not interpolating
+    * percentile built-ins: Spark's `percentile` and DuckDB's
+    * `quantile_cont` interpolate with differently-associated FP
+    * expressions, so their bits can disagree. row_number against the
+    * group count picks the middle element(s) — (n+1) div 2 and
+    * (n+2) div 2, equal when n is odd — and avg over ≤2 values is
+    * (a+b)/2, bit-identical in both engines. Both the median and the
+    * MAD pass run this selection; the deviation input |v − med| and
+    * the 4.4478·mad threshold are single correctly-rounded ops.
+    *
+    * Scale: the selection sorts WITHIN each group (per-group window,
+    * groups in parallel — the q96 equi-depth convention). Group
+    * cardinality bounds single-task size here (5 types × n/5 rows);
+    * for huge single groups the exact path degrades to a per-group
+    * sort and q74's approx sketch is the right tool — exactness is
+    * this operator's contract. */
+  val q105MadOutliers: QueryDef = QueryDef.withOracle(
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, avg(value) AS med FROM r
+      |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |  GROUP BY 1),
+      |dev AS (
+      |  SELECT r.event_type, abs(r.value - m.med) AS adev, m.med,
+      |    row_number() OVER (PARTITION BY r.event_type
+      |      ORDER BY abs(r.value - m.med), r.rn) AS drn,
+      |    count(*) OVER (PARTITION BY r.event_type) AS n
+      |  FROM r JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, avg(adev) AS mad FROM dev
+      |  WHERE drn = (n + 1) // 2 OR drn = (n + 2) // 2
+      |  GROUP BY 1)
+      |SELECT d.event_type, max(d.n) AS n, max(d.med) AS med,
+      |  max(a.mad) AS mad,
+      |  count(*) FILTER (WHERE d.adev > a.mad * 4.4478) AS n_out
+      |FROM dev d JOIN mad a USING (event_type)
+      |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val byType = Window.partitionBy(col("event_type"))
+    // cached: consumed by both the median pick and the deviation
+    // pass — without it Spark re-scans and re-sorts events per
+    // consumer (the q42-sigs convention)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .cache()
+    val med = ev
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+              col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("event_type")).agg(avg(col("value")).as("med"))
+    // cached for the mad pick + the final count. Under AQE a cached
+    // plan reports unknown partitioning, so the deviation sort does
+    // re-exchange — two type-keyed shuffles total, the inherent cost
+    // of two dependent selection passes (vs 4 scans + 4 shuffles
+    // uncached)
+    val dev = ev.join(med, "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+      .withColumn("drn", row_number().over(
+        byType.orderBy(col("adev"), col("rn"))))
+      .cache()
+    val mad = dev
+      .filter(col("drn") === expr("(n + 1) div 2") ||
+              col("drn") === expr("(n + 2) div 2"))
+      .groupBy(col("event_type")).agg(avg(col("adev")).as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(col("adev") > col("mad") * 4.4478, 1)).as("n_out"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q92_skyline" -> q92Skyline,
     "q93_retention" -> q93Retention,
@@ -399,6 +539,8 @@ object AnalyticsOps {
     "q97_group_regression" -> q97GroupRegression,
     "q98_twap" -> q98Twap,
     "q99_ohlc" -> q99Ohlc,
-    "q100_interval_merge" -> q100IntervalMerge
+    "q100_interval_merge" -> q100IntervalMerge,
+    "q104_ab_test" -> q104AbTest,
+    "q105_mad_outliers" -> q105MadOutliers
   )
 }

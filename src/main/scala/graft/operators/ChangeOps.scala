@@ -215,9 +215,94 @@ object ChangeOps {
         col("n_events"))
   }
 
+  /** Point-in-time (temporal / "AS OF") lookup against a versioned
+    * dimension: each purchase is enriched with the user's loyalty
+    * tier that was valid at purchase time. The dimension is an SCD2
+    * build (the q87 machinery) over the signup stream — tier =
+    * floor(value/100), consecutive same-tier signups collapse into
+    * one validity interval — so a purchase maps to the interval it
+    * falls in, not to the nearest raw signup event (which is what the
+    * plain as-of join q2g would return).
+    *
+    * Scale shape: interval containment against an SCD2 dimension
+    * needs NO range join — SCD2 intervals tile per key (each
+    * valid_to is the next valid_from), so "ts ∈ [from, to)" is
+    * equivalent to "greatest valid_from ≤ ts", i.e. an as-of join on
+    * valid_from. That composes on `AsOfJoin.asof`: one shuffle of
+    * |facts|+|versions| rows keyed by user, one window pass — never
+    * the |facts|·|versions-per-user| fan-out an equi-join + range
+    * filter would materialize. Timestamps compare as exact epoch-µs
+    * integers; purchases before the first signup keep null tier
+    * (left semantics), pinned by the oracle. Two tier changes in the
+    * same microsecond would make the as-of pick arbitrary in BOTH
+    * engines, so the dimension collapses same-valid_from versions to
+    * the latest (max_by on the unique version number) — a zero-row
+    * pre-pass on this data, but it makes the operator's contract
+    * deterministic rather than data-dependent. */
+  val q103PitJoin: QueryDef = QueryDef.withOracle(
+    """WITH sg AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value / 100) AS BIGINT) AS tier
+      |  FROM events WHERE event_type = 'signup'),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM sg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM flagged),
+      |dim0 AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |    min(tier) AS tier,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us
+      |  FROM v GROUP BY user_id, version),
+      |dim AS (
+      |  SELECT user_id, valid_from_us, max(version) AS version,
+      |    max_by(tier, version) AS tier
+      |  FROM dim0 GROUP BY user_id, valid_from_us),
+      |p AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us, p.purchase_value,
+      |  d.tier, d.version, d.valid_from_us
+      |FROM p ASOF LEFT JOIN dim d
+      |  ON p.user_id = d.user_id AND p.ts_us >= d.valid_from_us""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 100).cast("long").as("tier"))
+      .withColumn("chg",
+        when(!(lag(col("tier"), 1).over(w) <=> col("tier")), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("tier")).as("tier0"),
+        min(unix_micros(col("ts"))).as("vf"))
+      .groupBy(col("user_id"), col("vf"))
+      .agg(max(col("version")).as("version"),
+        max_by(col("tier0"), col("version")).as("tier"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").as("purchase_value"))
+    graft.functions.AsOfJoin.asof(
+      purchases, dim, Seq("user_id"), "ts_us", "vf",
+      Seq("tier" -> "tier", "version" -> "version",
+        "vf" -> "valid_from_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("purchase_value"), col("tier"), col("version"),
+        col("valid_from_us"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q78_table_diff" -> q78TableDiff,
     "q79_merge" -> q79Merge,
-    "q87_scd2" -> q87Scd2
+    "q87_scd2" -> q87Scd2,
+    "q103_pit_join" -> q103PitJoin
   )
 }

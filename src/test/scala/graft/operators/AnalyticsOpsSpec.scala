@@ -201,6 +201,81 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ab test: z matches the closed form; degenerate cells go null") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-15T00:00:00Z")
+    def t(s: Int) = java.sql.Timestamp.from(base.plusSeconds(s.toLong))
+    // type "m": control (even users) 4 trials / 2 conv; treatment 2/1.
+    // type "none": zero conversions anywhere → z must be null.
+    val ev = (Seq.tabulate(4)(i => (2L * i, t(i), 100L + i, "m",
+        if (i < 2) 150.0 else 50.0)) ++
+      Seq((1L, t(10), 200L, "m", 150.0), (3L, t(11), 201L, "m", 50.0)) ++
+      Seq((2L, t(20), 300L, "none", 10.0), (5L, t(21), 301L, "none", 10.0)))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ab").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q104AbTest.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = out("m")
+    assert((m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4)) ==
+      ((4L, 2L, 2L, 1L)))
+    val pool = 3.0 / 6.0
+    val zExp = (2.0 / 4.0 - 1.0 / 2.0) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / 4.0 + 1.0 / 2.0))
+    assert(m.getDouble(7) == zExp) // 0.0 here — exact, not approx
+    assert(out("none").isNullAt(7), "all-miss cell must yield null z")
+  }
+
+  test("ab test on sf0.001: splits partition the events, rates in [0,1]") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q104AbTest.fn(spark, d).cache()
+    val ev = graft.Tables.events(spark, d)
+    assert(out.agg(sum(col("n_a") + col("n_b"))).head().getLong(0) ==
+      ev.count())
+    assert(out.filter(col("x_a") > col("n_a") ||
+      col("x_b") > col("n_b")).count() == 0)
+    assert(out.filter(col("p_a") < 0 || col("p_a") > 1 ||
+      col("p_b") < 0 || col("p_b") > 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("mad outliers: exact order-statistic medians, odd and even n") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-15T00:00:00Z")
+    def t(s: Int) = java.sql.Timestamp.from(base.plusSeconds(s.toLong))
+    // odd: [1,2,3,4,100] → med 3, adev sorted [0,1,1,2,97] → mad 1,
+    //   threshold 4.4478 → only 97 exceeds → n_out 1
+    // even: [1,2,3,10] → med 2.5, adev sorted [.5,.5,1.5,7.5] →
+    //   mad (0.5+1.5)/2 = 1.0 → only 7.5 exceeds → n_out 1
+    val ev = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+        case (v, i) => (1L, t(i), 100L + i, "odd", v) } ++
+      Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex.map {
+        case (v, i) => (1L, t(i), 200L + i, "even", v) })
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q105MadOutliers.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out("odd") == ((5L, 3.0, 1.0, 1L)), out.toString)
+    assert(out("even") == ((4L, 2.5, 1.0, 1L)), out.toString)
+  }
+
+  test("mad outliers on sf0.001: med within range, mad >= 0, n partitions") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q105MadOutliers.fn(spark, d).cache()
+    assert(out.agg(sum("n")).head().getLong(0) ==
+      graft.Tables.events(spark, d).count())
+    assert(out.filter(col("mad") < 0 || col("n_out") > col("n"))
+      .count() == 0)
+    val rng = graft.Tables.events(spark, d).groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    assert(out.join(rng, "event_type")
+      .filter(col("med") < col("lo") || col("med") > col("hi"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("transitions: probabilities are exact n/tot and sum to 1 per source") {
     val out = AnalyticsOps.q94Transitions.fn(spark, sf("sf0.001")).cache()
     val bySrc = out.groupBy("src")

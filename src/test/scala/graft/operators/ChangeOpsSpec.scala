@@ -59,4 +59,59 @@ class ChangeOpsSpec extends SparkSpec {
     assert(out(2L) == ((Some(20L), false)), "unmatched target passes through")
     assert(out(3L) == ((Some(30L), true)), "new key inserts")
   }
+
+  test("q103 pit join: interval pick, pre-history null, same-tier collapse, tie") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-15T00:00:00Z")
+    def t(s: Int) = java.sql.Timestamp.from(base.plusSeconds(s.toLong))
+    def us(s: Int) = base.toEpochMilli * 1000L + s * 1000000L
+    val ev = Seq(
+      // user 1: tier 1 at t10, tier 1 again at t20 (collapses into
+      // version 1), tier 2 at t30
+      (1L, t(10), 100L, "signup", 150.0),
+      (1L, t(20), 101L, "signup", 199.0),
+      (1L, t(30), 102L, "signup", 250.0),
+      (1L, t(5), 103L, "purchase", 9.0),   // before history → null tier
+      (1L, t(25), 104L, "purchase", 9.0),  // inside version 1
+      (1L, t(30), 105L, "purchase", 9.0),  // AT a boundary → new version
+      // user 2: two signups in the SAME microsecond with different
+      // tiers — the collapse keeps the later version (event_id order)
+      (2L, t(0), 200L, "signup", 100.0),
+      (2L, t(0), 201L, "signup", 300.0),
+      (2L, t(1), 202L, "purchase", 9.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ChangeOps.q103PitJoin.fn(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(4)) None else Some(r.getLong(4))),
+         (if (r.isNullAt(5)) None else Some(r.getLong(5))),
+         (if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(out(103L) == ((None, None, None)), "pre-history purchase")
+    assert(out(104L) == ((Some(1L), Some(1L), Some(us(10)))),
+      "same-tier re-signup must not open a new version")
+    assert(out(105L) == ((Some(2L), Some(2L), Some(us(30)))),
+      "a purchase at the boundary instant sees the new version")
+    assert(out(202L) == ((Some(3L), Some(2L), Some(us(0)))),
+      "same-µs tie collapses to the later version's tier")
+  }
+
+  test("q103 on sf0.001: every purchase appears once; containment holds") {
+    val d = sf("sf0.001")
+    val ev = graft.Tables.events(spark, d)
+    val out = ChangeOps.q103PitJoin.fn(spark, d).cache()
+    assert(out.count() ==
+      ev.filter(col("event_type") === "purchase").count())
+    // matched rows: the joined interval starts at or before the purchase
+    assert(out.filter(col("tier").isNotNull &&
+      col("valid_from_us") > col("ts_us")).count() == 0)
+    // null rows are exactly the purchases before the user's first signup
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fs"))
+    val nulls = out.filter(col("tier").isNull)
+      .join(firstSignup, Seq("user_id"), "left")
+    assert(nulls.filter(col("fs").isNotNull && col("ts_us") >= col("fs"))
+      .count() == 0)
+    out.unpersist()
+  }
 }
