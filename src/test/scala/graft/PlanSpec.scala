@@ -216,6 +216,53 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window") >= 2, p)
   }
 
+  test("q100: interval merge rides one exchange; both windows share it") {
+    val p = plan("q100_interval_merge")
+    // running-max (offset frame) + island sum (unbounded frame) are
+    // two Window nodes over the same (user, s, event_id) sort — one
+    // user-keyed shuffle serves both plus the island rollup
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(nodes(p, "Window") == 2, p)
+  }
+
+  test("q101/q102: graph expansion never plans an unbounded join") {
+    for (q <- Seq("q101_khop", "q102_item_sim")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    // top-3 neighbors must cap map-side before the window shuffle
+    val p2 = plan("q102_item_sim")
+    assert(p2.contains(", 3, Partial"), p2)
+    assert(p2.contains(", 3, Final"), p2)
+  }
+
+  test("q103: the PIT lookup is joinless — union + window, two exchanges") {
+    val p = plan("q103_pit_join")
+    // interval containment against the tiling SCD2 dimension rides
+    // the as-of composition: NO join operator of any kind, one
+    // exchange for the dimension build (user partitioning satisfies
+    // both the version rollup and the same-µs collapse), one for the
+    // tagged union's carry window
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Exchange") == 2, p)
+  }
+
+  test("q104: the A/B scorecard is one partial+final aggregate pass") {
+    val p = plan("q104_ab_test")
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(nodes(p, "HashAggregate") == 2, p)
+  }
+
+  test("q105: MAD passes share one cached scan; stat attaches broadcast") {
+    val p = plan("q105_mad_outliers")
+    // the median/deviation frames are cached — consumers read the
+    // InMemoryRelation, not fresh parquet scans — and the tiny
+    // per-type med/mad frames attach via broadcast, never sort-merge
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
