@@ -530,6 +530,138 @@ object AnalyticsOps {
         count(when(col("adev") > col("mad") * 4.4478, 1)).as("n_out"))
   }
 
+  /** Growth accounting (the DAU decomposition): every active
+    * (user, day) is classified new / retained / resurrected, and a
+    * churn event is emitted the day after an activity gap opens —
+    * n_new − n_churned telescopes to the DAU delta, the identity
+    * product analytics runs on.
+    *
+    * ONE user-keyed exchange carries all three window stages (the
+    * q87 fusion): day-first flags over the raw event order, then —
+    * filters preserve partitioning — prev/next-day lags over the
+    * per-day rows only. Day-level rows then union with the shifted
+    * churn emissions into a single (day)-keyed count, so the whole
+    * report is two shuffles regardless of corpus size. A user's
+    * trailing churn (after their last active day) lands at
+    * last_day + 1 — one day past the observation window for users
+    * active through the end, kept deliberately: dropping it would
+    * need a global max-date and would undercount churn on the final
+    * day. */
+  val q106GrowthAccounting: QueryDef = QueryDef.withOracle(
+    """WITH ad AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    lag(day)  OVER w AS prev_day,
+      |    lead(day) OVER w AS next_day
+      |  FROM ad WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |act AS (
+      |  SELECT day,
+      |    CASE WHEN prev_day IS NULL THEN 'new'
+      |         WHEN day - prev_day = 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM c),
+      |chn AS (
+      |  SELECT day + 1 AS day, 'churned' AS cls FROM c
+      |  WHERE next_day IS NULL OR next_day - day > 1),
+      |u AS (SELECT * FROM act UNION ALL SELECT * FROM chn)
+      |SELECT day,
+      |  count(*) FILTER (WHERE cls = 'new') AS n_new,
+      |  count(*) FILTER (WHERE cls = 'retained') AS n_retained,
+      |  count(*) FILTER (WHERE cls = 'resurrected') AS n_resurrected,
+      |  count(*) FILTER (WHERE cls = 'churned') AS n_churned
+      |FROM u GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val wEv = Window.partitionBy(col("user_id"))
+      .orderBy(col("day"), col("event_id"))
+    val wDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_id"))
+      // day-first flag: distinct (user, day) WITHOUT a second
+      // exchange — the lag runs on the same user partitioning the
+      // day-level windows need
+      .withColumn("df", !(lag(col("day"), 1).over(wEv) <=> col("day")))
+      .filter(col("df"))
+      .withColumn("prev_day", lag(col("day"), 1).over(wDay))
+      .withColumn("next_day", lead(col("day"), 1).over(wDay))
+    // both emissions ride ONE pass: a two-branch union would compute
+    // the windowed frame twice, so each day-row explodes into its
+    // activity class plus (when a gap opens) the shifted churn event
+    val actCls = when(col("prev_day").isNull, "new")
+      .when(datediff(col("day"), col("prev_day")) === 1, "retained")
+      .otherwise("resurrected")
+    val churns = when(
+      col("next_day").isNull || datediff(col("next_day"), col("day")) > 1,
+      array(struct(date_add(col("day"), 1).as("day"),
+        lit("churned").as("cls"))))
+      .otherwise(array().cast("array<struct<day:date,cls:string>>"))
+    days
+      .select(explode(concat(
+        array(struct(col("day").as("day"), actCls.as("cls"))),
+        churns)).as("e"))
+      .select(col("e.day").as("day"), col("e.cls").as("cls"))
+      .groupBy(col("day"))
+      .agg(count(when(col("cls") === "new", 1)).as("n_new"),
+        count(when(col("cls") === "retained", 1)).as("n_retained"),
+        count(when(col("cls") === "resurrected", 1)).as("n_resurrected"),
+        count(when(col("cls") === "churned", 1)).as("n_churned"))
+  }
+
+  /** Last-touch marketing attribution with a bounded lookback: each
+    * purchase credits the user's most recent click/view touch within
+    * 7 days; purchases with no touch in the window credit 'direct'.
+    * Revenue rides integer cents (float-parity convention).
+    *
+    * The engine shape is the as-of composition (one union shuffle +
+    * carry window — never purchases × touches), then a POST-FILTER
+    * nulls out stale matches: the lookback bound cannot ride in the
+    * as-of itself, but because the carry is a single struct per
+    * matched row, aging out a match reverts type and timestamp
+    * TOGETHER — no half-attributed rows. The channel rollup lands on
+    * the touch-type domain (tiny) with map-side combine. */
+  val q107Attribution: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+      |    event_type AS touch
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.user_id, p.ts_us, p.cents, t.touch, t.t_us
+      |  FROM p ASOF LEFT JOIN t
+      |    ON p.user_id = t.user_id AND p.ts_us >= t.t_us),
+      |a AS (
+      |  SELECT cents,
+      |    CASE WHEN touch IS NOT NULL
+      |           AND ts_us - t_us <= 604800000000 THEN touch
+      |         ELSE 'direct' END AS channel
+      |  FROM m)
+      |SELECT channel, count(*) AS n_purchases,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM a GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("touch"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    graft.functions.AsOfJoin.asof(
+      purchases, touches, Seq("user_id"), "ts_us", "t_us",
+      Seq("touch" -> "touch", "t_us" -> "touch_us"))
+      .select(col("cents"),
+        when(col("touch").isNotNull &&
+          col("ts_us") - col("touch_us") <= 604800000000L, col("touch"))
+          .otherwise("direct").as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q92_skyline" -> q92Skyline,
     "q93_retention" -> q93Retention,
@@ -541,6 +673,8 @@ object AnalyticsOps {
     "q99_ohlc" -> q99Ohlc,
     "q100_interval_merge" -> q100IntervalMerge,
     "q104_ab_test" -> q104AbTest,
-    "q105_mad_outliers" -> q105MadOutliers
+    "q105_mad_outliers" -> q105MadOutliers,
+    "q106_growth_accounting" -> q106GrowthAccounting,
+    "q107_attribution" -> q107Attribution
   )
 }

@@ -263,6 +263,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q106: growth accounting is two shuffles; churn emits map-side") {
+    val p = plan("q106_growth_accounting")
+    // one user-keyed exchange feeds the day-first flag AND the
+    // prev/next-day lags; the single-pass explode (Generate) emits
+    // activity + churn rows without re-computing the windowed frame;
+    // the day rollup is the only other exchange
+    assert(nodes(p, "Exchange") == 2, p)
+    assert(nodes(p, "Generate") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q107: attribution is the joinless as-of shape plus one rollup") {
+    val p = plan("q107_attribution")
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Exchange") == 2, p)
+    assert(nodes(p, "Window") == 1, p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

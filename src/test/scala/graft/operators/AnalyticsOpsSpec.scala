@@ -276,6 +276,100 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("growth accounting: classes and churn on a hand-built history") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2025, 7, day, 12, 0))
+    // user 1 active d1, d2, d4  → new@1, retained@2, churned@3,
+    //   resurrected@4, churned@5 (trailing)
+    // user 2 active d2         → new@2, churned@3 (trailing)
+    val ev = Seq(
+      (1L, t(1), 100L, "x", 1.0), (1L, t(2), 101L, "x", 1.0),
+      (1L, t(2), 102L, "x", 1.0), // same-day dup must not double-count
+      (1L, t(4), 103L, "x", 1.0),
+      (2L, t(2), 200L, "x", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ga").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q106GrowthAccounting.fn(spark, dir)
+      .collect().map(r => r.getDate(0).toLocalDate.getDayOfMonth ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1) == ((1L, 0L, 0L, 0L)), out.toString)
+    assert(out(2) == ((1L, 1L, 0L, 0L)), out.toString)
+    assert(out(3) == ((0L, 0L, 0L, 2L)), out.toString)
+    assert(out(4) == ((0L, 0L, 1L, 0L)), out.toString)
+    assert(out(5) == ((0L, 0L, 0L, 1L)), out.toString)
+  }
+
+  test("growth accounting on sf0.001: telescoping DAU identity holds") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q106GrowthAccounting.fn(spark, d).cache()
+    val dau = graft.Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+    val j = out.join(dau, Seq("day"), "left")
+      .withColumn("dau", coalesce(col("dau"), lit(0L)))
+    // active classes partition the day's actives
+    assert(j.filter(col("n_new") + col("n_retained") + col("n_resurrected")
+      =!= col("dau")).count() == 0)
+    // ΔDAU = new + resurrected − churned, day over day
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day") // date domain — bounded, test-only
+    val chk = j
+      .withColumn("prev_dau", coalesce(lag(col("dau"), 1).over(w), lit(0L)))
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      // identity needs consecutive days; gap days have dau=0 rows
+      // only when churn emitted them, which sf0.001's dense calendar
+      // always does — assert that precondition too
+      .filter(col("prev_day").isNotNull &&
+        datediff(col("day"), col("prev_day")) === 1)
+    assert(chk.filter(col("dau") - col("prev_dau") =!=
+      col("n_new") + col("n_resurrected") - col("n_churned"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("attribution: lookback bound, direct fallback, tie to same instant") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-15T00:00:00Z")
+    def t(s: Long) = java.sql.Timestamp.from(base.plusSeconds(s))
+    val wk = 7L * 24 * 3600
+    val ev = Seq(
+      // u1: click 10s before purchase → credited to click
+      (1L, t(0), 100L, "click", 0.0), (1L, t(10), 101L, "purchase", 10.0),
+      // u2: view exactly 7 days before → still inside (<=)
+      (2L, t(0), 200L, "view", 0.0), (2L, t(wk), 201L, "purchase", 20.0),
+      // u3: click 7 days + 1 s before → stale → direct
+      (3L, t(0), 300L, "click", 0.0),
+      (3L, t(wk + 1), 301L, "purchase", 30.0),
+      // u4: no touches at all → direct
+      (4L, t(5), 400L, "purchase", 40.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q107Attribution.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("click") == ((1L, 1000L)), out.toString)
+    assert(out("view") == ((1L, 2000L)), out.toString)
+    assert(out("direct") == ((2L, 7000L)), out.toString)
+  }
+
+  test("attribution on sf0.001: purchases and revenue partition exactly") {
+    val d = sf("sf0.001")
+    val out = AnalyticsOps.q107Attribution.fn(spark, d).cache()
+    val p = graft.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .head()
+    assert(out.agg(sum("n_purchases")).head().getLong(0) == p.getLong(0))
+    assert(out.agg(sum("revenue_cents")).head().getLong(0) == p.getLong(1))
+    assert(out.filter(!col("channel").isin("click", "view", "direct"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("transitions: probabilities are exact n/tot and sum to 1 per source") {
     val out = AnalyticsOps.q94Transitions.fn(spark, sf("sf0.001")).cache()
     val bySrc = out.groupBy("src")
