@@ -212,10 +212,17 @@ object GraphOps {
   /** Degree-ordered triangle + wedge census over an undirected edge
     * list (u, v) with u < v, no duplicates: one row (triangles,
     * wedges). See [[q85Triangles]] for the algorithm contract. */
-  def triangleCensus(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
+  def triangleCensus(e0: DataFrame): DataFrame = {
+    // the edge list feeds the degree count AND the orientation join,
+    // and the oriented adjacency is read three times (both wedge
+    // sides + the closure probe) — cached, or every consumer would
+    // replay the full upstream pair aggregation (the q42-sigs
+    // convention). Endpoints explode map-side instead of a two-branch
+    // union, which would compute e twice by itself.
+    val e = e0.cache()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .cache()
     // orient each edge from its lower (degree, id) endpoint. The
     // degree frame is node-count-sized: small enough that AQE
     // broadcasts it at bench SF, big enough at web scale that the
@@ -230,6 +237,7 @@ object GraphOps {
       when(lower, col("u")).otherwise(col("v")).as("src"),
       when(lower, col("v")).otherwise(col("u")).as("dst"),
       when(lower, k("dv", "v")).otherwise(k("du", "u")).as("kd"))
+      .cache()
     // wedges at the lowest-key corner: (src→a, src→b) with key(a) <
     // key(b); closure check = does oriented edge a→b exist
     val wedgeAB = oriented.select(col("src"), col("dst").as("a"), col("kd").as("ka"))
@@ -287,8 +295,14 @@ object GraphOps {
   ) { (s, d) =>
     val e = basketPairs(s, d).filter(col("n_orders") >= 2)
       .select(col("part_a").as("u"), col("part_b").as("v"))
-    val adj = e.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    // both directions emit map-side (a union's two branches would
+    // each replay the pair aggregation), and the adjacency is cached:
+    // seeds, hop 1, and hop 2 all probe it
+    val adj = e.select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("x"))
+      .select(col("x.a").as("a"), col("x.b").as("b"))
+      .cache()
     val seeds = adj.select(col("a").as("seed")).distinct()
       .filter(col("seed") % 20 === 0)
     val h1 = seeds.join(adj, seeds("seed") === adj("a"))
@@ -351,9 +365,15 @@ object GraphOps {
       .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
     val cnt = qb.join(sizes, "o").groupBy(col("p")).agg(count(lit(1)).as("n"))
     val e = basketPairs(s, d).filter(col("n_orders") >= 2)
-    val dir = e.select(col("part_a").as("item"), col("part_b").as("nbr"),
-        col("n_orders").as("nab"))
-      .unionAll(e.select(col("part_b"), col("part_a"), col("n_orders")))
+    // both directions emit map-side — a union's branches would each
+    // replay the pair aggregation (the q101 fix)
+    val dir = e.select(explode(array(
+        struct(col("part_a").as("item"), col("part_b").as("nbr"),
+          col("n_orders").as("nab")),
+        struct(col("part_b").as("item"), col("part_a").as("nbr"),
+          col("n_orders").as("nab")))).as("x"))
+      .select(col("x.item").as("item"), col("x.nbr").as("nbr"),
+        col("x.nab").as("nab"))
     val sim = dir
       .join(cnt.select(col("p").as("item"), col("n").as("na")), "item")
       .join(cnt.select(col("p").as("nbr"), col("n").as("nb")), "nbr")
