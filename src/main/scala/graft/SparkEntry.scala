@@ -27,6 +27,7 @@ object SparkEntry {
       operators.GraphOps.all ++
       operators.ChangeOps.all ++
       operators.AnalyticsOps.all ++
+      operators.AnalyticsOps2.all ++
       operators.SmartHomeOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

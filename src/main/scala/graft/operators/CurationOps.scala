@@ -395,7 +395,13 @@ object CurationOps {
     * row per partition — metadata-sized, its own tiny window is fine)
     * joined back so cum = local + offset. The result is independent
     * of where the range boundaries land, so sampling in
-    * repartitionByRange stays outside the determinism contract. */
+    * repartitionByRange stays outside the determinism contract —
+    * PROVIDED both consumers see one boundary draw: the stamped
+    * frame is cached before it branches, because the offsets branch
+    * and the join-back branch re-evaluating the nondeterministic
+    * `spark_partition_id` stamp independently (AQE compiles the
+    * broadcast side as its own job) can disagree on the assignment
+    * and corrupt the prefix (the q112 overshoot, AnalyticsOps2). */
   val q91WeightedSample: QueryDef = QueryDef.withOracle(
     """WITH w AS (
       |  SELECT o_orderkey,
@@ -424,7 +430,9 @@ object CurationOps {
     val local = Window.partitionBy(col("pid"))
       .orderBy(col("rk"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cumLocal = parts.withColumn("lcum", sum(col("weight_cents")).over(local))
+    val cumLocal = parts
+      .withColumn("lcum", sum(col("weight_cents")).over(local))
+      .cache()
     // one row per partition; its global window is metadata-scale
     val offsets = cumLocal.groupBy(col("pid"))
       .agg(sum(col("weight_cents")).as("psum"))

@@ -319,6 +319,85 @@ object GraphOps {
         coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
   }
 
+  /** Association rules (directed market-basket mining) over the
+    * capped co-purchase baskets: for every supported pair, both
+    * directed rules a→b with
+    *   confidence = n_ab / n_a            (P(b | a))
+    *   lift       = n_ab·N / (n_a·n_b)    (P(a,b) / P(a)P(b))
+    * ranked by interestingness, top 100. The directed complement of
+    * q102's symmetric cosine: confidence is the recommendation score
+    * an "if-bought-X-suggest-Y" rule actually uses, and lift is the
+    * independence test that kills popularity-bias rules cosine keeps.
+    *
+    * Float parity is exact: n_ab·N and n_a·n_b are int64 products of
+    * basket counts (< 2⁵³ — lossless as doubles), so conf and lift
+    * are each ONE IEEE division of exact integers — identical bits in
+    * both engines, which makes even the float-ordered top-100 cut
+    * deterministic (the (lift DESC, antecedent, consequent) key is a
+    * total order over bit-identical values).
+    *
+    * Scale shape: pair stream ∝ rows (capped baskets, the q86
+    * bound), direction doubling map-side via explode, per-item counts
+    * attach by item-keyed joins (AQE broadcasts while they fit), and
+    * the global top-100 is TakeOrderedAndProject — per-partition
+    * heaps, never a full sort. N is a 1-row scalar crossJoin (J2). */
+  val q108AssocRules: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |qb AS (SELECT bp.o, bp.p FROM bp JOIN ok USING (o)),
+      |nb AS (SELECT count(DISTINCT o) AS n_baskets FROM qb),
+      |cnt AS (SELECT p, count(*) AS n FROM qb GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa, pb, nab FROM pairs WHERE nab >= 2),
+      |dir AS (SELECT pa AS antecedent, pb AS consequent, nab FROM e
+      |        UNION ALL SELECT pb, pa, nab FROM e),
+      |rules AS (
+      |  SELECT d.antecedent, d.consequent, d.nab AS n_ab,
+      |    ca.n AS n_a, cb.n AS n_b,
+      |    CAST(d.nab AS DOUBLE) / CAST(ca.n AS DOUBLE) AS conf,
+      |    CAST(d.nab * nb.n_baskets AS DOUBLE)
+      |      / CAST(ca.n * cb.n AS DOUBLE) AS lift
+      |  FROM dir d JOIN cnt ca ON ca.p = d.antecedent
+      |  JOIN cnt cb ON cb.p = d.consequent
+      |  CROSS JOIN nb)
+      |SELECT antecedent, consequent, n_ab, n_a, n_b, conf, lift
+      |FROM rules
+      |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val qb = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val sizes = qb.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
+    val okb = qb.join(sizes, "o")
+    val nBaskets = okb.agg(countDistinct(col("o")).as("n_baskets"))
+    val cnt = okb.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = basketPairs(s, d).filter(col("n_orders") >= 2)
+    val dir = e.select(explode(array(
+        struct(col("part_a").as("antecedent"), col("part_b").as("consequent"),
+          col("n_orders").as("n_ab")),
+        struct(col("part_b").as("antecedent"), col("part_a").as("consequent"),
+          col("n_orders").as("n_ab")))).as("x"))
+      .select(col("x.antecedent").as("antecedent"),
+        col("x.consequent").as("consequent"), col("x.n_ab").as("n_ab"))
+    dir
+      .join(cnt.select(col("p").as("antecedent"), col("n").as("n_a")),
+        "antecedent")
+      .join(cnt.select(col("p").as("consequent"), col("n").as("n_b")),
+        "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("conf"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(100)
+  }
+
   /** Item-item cosine similarity (co-occurrence collaborative
     * filtering): sim(i,j) = n_ij / √(n_i · n_j) over qualifying
     * baskets, top-3 neighbors per item — the "customers also bought"
@@ -391,6 +470,7 @@ object GraphOps {
     "q85_triangles" -> q85Triangles,
     "q86_copurchase" -> q86Copurchase,
     "q101_khop" -> q101Khop,
-    "q102_item_sim" -> q102ItemSim
+    "q102_item_sim" -> q102ItemSim,
+    "q108_assoc_rules" -> q108AssocRules
   )
 }

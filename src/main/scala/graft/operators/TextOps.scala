@@ -457,7 +457,69 @@ object TextOps {
       .select("lang", "rank", "doc_id")
   }
 
+  /** Collocation mining: corpus-level PMI-style association of
+    * adjacent token pairs — lift(a,b) = p(ab)/(p(a)p(b)) — the
+    * phrase detector that feeds tokenizer-vocabulary merges and
+    * stop-phrase lists (log(lift) IS pointwise mutual information;
+    * the log is omitted so the score stays one exact IEEE division
+    * of int64 counts instead of a libm call — it's monotone, so
+    * ranking and thresholds are unchanged).
+    *
+    * lift = c_ab·N / (c_a·c_b) with N the corpus token count: the
+    * numerator and denominator are exact int64 products (scale note,
+    * the q2o convention: needs c_ab·N < 2⁶³ and c_a·c_b < 2⁵³ —
+    * holds through ~10¹² tokens with the c_ab ≥ 5 support floor;
+    * beyond that, pre-divide both counts by a common 2ᵏ).
+    *
+    * Scale shape: one explode pass emits unigrams, one emits
+    * adjacent pairs (both ∝ corpus tokens, no self-joins anywhere);
+    * the unigram-count attach is an item-keyed join (AQE broadcasts
+    * while vocab fits); top-100 is TakeOrderedAndProject. The float
+    * sort key is bit-identical in both engines (single division of
+    * exact ints), so the cut is deterministic under the
+    * (lift DESC, w1, w2) total order. */
+  val q109PmiCollocations: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      |n AS (SELECT count(*) AS n_tok FROM uni),
+      |bg AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT t FROM toks WHERE len(t) >= 2) d,
+      |    LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+      |bcnt AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2)
+      |SELECT w1, w2, c_ab, ca.c AS c_a, cb.c AS c_b,
+      |  CAST(c_ab * n.n_tok AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+      |FROM bcnt JOIN ucnt ca ON ca.w = w1 JOIN ucnt cb ON cb.w = w2
+      |CROSS JOIN n
+      |WHERE c_ab >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(split(col("text"), " ", -1).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val ucnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(count(lit(1)).as("n_tok"))
+    val bcnt = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bcnt
+      .join(ucnt.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * col("n_tok")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q109_pmi_collocations" -> q109PmiCollocations,
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,
     "q32_lang_stats" -> q32LangStats,
