@@ -57,6 +57,11 @@ object Bench {
             Double.NaN
         }
       }
+      // caches built by this query stay hot across its own timed runs
+      // (steady-state min-of-N) but are released before the next query:
+      // each query's number is its standalone cost, and a long bench
+      // session holds no accumulated cached relations
+      CacheHygiene.sweep(spark)
       name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
     }
     // The driver keeps only the last ~2000 chars of stdout and parses

@@ -12,23 +12,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** All query groups, merged. Name collisions are a bug — each group
-    * owns a distinct q-number range / prefix. */
+  /** All query groups. Name collisions are a bug — each group owns a
+    * distinct q-number range / prefix. Exposed so the collision spec
+    * sums the SAME list the merge uses (a new group can't silently
+    * desync the expected count). */
+  private[graft] lazy val groups: Seq[Map[String, QueryDef]] = Seq(
+    operators.Relational.all,
+    operators.Relational2.all,
+    operators.Relational3.all,
+    operators.TextOps.all,
+    operators.DedupOps.all,
+    operators.SimilarityOps.all,
+    operators.RankingOps.all,
+    operators.CurationOps.all,
+    operators.ClusteringOps.all,
+    operators.GraphOps.all,
+    operators.ChangeOps.all,
+    operators.AnalyticsOps.all,
+    operators.AnalyticsOps2.all,
+    operators.SmartHomeOps.all)
+
   private lazy val defs: Map[String, QueryDef] =
-    operators.Relational.all ++
-      operators.Relational2.all ++
-      operators.Relational3.all ++
-      operators.TextOps.all ++
-      operators.DedupOps.all ++
-      operators.SimilarityOps.all ++
-      operators.RankingOps.all ++
-      operators.CurationOps.all ++
-      operators.ClusteringOps.all ++
-      operators.GraphOps.all ++
-      operators.ChangeOps.all ++
-      operators.AnalyticsOps.all ++
-      operators.AnalyticsOps2.all ++
-      operators.SmartHomeOps.all
+    groups.reduce(_ ++ _)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

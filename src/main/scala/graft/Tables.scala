@@ -13,20 +13,32 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * as a raw long (spark.sql.legacy.parquet.nanosAsLong=true — set in
-    * Verify/Bench/test sessions). Convert to a microsecond TimestampType
-    * here so every query sees a proper timestamp. Truncation ns→µs is
-    * order-preserving for whole-µs predicates, and all query orderings
-    * tiebreak on event_id, so semantics match a ns-native engine. */
+  /** Normalize `events.ts` to a µs `TimestampType` under every encoding
+    * the driver has shipped:
+    *   - TIMESTAMP(NANOS): Spark 4 reads it only as a raw long
+    *     (spark.sql.legacy.parquet.nanosAsLong=true in Verify/Bench/test
+    *     sessions) → integral div to µs. Truncation ns→µs is
+    *     order-preserving for whole-µs predicates, and all query
+    *     orderings tiebreak on event_id, so semantics match a ns engine.
+    *   - timestamp[us] without tz → TIMESTAMP_NTZ: cast to TimestampType.
+    *     Sessions run with UTC timezone, so the naive wall-clock µs value
+    *     is reinterpreted 1:1 as the epoch-µs instant — the same reading
+    *     DuckDB's `epoch_us` gives the oracle over the same parquet.
+    *   - timestamp[us] with tz (LTZ): already TimestampType, pass through.
+    */
   private def withTimestamps(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integral `div`, not `/`: double division of ~1.7e18 ns epochs
-      // loses up to ~200 ns (53-bit mantissa) before truncation
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral `div`, not `/`: double division of ~1.7e18 ns epochs
+        // loses up to ~200 ns (53-bit mantissa) before truncation
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")

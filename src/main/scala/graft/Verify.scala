@@ -61,6 +61,9 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // per-query caches are released once the write lands — a
+        // 130-query session must not accumulate cached relations
+        CacheHygiene.sweep(spark)
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -27,11 +27,18 @@ object AsOfJoin {
     * @param leftTs    left timestamp column name
     * @param rightTs   right timestamp column name
     * @param payload   right columns to carry (renamed as given)
+    * @param rightTiebreak right column breaking ties between right
+    *                  rows at the SAME timestamp: the greatest value
+    *                  wins. Without it, two same-instant right rows
+    *                  make the carried pick partial-sort-order
+    *                  dependent — fine when (key, ts) is unique
+    *                  (SCD2 dims), required for raw event streams.
     * @return left rows + payload columns (null when no right row ≤ ts)
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)],
+      rightTiebreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val clash = payload.map(_._2).filter(leftCols.contains)
     require(clash.isEmpty,
@@ -52,6 +59,7 @@ object AsOfJoin {
     val taggedRight = right.select(
       keyCols.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          rightTiebreak.map(col).getOrElse(lit(null)).as("__tb"),
           struct(payload.map { case (src, dst) => col(src).as(dst) }: _*)
             .as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c))
@@ -59,12 +67,16 @@ object AsOfJoin {
     val taggedLeft = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(taggedRight.schema("__tb").dataType).as("__tb"),
           lit(null).cast(taggedRight.schema("__p").dataType).as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c))
           .map(c => col(c).as(s"__l_$c")): _*)
+    // __side still decides right-before-left at equal ts; __tb only
+    // orders right rows among themselves (ascending → `last` carries
+    // the greatest tiebreak). Left rows all have a null __tb.
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, 0)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))

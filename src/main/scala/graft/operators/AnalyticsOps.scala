@@ -621,10 +621,13 @@ object AnalyticsOps {
     * TOGETHER — no half-attributed rows. The channel rollup lands on
     * the touch-type domain (tiny) with map-side combine. */
   val q107Attribution: QueryDef = QueryDef.withOracle(
-    """WITH t AS (
+    """WITH t0 AS (
       |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
-      |    event_type AS touch
+      |    event_type AS touch, event_id
       |  FROM events WHERE event_type IN ('click', 'view')),
+      |t AS (
+      |  SELECT user_id, t_us, max_by(touch, event_id) AS touch
+      |  FROM t0 GROUP BY user_id, t_us),
       |p AS (
       |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -646,13 +649,17 @@ object AnalyticsOps {
     val ev = Tables.events(s, d)
     val touches = ev.filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
-        col("event_type").as("touch"))
+        col("event_type").as("touch"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    // the event_id tiebreak makes the same-µs touch pick deterministic
+    // (max event_id wins) WITHIN the existing carry sort — no extra
+    // shuffle; the oracle states the same rule as a max_by collapse
     graft.functions.AsOfJoin.asof(
       purchases, touches, Seq("user_id"), "ts_us", "t_us",
-      Seq("touch" -> "touch", "t_us" -> "touch_us"))
+      Seq("touch" -> "touch", "t_us" -> "touch_us"),
+      rightTiebreak = Some("event_id"))
       .select(col("cents"),
         when(col("touch").isNotNull &&
           col("ts_us") - col("touch_us") <= 604800000000L, col("touch"))

@@ -284,6 +284,57 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window") == 1, p)
   }
 
+  test("q108: association rules never plan a cartesian pair join") {
+    val p = plan("q108_assoc_rules")
+    // pairs come from the capped map-side basket generator (q86's
+    // shape), never a fact-table self-join; the only loop join allowed
+    // is the broadcast of the 1-row basket-count normalizer
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodes(p, "Generate") >= 1, p)
+  }
+
+  test("q110: the radius join is a grid-cell equi-join, never a loop join") {
+    val p = plan("q110_geo_join")
+    // the O(n·m) cross-distance shape must not appear: blocking turns
+    // it into a hash join on the (gx, gy) cell key
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q111: EWMA is one user-keyed exchange and one fused Window") {
+    val p = plan("q111_ewma")
+    // row_number and the 20-row collect_list frame sort identically —
+    // Spark fuses them into a single Window node over one shuffle
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(nodes(p, "Window") == 1, p)
+  }
+
+  test("q112: global ranks run the two-phase range pattern, pinned by cache") {
+    val p = plan("q112_rfm")
+    // three global row_numbers → range repartitions, never a
+    // single-task all-rows Window.orderBy over the user frame
+    assert(p.contains("rangepartitioning"), p)
+    // the stamped frame must branch from ONE materialized assignment
+    // (the q112-quartile-5 regression): both consumers read the cache
+    assert(p.contains("InMemoryTableScan"), p)
+    // every data-path window is partitioned by __pid; the only
+    // unpartitioned window runs on the metadata-sized offset frame
+    assert(p.contains("windowspecdefinition(__pid"), p)
+  }
+
+  test("q114: session paths assemble on ONE user-keyed exchange") {
+    val p = plan("q114_session_paths")
+    // flags, running session index, rn, and the session-start carry
+    // all share the user sort; the only other exchanges are the two
+    // path rollups; top-50 is TakeOrderedAndProject, no global sort
+    assert(nodes(p, "Window") >= 3, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(nodes(p, "Exchange") <= 3, p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

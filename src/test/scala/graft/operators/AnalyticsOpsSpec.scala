@@ -355,6 +355,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("direct") == ((2L, 7000L)), out.toString)
   }
 
+  test("attribution: two touches in one microsecond credit max event_id") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2025-07-15T00:00:00Z")
+    def t(s: Long) = java.sql.Timestamp.from(base.plusSeconds(s))
+    val ev = Seq(
+      // u1: click (id 100) and view (id 101) share the SAME µs; the
+      // pre-collapse keeps max event_id → view is the credited touch,
+      // independent of partial-agg merge order
+      (1L, t(0), 100L, "click", 0.0), (1L, t(0), 101L, "view", 0.0),
+      (1L, t(10), 102L, "purchase", 10.0),
+      // u2: reversed ids, same instant → click credited
+      (2L, t(0), 201L, "click", 0.0), (2L, t(0), 200L, "view", 0.0),
+      (2L, t(10), 202L, "purchase", 20.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr-tie").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q107Attribution.fn(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("view") == ((1L, 1000L)), out.toString)
+    assert(out("click") == ((1L, 2000L)), out.toString)
+    assert(!out.contains("direct"), out.toString)
+  }
+
   test("attribution on sf0.001: purchases and revenue partition exactly") {
     val d = sf("sf0.001")
     val out = AnalyticsOps.q107Attribution.fn(spark, d).cache()

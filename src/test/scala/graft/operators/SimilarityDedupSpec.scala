@@ -211,12 +211,9 @@ class SimilarityDedupSpec extends SparkSpec {
   }
 
   test("query group maps have no name collisions") {
-    val groups = Seq(
-      Relational.all, Relational2.all, Relational3.all, TextOps.all,
-      DedupOps.all, SimilarityOps.all, RankingOps.all, ClusteringOps.all,
-      CurationOps.all, GraphOps.all, ChangeOps.all, AnalyticsOps.all,
-      SmartHomeOps.all)
-    val total = groups.map(_.size).sum
+    // Sum the SAME group list SparkEntry merges, so adding a group
+    // can never desync this expectation (round-4 regression).
+    val total = graft.SparkEntry.groups.map(_.size).sum
     assert(graft.SparkEntry.queries.size == total,
       s"collision: merged ${graft.SparkEntry.queries.size} != sum $total")
   }
