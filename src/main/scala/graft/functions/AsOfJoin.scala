@@ -56,19 +56,24 @@ object AsOfJoin {
     // last(ignoreNulls) carries the whole matched row: a legitimately
     // NULL payload value is preserved, and multiple payload columns
     // can never mix values from different right rows.
+    // __tb exists only when a tiebreak was requested: a constant null
+    // sort key would be a no-op for every caller without one (and
+    // NullType ordering is an edge path that has shifted across Spark
+    // versions — don't ride it for nothing).
     val taggedRight = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-          rightTiebreak.map(col).getOrElse(lit(null)).as("__tb"),
-          struct(payload.map { case (src, dst) => col(src).as(dst) }: _*)
-            .as("__p")) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightTiebreak.map(tb => col(tb).as("__tb")).toSeq ++
+        Seq(struct(payload.map { case (src, dst) => col(src).as(dst) }: _*)
+          .as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c))
           .map(c => lit(null).as(s"__l_$c")): _*)
     val taggedLeft = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
-          lit(null).cast(taggedRight.schema("__tb").dataType).as("__tb"),
-          lit(null).cast(taggedRight.schema("__p").dataType).as("__p")) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        rightTiebreak.map(_ =>
+          lit(null).cast(taggedRight.schema("__tb").dataType).as("__tb")).toSeq ++
+        Seq(lit(null).cast(taggedRight.schema("__p").dataType).as("__p")) ++
         leftCols.filterNot(c => keyCols.contains(c))
           .map(c => col(c).as(s"__l_$c")): _*)
     // __side still decides right-before-left at equal ts; __tb only
@@ -76,7 +81,8 @@ object AsOfJoin {
     // the greatest tiebreak). Left rows all have a null __tb.
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .orderBy(Seq(col("__ts"), col("__side")) ++
+        rightTiebreak.map(_ => col("__tb")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))

@@ -26,8 +26,22 @@ object SmartHomeOps {
   private val silverCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  /** Re-register a memoized frame's cache if a runner-level
+    * `CacheHygiene.sweep` dropped it: the maps memoize the DataFrame,
+    * but `.cache()` registration lives in the session's cache manager,
+    * which Verify/Bench clear after every query. Without this,
+    * q61-q65 rebuild silver from the fixture generator on every
+    * post-sweep access (bench noise, not a correctness issue — the
+    * recompute is bitwise-deterministic). `storageLevel` is a cheap
+    * cache-manager lookup; `.cache()` is idempotent when registered. */
+  private def recache(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
   private def silver(s: SparkSession): DataFrame =
-    silverCache.computeIfAbsent(s, s => {
+    recache(silverCache.computeIfAbsent(s, s => {
       s.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
@@ -39,7 +53,7 @@ object SmartHomeOps {
         Fixtures.bronzeTelemetry(s, nDevices = 10, rowsPerDevice = 200,
           dirty = true),
         Fixtures.deviceCatalog(s), cfg).cache()
-    })
+    }))
 
   /** Session-scoped pinned frames shared by q63/q64/q65: silver, the
     * daily rollup, and device health, each coalesced to ONE partition
@@ -56,8 +70,8 @@ object SmartHomeOps {
   private val pinnedCache = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, (DataFrame, DataFrame, DataFrame)]()
 
-  private def pinned(s: SparkSession): (DataFrame, DataFrame, DataFrame) =
-    pinnedCache.computeIfAbsent(s, s => {
+  private def pinned(s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
+    val t = pinnedCache.computeIfAbsent(s, s => {
       val sil = silver(s)
       (sil.coalesce(1).sortWithinPartitions("device_id", "timestamp").cache(),
         SilverToGold.dailyEnergyConsumption(sil, cfg)
@@ -65,6 +79,11 @@ object SmartHomeOps {
         SilverToGold.deviceHealthMetrics(sil, cfg)
           .coalesce(1).sortWithinPartitions("device_id").cache())
     })
+    // the pins' lineage reads silver: re-register it too so a
+    // post-sweep pin rebuild hits the cached silver, not the generator
+    silver(s)
+    (recache(t._1), recache(t._2), recache(t._3))
+  }
 
   /** Bronze→Silver refinement (F2-F7, J1, ST4, W1-W3) on the dirty
     * fixture: 2009 raw rows → 2003 clean silver rows (6 dirty drops:

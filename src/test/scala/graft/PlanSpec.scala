@@ -293,6 +293,29 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Generate") >= 1, p)
   }
 
+  test("q109: PMI collocations are map-side explodes, never a self-join") {
+    val p = plan("q109_pmi_collocations")
+    // unigrams and adjacent pairs each come from one explode over the
+    // token arrays (∝ corpus tokens); the unigram-count attach is an
+    // equi-join; the only loop join allowed is the broadcast of the
+    // 1-row token-count normalizer
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodes(p, "Generate") >= 2, p)
+    // top-100 never plans a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q113: Benford is one partial+final digit rollup + broadcast total") {
+    val p = plan("q113_benford")
+    // the 9-row digit histogram aggregates partial+final; the grand
+    // total attaches as a broadcast 1-row frame — no shuffled join of
+    // any kind, and never a cartesian
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("q110: the radius join is a grid-cell equi-join, never a loop join") {
     val p = plan("q110_geo_join")
     // the O(n·m) cross-distance shape must not appear: blocking turns
