@@ -38,11 +38,21 @@ object Bench {
     }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    // Two timed runs per query, report the min: run 1 includes that
-    // query's whole-stage-codegen compilation (~0.1-0.3 s each, pure
-    // one-time JVM cost); the min reflects steady-state throughput,
-    // which is what scales to a long-lived cluster session.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Three timed runs per query, report the MEDIAN (r6 protocol
+    // change): run 1 includes that query's whole-stage-codegen
+    // compilation (~0.1-0.3 s, pure one-time JVM cost), which the
+    // median discards like min-of-2 did — but the median also discards
+    // a single slow outlier from a driver-host load spike, the noise
+    // source behind the 67→101→74 s cross-round swings on
+    // identical-or-better code. Steady-state is what scales to a
+    // long-lived cluster session.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      // even n: lower-middle (conservative — still excludes the
+      // codegen-carrying max); odd n: exact middle
+      s((s.length - 1) / 2)
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -58,11 +68,11 @@ object Bench {
         }
       }
       // caches built by this query stay hot across its own timed runs
-      // (steady-state min-of-N) but are released before the next query:
-      // each query's number is its standalone cost, and a long bench
-      // session holds no accumulated cached relations
+      // (steady-state median-of-N) but are released before the next
+      // query: each query's number is its standalone cost, and a long
+      // bench session holds no accumulated cached relations
       CacheHygiene.sweep(spark)
-      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
+      name -> (if (times.exists(_.isNaN)) -1.0 else medianOf(times))
     }
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the JSON line out of that tail (round-2 lesson: 9-decimal doubles
@@ -96,7 +106,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val sfName = sfDir.split('/').last
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"median"}"""
     println(line)
     spark.stop()
   }

@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * consistently so referential joins stay intact per copy.
   *
   * `sweep` mirrors Bench's protocol (same session config, untimed
-  * footer warmup, min of 2 timed runs) and prints one JSON line.
+  * footer warmup, median of 3 timed runs, post-query cache sweep)
+  * and prints one JSON line.
   */
 object Scale {
 
@@ -68,7 +69,12 @@ object Scale {
   }
 
   def gen(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
-    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // read through Tables.load, not raw: the loader normalizes every
+    // timestamp encoding (NANOS/NTZ/LTZ), so replicas always carry a
+    // genuine TimestampType — a raw read of a NANOS source would write
+    // plain unannotated INT64 columns the loader could no longer
+    // recognize as timestamps
+    def read(t: String) = Tables.load(spark, src, t)
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
     def stride(df: DataFrame, c: String): Long =
@@ -148,7 +154,11 @@ object Scale {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(5).collect()
       catch { case _: Throwable => () }
     }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      s((s.length - 1) / 2)
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
@@ -160,7 +170,8 @@ object Scale {
           Double.NaN
         }
       }
-      name -> (if (times.exists(_.isNaN)) -1.0 else times.min)
+      CacheHygiene.sweep(spark)
+      name -> (if (times.exists(_.isNaN)) -1.0 else medianOf(times))
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))

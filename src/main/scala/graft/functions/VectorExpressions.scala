@@ -65,14 +65,21 @@ object VectorExpressions {
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val lg = if (elemIsFloat(left)) "getFloat" else "getDouble"
       val rg = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      // freshName, not fixed names: several of these expressions land
+      // in ONE codegen scope (cosine = dot + two norms), and a fixed
+      // `int i` redefinition makes janino reject the whole stage —
+      // silently degrading it to interpreted mode
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       nullSafeCodeGen(ctx, ev, (x, y) =>
         s"""
-           |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  s += ((double) $x.$lg(i)) * ((double) $y.$rg(i));
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ((double) $x.$lg($i)) * ((double) $y.$rg($i));
            |}
-           |${ev.value} = s;
+           |${ev.value} = $s;
          """.stripMargin)
     }
 
@@ -110,20 +117,84 @@ object VectorExpressions {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val g = if (elemIsFloat(child)) "getFloat" else "getDouble"
+      // freshName for the same reason as DotProduct: two SquaredNorms
+      // plus a DotProduct share one scope in every cosine projection
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
       nullSafeCodeGen(ctx, ev, x =>
         s"""
-           |int n = $x.numElements();
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double v = (double) $x.$g(i);
-           |  s += v * v;
+           |int $n = $x.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $v = (double) $x.$g($i);
+           |  $s += $v * $v;
            |}
-           |${ev.value} = s;
+           |${ev.value} = $s;
          """.stripMargin)
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Σ (aᵢ−bᵢ)² over two BIGINT arrays — the fixed-point squared L2
+    * distance of the PQ encode/ADC paths (q69/q72). Exact int64
+    * arithmetic end-to-end (the quantized inputs are ≤ 2²¹, so the
+    * sum of 16 squared deltas stays far below 2⁶³) — bit-identical to
+    * the oracle's list_sum(list_transform(...)) without the ~dim
+    * interpreted closures per pair the built-in higher-order route
+    * costs. */
+  case class LongSqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_lsqdist needs array<bigint> inputs, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val dv = ctx.freshName("d")
+      nullSafeCodeGen(ctx, ev, (x, y) =>
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $dv = $x.getLong($i) - $y.getLong($i);
+           |  $s += $dv * $dv;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
   }
 
   /** Random-hyperplane LSH signature: `tables` longs, each of `bits`
@@ -197,6 +268,8 @@ object VectorExpressions {
 
   def dot(a: Column, b: Column): Column = asCol(DotProduct(exprOf(a), exprOf(b)))
   def sqnorm(a: Column): Column = asCol(SquaredNorm(exprOf(a)))
+  def longSqDist(a: Column, b: Column): Column =
+    asCol(LongSqDist(exprOf(a), exprOf(b)))
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
     dot(a, b) / (sqrt(sqnorm(a)) * sqrt(sqnorm(b)))

@@ -32,14 +32,30 @@ object ClusteringOps {
     * member quantization and the final division are exact. */
   private val Quant = 1048576.0
 
+  /** Adaptive seed-sample divisor: k stays ≈ 64 clusters regardless of
+    * corpus size via p = max(101, ⌈n / 64⌉). Topic count is a property
+    * of the DOMAIN, not the corpus size — and a fixed divisor made
+    * k = n/101 seeds, turning the n·k broadcast assignment quadratic
+    * (measured 27× time at the 10×-replica step before the change).
+    * The 101 floor keeps every gate SF's seed set — and so every
+    * oracle output — unchanged; the oracle computes the identical p
+    * with a scalar subquery (⌈⌉ and /64 are exact IEEE both engines).
+    */
+  private def kmeansDivisor(n: Long): Long =
+    math.max(101L, math.ceil(n / 64.0).toLong)
+
+  /** SQL mirror of [[kmeansDivisor]] over a CTE named `c`. */
+  private val KmeansDivisorSql =
+    "(SELECT GREATEST(101, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM c)"
+
   /** Shared two-round centroid CTE chain (c -> cents0 -> a1 -> d1 ->
     * s1 -> cents1 -> a2 -> d2 -> s2) - the SQL mirror of
     * `twoRoundCentroids`, interpolated into both the q56 and q81
     * oracles so the recurrence can never silently diverge between
     * them. */
   private val centroidChainSql: String =
-    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |cents0 AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 101 = 1),
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents0 AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % $KmeansDivisorSql = 1),
       |a1 AS (
       |  SELECT vec_id, emb, cent_id FROM (
       |    SELECT c.vec_id, c.emb, cent_id, row_number() OVER
@@ -95,7 +111,8 @@ object ClusteringOps {
       |FROM cents2""".stripMargin
   ) { (s, d) =>
     val c = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents2 = twoRoundCentroids(c)
+    val cents2 = twoRoundCentroids(c,
+      kmeansDivisor(SimilarityOps.corpusCount(s, d)))
     cents2.select(
       col("cent_id").as("cluster_id"),
       col("n_members").cast("long").as("n_members"),
@@ -129,11 +146,11 @@ object ClusteringOps {
         "))), x -> x.cv)").as("cent_emb"),
         max(col("n")).as("n_members"))
 
-  /** The q56 centroid chain: seed on vec_id % 101 = 1, two
-    * assign→update rounds. Shared by q56 (centroid stats) and q81
+  /** The q56 centroid chain: seed on vec_id % kmeansDivisor(n) = 1,
+    * two assign→update rounds. Shared by q56 (centroid stats) and q81
     * (semantic keep). */
-  private def twoRoundCentroids(c: DataFrame): DataFrame = {
-    val cents0 = c.filter(col("vec_id") % 101 === 1)
+  private def twoRoundCentroids(c: DataFrame, p: Long): DataFrame = {
+    val cents0 = c.filter(col("vec_id") % p === 1)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val cents1 = update(assign(c, cents0)).select(col("cent_id"), col("cent_emb"))
     update(assign(c, cents1))
@@ -172,7 +189,9 @@ object ClusteringOps {
       |WHERE rk = 1""".stripMargin
   ) { (s, d) =>
     val c = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val cents2 = twoRoundCentroids(c).select(col("cent_id"), col("cent_emb"))
+    val cents2 = twoRoundCentroids(c,
+      kmeansDivisor(SimilarityOps.corpusCount(s, d)))
+      .select(col("cent_id"), col("cent_emb"))
     c.crossJoin(broadcast(cents2))
       .select(col("vec_id"), col("cent_id"),
         VectorExpressions.cosine(col("embedding"), col("cent_emb")).as("sim"))

@@ -324,32 +324,31 @@ object DedupOps {
       |WHERE round(list_cosine_similarity(ca.emb, cb.emb), 6) >= 0.3""".stripMargin
   ) { (s, d) =>
     import graft.functions.VectorExpressions
-    // Candidates as IDS ONLY through the bucket self-join — the wide
-    // embedding arrays never ride the bucket shuffle; they are
-    // attached afterwards by two vec_id joins against the corpus scan.
-    // At 100 TB that's the difference between shuffling (id, bucket)
-    // pairs and shuffling every vector L times. The buckets are the
-    // SHARED SimilarityOps frame (adaptive bit count — fixed k made
-    // this join quadratic at 10× data), which is also what Verify
-    // dumps for the oracle, so query and fixture agree by
-    // construction.
-    val sig = SimilarityOps.lshBucketsFrame(s, d)
-    val pairs = sig.select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
-      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("vec_b")),
-        Seq("t", "bucket"))
+    // Embeddings ride THROUGH the bucket self-join and every collision
+    // is scored and threshold-filtered IMMEDIATELY; only the (few)
+    // passing pairs reach the dedup. The array shuffle is O(L·n) —
+    // each vector ships once per table — while the previously-used
+    // ids-only-then-attach design shuffled O(candidates) rows through
+    // TWO embedding joins, and candidates ≈ L·n·occupancy/2 dwarf
+    // L·n whenever bucket occupancy > 2 (measured 42× time at the
+    // 10×-data step from ~30 GB of array-attach shuffle; carry-through
+    // is ~linear). distinct-after-filter is equivalent to
+    // distinct-before-score: a pair colliding in several tables scores
+    // identically each time. The buckets are the SHARED SimilarityOps
+    // frame (adaptive bit count — fixed k made this join quadratic at
+    // 10× data), which is also what Verify dumps for the oracle, so
+    // query and fixture agree by construction.
+    val sig = SimilarityOps.lshBucketsWithEmbeddings(s, d)
+    sig.select(col("t"), col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      .join(sig.select(col("t"), col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b")), Seq("t", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .distinct()
-    val emb = Tables.embeddings(s, d)
-    pairs
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
-        Seq("vec_a"))
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
-        Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(VectorExpressions.cosine(col("emb_a"), col("emb_b")), 6)
           .as("cosine"))
       .filter(col("cosine") >= 0.3)
+      .distinct()
   }
 
   /** Fuzzy (edit-distance) self-join — the entity-resolution staple:

@@ -82,6 +82,26 @@ object SimilarityOps {
   private val corpusCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private[operators] def corpusCount(
+      s: org.apache.spark.sql.SparkSession, d: String): Long =
+    corpusCounts.computeIfAbsent(d, _ => corpus(s, d).count()).longValue()
+
+  /** Adaptive IVF centroid-sample divisor: nlist ≈ 4·√n (the standard
+    * inverted-index build rule — assignment cost n·nlist ∝ n^1.5, probe
+    * cost per query ∝ √n) via p = max(31, ⌈√n / 4⌉). A FIXED divisor is
+    * the same scale cliff as fixed LSH bits: k = n/31 makes the
+    * broadcast assignment n·k ∝ n² (measured on the 100×-replica sweep
+    * before the change). The 31 floor keeps every gate SF's centroid
+    * set — and therefore every oracle output — unchanged; the oracles
+    * compute the identical p with a scalar subquery (⌈⌉, √, and /4 are
+    * all exact or correctly-rounded IEEE in both engines). */
+  private[operators] def ivfDivisor(n: Long): Long =
+    math.max(31L, math.ceil(math.sqrt(n.toDouble) / 4.0).toLong)
+
+  /** SQL mirror of [[ivfDivisor]] over a CTE named `c`. */
+  private[operators] val IvfDivisorSql =
+    "(SELECT GREATEST(31, CAST(ceil(sqrt(count(*)) / 4.0) AS BIGINT)) FROM c)"
+
   /** One fused codegen pass: every (vector, table) row with its LSH
     * bucket, embedding carried alongside. */
   private def bucketed(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
@@ -99,6 +119,14 @@ object SimilarityOps {
     * candidate join, scoring, and ranking of q51/q44 from it. */
   def lshBucketsFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     bucketed(s, d).select("vec_id", "t", "bucket")
+
+  /** Bucket assignments WITH the embedding carried — for consumers
+    * that score candidates inside the bucket join (q44), where
+    * shipping each vector L times (O(L·n)) beats attaching arrays to
+    * the candidate pairs afterwards (O(candidates) ≫ O(L·n)). */
+  def lshBucketsWithEmbeddings(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    bucketed(s, d).select("vec_id", "embedding", "t", "bucket")
 
   /** LSH-bucketed ANN: L=3 hash tables of k=4 random-hyperplane bits
     * (one fused codegen loop per row computes all signatures). A
@@ -174,13 +202,14 @@ object SimilarityOps {
     * n·k codegen'd cosines, no shuffle of the vectors until the
     * final list grouping. */
   val q53AnnIvf: QueryDef = QueryDef.withOracle(
-    // fully SQL-expressible: centroid choice (vec_id % 31 = 1),
-    // nearest-centroid assignment, probe lists, and scoring are all
-    // deterministic math — DuckDB's sequential list_cosine_similarity
-    // is bit-compatible with the native cosine expression, and ties in
-    // the centroid ordering break on cent_id in both engines
-    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 31 = 1),
+    // fully SQL-expressible: centroid choice (vec_id % p = 1, p the
+    // adaptive ivfDivisor), nearest-centroid assignment, probe lists,
+    // and scoring are all deterministic math — DuckDB's sequential
+    // list_cosine_similarity is bit-compatible with the native cosine
+    // expression, and ties in the centroid ordering break on cent_id
+    // in both engines
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % $IvfDivisorSql = 1),
       |ac AS (
       |  SELECT c.vec_id, c.emb, cent_id,
       |    list_cosine_similarity(c.emb, cent_emb) AS cent_sim
@@ -207,40 +236,52 @@ object SimilarityOps {
       |SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5""".stripMargin
   ) { (s, d) =>
     val c = corpus(s, d)
-    val cents = c.filter(col("vec_id") % 31 === 1)
+    val cents = c.filter(col("vec_id") % ivfDivisor(corpusCount(s, d)) === 1)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // Nearest-centroid assignment as a PARTIAL AGGREGATION, not a
-    // window: the broadcast nested-loop join emits the k candidate
-    // rows of each vector consecutively within its input partition, so
-    // the map-side combine collapses them to one row per vector before
-    // the exchange — the shuffle carries n narrow rows instead of n·k
-    // rows with the embedding riding each. Tiebreak matches the
-    // ORDER BY cent_sim DESC, cent_id oracle: max of (sim, -cent_id).
+    // Nearest-centroid assignment as a NARROW partial aggregation:
+    // the broadcast nested-loop join emits the k candidate rows of
+    // each vector consecutively within its input partition, and the
+    // map-side combine collapses them to one row per vector before the
+    // exchange. max_by plans a SortAggregate (struct orderings don't
+    // hash), so the aggregated rows MUST be narrow — (vec_id, cent_id,
+    // sim) at 24 B/row, never the embedding: carrying the vector
+    // through the argmax multiplies the n·k local sort bytes ~20×
+    // (measured: the wide variant dominated the whole query on the
+    // 100×-replica). The vector re-attaches afterwards by ONE n-row
+    // equi-join against the corpus scan, and only for rows the probed
+    // lists actually score. Tiebreak matches the ORDER BY cent_sim
+    // DESC, cent_id oracle: max of (sim, -cent_id).
     val assigned = c.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
+      .select(col("vec_id"), col("cent_id"),
         VectorExpressions.cosine(col("embedding"), col("cent_emb"))
           .as("cent_sim"))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("embedding")),
-        struct(col("cent_sim"), (-col("cent_id")).as("ng"))).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
-        col("best.embedding").as("embedding"))
-    // queries probe their 2 nearest lists — the query set is tiny
-    // (2% of vectors), so a window top-k over its candidates is cheap
+      .agg(max_by(col("cent_id"),
+        struct(col("cent_sim"), (-col("cent_id")).as("ng"))).as("cent_id"))
+    // queries probe their 2 nearest lists. The probe ranking runs
+    // NARROW — (q_id, cent_id, cent_sim) only, never the query
+    // embedding: an array riding a windowed sort multiplies the sort
+    // bytes ~20× for no information (measured 5.4 s vs ~1 s on the
+    // 100×-replica probe stage alone). WindowGroupLimit caps each
+    // partition's contribution at 2 rows per query; q_emb re-attaches
+    // to the (tiny) candidate set afterwards by a broadcast join.
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probes = {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cent_sim").desc, col("cent_id"))
-      c.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cent_sim",
-          VectorExpressions.cosine(col("q_emb"), col("cent_emb")))
+      q.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cent_id"),
+          VectorExpressions.cosine(col("q_emb"), col("cent_emb"))
+            .as("cent_sim"))
         .withColumn("cent_rank", row_number().over(w))
         .filter(col("cent_rank") <= 2)
-        .drop("cent_emb", "cent_sim", "cent_rank")
+        .select("q_id", "cent_id")
     }
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("q_id") =!= col("vec_id"))
+      .join(c, Seq("vec_id")) // re-attach the candidate's vector
+      .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         round(VectorExpressions.cosine(col("q_emb"), col("embedding")), 6)
           .as("cosine"))
@@ -324,12 +365,14 @@ object SimilarityOps {
     val codebook = sub.filter(col("vec_id") % 127 === 1 &&
         col("vec_id") < 127 * 256)
       .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw"))
-    // exact integer subvector L2 — order-free fold
-    val d2 = expr(
-      "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+    // exact integer subvector L2 — order-free fold, native codegen'd
+    // (the higher-order aggregate(zip_with(...)) route costs ~dim
+    // interpreted closures per (subvector, codeword) pair; n·M·K·dim
+    // of them per encode pass)
     // shared by encoding (all vectors) and the query distance tables
     val enc = sub.join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cw_id"), d2.as("d"))
+      .select(col("vec_id"), col("m"), col("cw_id"),
+        VectorExpressions.longSqDist(col("sub"), col("cw")).as("d"))
     // argmin codeword per (vector, subspace): lexicographic struct min
     // collapses map-side (partial min_by), no row explosion survives
     val codes = enc
@@ -363,8 +406,8 @@ object SimilarityOps {
     * compatible across engines, q53's contract); ADC distances are
     * fixed-point integers (q69's contract). */
   val q72IvfPq: QueryDef = QueryDef.withOracle(
-    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % 31 = 1),
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM c WHERE vec_id % $IvfDivisorSql = 1),
       |ac AS (
       |  SELECT c.vec_id, cent_id,
       |    list_cosine_similarity(c.emb, cent_emb) AS cent_sim
@@ -420,7 +463,7 @@ object SimilarityOps {
   ) { (s, d) =>
     val c = corpus(s, d)
     // inverted lists: ids only — the embedding never rides past here
-    val cents = c.filter(col("vec_id") % 31 === 1)
+    val cents = c.filter(col("vec_id") % ivfDivisor(corpusCount(s, d)) === 1)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     val assigned = c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
@@ -429,14 +472,16 @@ object SimilarityOps {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"),
         struct(col("cent_sim"), (-col("cent_id")).as("ng"))).as("cent_id"))
+    // probe ranking narrow, like q53: no q_emb rides the window sort
     val probes = {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cent_sim").desc, col("cent_id"))
       c.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .crossJoin(broadcast(cents))
-        .withColumn("cent_sim",
-          VectorExpressions.cosine(col("q_emb"), col("cent_emb")))
+        .select(col("q_id"), col("cent_id"),
+          VectorExpressions.cosine(col("q_emb"), col("cent_emb"))
+            .as("cent_sim"))
         .withColumn("cent_rank", row_number().over(w))
         .filter(col("cent_rank") <= 2)
         .select("q_id", "cent_id")
@@ -451,10 +496,13 @@ object SimilarityOps {
     val codebook = sub.filter(col("vec_id") % 127 === 1 &&
         col("vec_id") < 127 * 256)
       .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw"))
-    val d2 = expr(
-      "aggregate(zip_with(sub, cw, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+    // native codegen'd int64 distance: the higher-order
+    // aggregate(zip_with(...)) route costs ~dim interpreted closures
+    // per (subvector, codeword) pair — n·M·K·dim of them per encode
+    // pass (3.3G closure calls on the 100×-replica)
     val enc = sub.join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cw_id"), d2.as("d"))
+      .select(col("vec_id"), col("m"), col("cw_id"),
+        VectorExpressions.longSqDist(col("sub"), col("cw")).as("d"))
     val codes = enc
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d"), col("cw_id"))).as("best"))
