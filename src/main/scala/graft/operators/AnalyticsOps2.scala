@@ -334,11 +334,83 @@ object AnalyticsOps2 {
       .limit(50)
   }
 
+  /** Exact ROC-AUC of `value` as a purchase-propensity score — the
+    * model-evaluation staple a training pipeline runs on every scored
+    * eval split. Computed by the rank-sum (Mann–Whitney) identity on
+    * the DISTINCT-SCORE sweep, not per-row ranks:
+    *
+    *   AUC = Σ_s pos(s)·(negBelow(s) + neg(s)/2) / (n_pos·n_neg)
+    *
+    * i.e. every (positive, lower-scored negative) pair counts 1, every
+    * tied pair counts ½ — the numerator is kept doubled so it stays an
+    * exact int64 (overflow note, the q2o convention: 2·n_pos·n_neg
+    * < 2⁶³ holds through n ≈ 4·10⁹ rows; beyond, pre-divide both class
+    * counts by a common 2ᵏ), and the final AUC is ONE IEEE division of
+    * exact int64 values — bit-identical cross-engine with no rounding
+    * escape hatch.
+    *
+    * Scale shape: one score-keyed partial+final aggregate collapses n
+    * rows to the distinct-score frame; negBelow is the q91/q112
+    * two-phase prefix sum over range partitions (never a single-task
+    * global window — the distinct-score frame is data-sized); the
+    * finish is a 1-row rollup. The range-stamped frame is cached for
+    * the same AQE re-sampling hazard q112 documents. */
+  val q115Auc: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT value AS score,
+      |    CAST(event_type = 'purchase' AS BIGINT) AS y FROM events),
+      |g AS (
+      |  SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+      |    CAST(sum(1 - y) AS BIGINT) AS neg
+      |  FROM t GROUP BY 1),
+      |c AS (
+      |  SELECT *, CAST(coalesce(sum(neg) OVER (ORDER BY score
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS neg_below
+      |  FROM g),
+      |s AS (
+      |  SELECT CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS num,
+      |    CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(neg) AS BIGINT) AS n_neg
+      |  FROM c)
+      |SELECT n_pos, n_neg,
+      |  CAST(num AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      |FROM s""".stripMargin
+  ) { (s, d) =>
+    val g = Tables.events(s, d)
+      .select(col("value").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("score"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val parts = g
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("score"))
+      .sortWithinPartitions(col("score"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lc", sum(col("neg")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .cache() // pin the partition stamp (q112's AQE re-sampling hazard)
+    val offs = parts.groupBy(col("__pid")).agg(sum(col("neg")).as("__pn"))
+      .withColumn("__off", coalesce(
+        sum(col("__pn")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    parts.join(broadcast(offs), Seq("__pid"))
+      .withColumn("neg_below", col("__lc") - col("neg") + col("__off"))
+      .agg(
+        sum(col("pos") * (lit(2L) * col("neg_below") + col("neg"))).as("num"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("num").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q110_geo_join" -> q110GeoJoin,
     "q111_ewma" -> q111Ewma,
     "q112_rfm" -> q112Rfm,
     "q113_benford" -> q113Benford,
-    "q114_session_paths" -> q114SessionPaths
+    "q114_session_paths" -> q114SessionPaths,
+    "q115_auc" -> q115Auc
   )
 }

@@ -518,8 +518,65 @@ object TextOps {
       .limit(100)
   }
 
+  /** Corpus-self trigram familiarity scoring — the integer-exact core
+    * of CCNet-style LM quality filtering: a document whose trigrams
+    * are rare IN ITS OWN CORPUS is gibberish, boilerplate-mangled, or
+    * novel, and gets routed to review/filtering. Per doc: trigram
+    * count, the share of its trigrams with corpus frequency < 5
+    * (rare_frac — the novelty/garbage signal), and the mean corpus
+    * frequency of its trigrams (avg_tri_freq — the redundancy signal
+    * feeding mixing weights). Complements q67 (bigram novelty is
+    * val-vs-train; this is corpus-self) and q47 (repetition is
+    * within-doc; this is cross-corpus).
+    *
+    * Deliberately log-free: a true avg-log-probability LM score sums
+    * hundreds of libm values whose last-ulp engine disagreement
+    * survives any rounding convention; counts and ONE IEEE division
+    * per output column are bit-identical everywhere (house float
+    * rule). Ranking behavior matches the LM score where it matters:
+    * both order docs by how unusual their n-grams are.
+    *
+    * Scale shape: one explode emits doc-trigram rows (∝ corpus
+    * tokens); the count attach is a trigram-keyed equi-join (the q54
+    * df-attach shape — AQE broadcasts while the trigram vocab fits,
+    * shuffles otherwise); the finish is a doc-keyed rollup. No
+    * self-joins anywhere. */
+  val q116TrigramQuality: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri
+      |  FROM (SELECT * FROM toks WHERE len(t) >= 3) d,
+      |    LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s),
+      |cnt AS (SELECT tri, count(*) AS c3 FROM tg GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_tri,
+      |  CAST(sum(CASE WHEN c3 < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS rare_frac,
+      |  CAST(sum(c3) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tri_freq
+      |FROM tg JOIN cnt USING (tri)
+      |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val tris = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3)," +
+          " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("tri"))
+    val cnt = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    tris.join(cnt, Seq("tri"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("c3") < 5, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("c3")).as("sum_freq"))
+      .select(col("doc_id"), col("n_tri"),
+        (col("n_rare").cast("double") / col("n_tri").cast("double"))
+          .as("rare_frac"),
+        (col("sum_freq").cast("double") / col("n_tri").cast("double"))
+          .as("avg_tri_freq"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q109_pmi_collocations" -> q109PmiCollocations,
+    "q116_trigram_quality" -> q116TrigramQuality,
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,
     "q32_lang_stats" -> q32LangStats,

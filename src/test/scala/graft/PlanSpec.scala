@@ -358,6 +358,28 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 3, p)
   }
 
+  test("q115: AUC prefix sum runs range-partitioned, never a global window") {
+    val p = plan("q115_auc")
+    // the distinct-score frame is data-sized: negBelow must come from
+    // the two-phase range pattern (q91/q112), with the stamped frame
+    // pinned so both branches read one partition assignment; the only
+    // join is the broadcast of the metadata-sized offset table
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q116: trigram scoring is one explode + keyed equi-joins, no loops") {
+    val p = plan("q116_trigram_quality")
+    // trigrams come from a map-side explode (∝ corpus tokens); the
+    // count attach is an equi-join on the trigram key — never a
+    // cartesian or nested-loop shape
+    assert(nodes(p, "Generate") >= 1, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
