@@ -405,12 +405,67 @@ object AnalyticsOps2 {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
 
+  /** χ² independence audit of event mix × day-of-week — the
+    * distribution-drift screen beside the expectation suite (q88) and
+    * the A/B scorecard (q104): a shifted (event_type, weekday) mix is
+    * the classic sign of a broken producer or a bot wave. Emits ONE
+    * ROW PER CELL (observed, expected, χ² contribution) rather than a
+    * summed statistic — consumers threshold per-cell contributions to
+    * find WHICH cell drifted, and the gate never hashes an
+    * order-dependent float fold.
+    *
+    * Cross-engine determinism: day-of-week is pure int64 epoch math —
+    * (days since 1970-01-01 + 4) mod 7, 0 = Sunday — because Spark
+    * and DuckDB number dayofweek() differently; expected = r·c/N is
+    * one IEEE division of exact int64 products (needs N < ~3·10⁹ rows
+    * — the q2o convention — beyond which pre-divide the margins);
+    * o − e, square, divide are then the same IEEE sequence in both
+    * engines.
+    *
+    * Scale shape: ONE data-sized hash aggregate (the cell counts,
+    * partial+final, 35-cell domain); margins and N derive from the
+    * 35-row cell frame, so everything after the first exchange is
+    * metadata-sized (two broadcast joins of ≤7-row frames). */
+  val q117Chi2Drift: QueryDef = QueryDef.withOracle(
+    """WITH cells AS (
+      |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |    count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+      |  FROM cells GROUP BY 1),
+      |cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT event_type, dow, o,
+      |  CAST(r * c AS DOUBLE) / n AS expected,
+      |  (o - CAST(r * c AS DOUBLE) / n) * (o - CAST(r * c AS DOUBLE) / n)
+      |    / (CAST(r * c AS DOUBLE) / n) AS contrib
+      |FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (dow)
+      |CROSS JOIN n""".stripMargin
+  ) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val e = (col("r") * col("c")).cast("double") / col("n")
+    cells.join(broadcast(rows), Seq("event_type"))
+      .join(broadcast(cols), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("o"),
+        e.as("expected"),
+        ((col("o") - e) * (col("o") - e) / e).as("contrib"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q110_geo_join" -> q110GeoJoin,
     "q111_ewma" -> q111Ewma,
     "q112_rfm" -> q112Rfm,
     "q113_benford" -> q113Benford,
     "q114_session_paths" -> q114SessionPaths,
-    "q115_auc" -> q115Auc
+    "q115_auc" -> q115Auc,
+    "q117_chi2_drift" -> q117Chi2Drift
   )
 }

@@ -380,6 +380,16 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q117: chi² margins derive from the cell frame — one data-sized agg") {
+    val p = plan("q117_chi2_drift")
+    // the 35-cell contingency aggregate is the only data-sized work;
+    // margins/N come from the cell frame and attach broadcast — no
+    // shuffled join or cartesian anywhere
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
