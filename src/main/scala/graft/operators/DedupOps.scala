@@ -395,6 +395,15 @@ object DedupOps {
   ) { (s, d) =>
     val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
       col("p_brand"))
+    expandToIdPairs(parts, passJoinCandidateNames(parts))
+      .select(col("part_a"), col("part_b"), col("dist"))
+  }
+
+  /** PassJoin level 1 (shared by q80/q118): recall-complete candidate
+    * NAME pairs within Levenshtein d=3 on the distinct (brand, name)
+    * space, exact distance attached. See q80's docstring for the
+    * two-level design rationale. */
+  private def passJoinCandidateNames(parts: DataFrame): DataFrame = {
     // the dimension-sized input arrives as ONE split (a few MB of
     // parquet); without explicit fan-outs the generators and the
     // expansion would run on a single core. Round-robin BEFORE the
@@ -452,14 +461,20 @@ object DedupOps {
     // one orientation per unordered name pair (≤ keeps the same-name
     // diagonal); distinct collapses multi-segment matches BEFORE the
     // levenshtein verify, so each name pair is verified exactly once
-    val candNames = probes.join(idx, Seq("p_brand", "k"))
+    probes.join(idx, Seq("p_brand", "k"))
       .filter(col("name_a") <= col("name_b"))
       .select("p_brand", "name_a", "name_b").distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 3)
-    // ---- level 2: multiplicity expansion back to id pairs. Same-name
-    // groups self-pair (a<b keeps each unordered pair once); cross-name
-    // pairs arrive in one orientation and are id-normalized.
+  }
+
+  /** PassJoin level 2 (shared by q80/q118): multiplicity expansion of
+    * candidate name pairs back to id pairs. Same-name groups self-pair
+    * (a<b keeps each unordered pair once); cross-name pairs arrive in
+    * one orientation and are id-normalized. Extra columns on
+    * `candNames` (scores) ride through. */
+  private def expandToIdPairs(parts: DataFrame, candNames: DataFrame): DataFrame = {
+    val fanout = parts.sparkSession.sparkContext.defaultParallelism
     val aSide = parts.select(col("p_brand"), col("p_name").as("name_a"),
       col("p_partkey").as("part_a")).repartition(fanout)
     val bSide = parts.select(col("p_brand"), col("p_name").as("name_b"),
@@ -467,9 +482,43 @@ object DedupOps {
     aSide.join(broadcast(candNames), Seq("p_brand", "name_a"))
       .join(bSide, Seq("p_brand", "name_b"))
       .filter(col("name_a") =!= col("name_b") || col("part_a") < col("part_b"))
-      .select(least(col("part_a"), col("part_b")).as("part_a"),
-        greatest(col("part_a"), col("part_b")).as("part_b"),
-        col("dist"))
+      .withColumn("part_a_n", least(col("part_a"), col("part_b")))
+      .withColumn("part_b_n", greatest(col("part_a"), col("part_b")))
+      .drop("part_a", "part_b")
+      .withColumnRenamed("part_a_n", "part_a")
+      .withColumnRenamed("part_b_n", "part_b")
+  }
+
+  /** Dual-score record linkage — the entity-resolution scorer pair:
+    * q80's recall-complete PassJoin candidates (Levenshtein d ≤ 3),
+    * each additionally scored with the native Jaro–Winkler expression
+    * and kept when jw ≥ 0.8. Edit distance counts operations (typo
+    * model); Jaro–Winkler weights prefix agreement (name model) —
+    * linkage pipelines threshold on both. The oracle brute-forces the
+    * identical predicate with DuckDB's jaro_winkler_similarity, so
+    * the gate simultaneously proves the blocking lost nothing AND the
+    * native expression matches DuckDB's scorer bit-for-bit.
+    *
+    * Scale shape: q80's — the jw verify runs once per distinct
+    * candidate NAME pair (compressed space), never per id pair. */
+  val q118JwLinkage: QueryDef = QueryDef.withOracle(
+    """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+      |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist,
+      |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+      |FROM p a JOIN p b ON a.p_brand = b.p_brand
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |  AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8""".stripMargin
+  ) { (s, d) =>
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      col("p_brand"))
+    val cand = passJoinCandidateNames(parts)
+      .withColumn("jw", graft.functions.TextExpressions.jaroWinkler(
+        col("name_a"), col("name_b")))
+      .filter(col("jw") >= 0.8)
+    expandToIdPairs(parts, cand)
+      .select(col("part_a"), col("part_b"), col("dist"), col("jw"))
   }
 
   /** Passage-level duplication census — the sub-document granularity
@@ -528,6 +577,7 @@ object DedupOps {
   val all: Map[String, QueryDef] = Map(
     "q90_passage_overlap" -> q90PassageOverlap,
     "q80_fuzzy_join" -> q80FuzzyJoin,
+    "q118_jw_linkage" -> q118JwLinkage,
     "q40_dedup_exact" -> q40DedupExact,
     "q41_ngram_jaccard" -> q41NgramJaccard,
     "q42_minhash_lsh" -> q42MinHashLsh,

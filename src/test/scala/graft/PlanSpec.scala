@@ -380,6 +380,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q118: jw linkage keeps q80's compressed-space shape") {
+    val p = plan("q118_jw_linkage")
+    // the jw verify runs on the distinct candidate NAME pairs (q80's
+    // PassJoin blocking), never per id pair, and the expansion joins
+    // attach names broadcast — no cartesian anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("graft.functions.TextExpressions.jaroWinklerScore") ||
+      p.contains("jarowinkler") || p.contains("JaroWinkler"), p)
+  }
+
   test("q117: chi² margins derive from the cell frame — one data-sized agg") {
     val p = plan("q117_chi2_drift")
     // the 35-cell contingency aggregate is the only data-sized work;
