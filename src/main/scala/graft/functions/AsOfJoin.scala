@@ -35,6 +35,35 @@ object AsOfJoin {
     *                  (SCD2 dims), required for raw event streams.
     * @return left rows + payload columns (null when no right row ≤ ts)
     */
+  /** As-of join with a MAX-STALENESS bound (pandas
+    * `merge_asof(tolerance=...)` semantics): the carried right row is
+    * kept only when `leftTs − rightTs ≤ toleranceUs`, else the payload
+    * columns are null — "the latest quote, but not if it's more than
+    * a week old". Because the as-of pick is the LATEST right row ≤ ts,
+    * it is also the closest, so pick-then-nullify is exactly the
+    * bounded-match semantics (no second pass needed). Costs nothing
+    * over [[asof]]: the matched timestamp rides the same payload
+    * struct and the staleness test is one map-side projection. */
+  def asofTolerance(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[(String, String)],
+      toleranceUs: Long,
+      rightTiebreak: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{unix_micros, when, lit}
+    val mts = "__tol_mts"
+    require(!payload.exists(_._2 == mts), s"payload name $mts is reserved")
+    val joined = asof(left, right, keyCols, leftTs, rightTs,
+      payload :+ (rightTs -> mts), rightTiebreak)
+    // null mts (no match at all) compares to null → otherwise-branch
+    // keeps the already-null payload
+    val stale =
+      unix_micros(col(leftTs)) - unix_micros(col(mts)) > toleranceUs
+    payload.map(_._2).foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(stale, lit(null).cast(df.schema(c).dataType))
+        .otherwise(col(c)))
+    }.drop(mts)
+  }
+
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       payload: Seq[(String, String)],

@@ -443,6 +443,44 @@ object Relational2 {
         col("signup_value"), col("signup_ts_us"))
   }
 
+  /** Bounded-staleness as-of join (pandas merge_asof tolerance): the
+    * q2g attribution join, but a signup older than 7 days no longer
+    * explains the purchase — its payload nulls out. Same one-shuffle
+    * union+window plan as q2g plus one map-side staleness projection
+    * (AsOfJoin.asofTolerance); the oracle applies the identical
+    * CASE over DuckDB's ASOF LEFT JOIN. */
+  val q119AsofTolerance: QueryDef = QueryDef.withOracle(
+    """WITH purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |signups AS (
+      |  SELECT user_id, ts AS signup_ts, value AS signup_value FROM events
+      |  WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) > 604800000000
+      |       THEN NULL ELSE s.signup_value END AS signup_value,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(s.signup_ts) > 604800000000
+      |       THEN NULL
+      |       ELSE CAST(epoch_us(s.signup_ts) AS BIGINT) END AS signup_ts_us
+      |FROM purchases p ASOF LEFT JOIN signups s
+      |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts""".stripMargin
+  ) { (s, d) =>
+    val events = Tables.events(s, d)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("sv"),
+        unix_micros(col("ts")).as("s_us"))
+    graft.functions.AsOfJoin.asofTolerance(
+      purchases, signups, Seq("user_id"), "ts", "ts",
+      Seq("sv" -> "signup_value", "s_us" -> "signup_ts_us"),
+      toleranceUs = 7L * 24 * 3600 * 1000000)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("signup_value"), col("signup_ts_us"))
+  }
+
   /** CUBE: all grouping-set combinations of (returnflag, linestatus)
     * in one pass — Spark plans an Expand the same way ROLLUP (q2c)
     * does, with partial aggregation below the single shuffle. */
@@ -519,6 +557,7 @@ object Relational2 {
     "q2e_quantiles" -> q2eQuantiles,
     "q2f_pivot" -> q2fPivot,
     "q2g_asof_join" -> q2gAsofJoin,
+    "q119_asof_tolerance" -> q119AsofTolerance,
     "q24_lag_lead" -> q24LagLead,
     "q25_rank" -> q25Rank,
     "q26_intersect" -> q26Intersect,

@@ -380,6 +380,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q119: bounded-staleness as-of stays joinless — union + one window") {
+    val p = plan("q119_asof_tolerance")
+    // the tolerance is a map-side projection over q2g's shape: still
+    // no join anywhere, one union-keyed window pass
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Window") == 1, p)
+    assert(p.contains("Union"), p)
+  }
+
   test("q118: jw linkage keeps q80's compressed-space shape") {
     val p = plan("q118_jw_linkage")
     // the jw verify runs on the distinct candidate NAME pairs (q80's
