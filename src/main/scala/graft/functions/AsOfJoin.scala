@@ -64,6 +64,31 @@ object AsOfJoin {
     }.drop(mts)
   }
 
+  /** FORWARD as-of join (pandas `merge_asof(direction='forward')`):
+    * for every left row, the single right row with the SMALLEST
+    * right-timestamp ≥ the left's timestamp, per key — "the first
+    * purchase after the signup". Composed by time negation: negating
+    * both sides' epoch-µs turns earliest-at-or-after into the
+    * backward join's latest-at-or-before, so the same one-shuffle
+    * union+window machinery serves both directions (same-instant
+    * right rows stay visible to the left row under negation, matching
+    * DuckDB's `l.ts <= r.ts` ASOF inclusivity). */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      payload: Seq[(String, String)],
+      rightTiebreak: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.unix_micros
+    val ln = "gx_fwd_neg_lts"
+    val rn = "gx_fwd_neg_rts"
+    require(!left.columns.contains(ln) && !right.columns.contains(rn),
+      s"asofForward reserves the column names $ln/$rn")
+    asof(
+      left.withColumn(ln, -unix_micros(col(leftTs))),
+      right.withColumn(rn, -unix_micros(col(rightTs))),
+      keyCols, ln, rn, payload, rightTiebreak)
+      .drop(ln)
+  }
+
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String,
       payload: Seq[(String, String)],

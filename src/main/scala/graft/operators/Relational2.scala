@@ -481,6 +481,39 @@ object Relational2 {
         col("signup_value"), col("signup_ts_us"))
   }
 
+  /** FORWARD as-of (merge_asof direction='forward'): each signup's
+    * FIRST purchase at-or-after it, with the conversion latency — the
+    * time-to-convert join the funnel (q77) aggregates away. Same
+    * joinless union+window shape via time negation
+    * (AsOfJoin.asofForward); latency is exact µs int subtraction. */
+  val q120AsofForward: QueryDef = QueryDef.withOracle(
+    """WITH signups AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'signup'),
+      |purchases AS (
+      |  SELECT user_id, ts AS p_ts, value AS p_value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT s.event_id, s.user_id,
+      |  CAST(epoch_us(s.ts) AS BIGINT) AS ts_us, p.p_value,
+      |  CAST(epoch_us(p.p_ts) AS BIGINT) - CAST(epoch_us(s.ts) AS BIGINT)
+      |    AS latency_us
+      |FROM signups s ASOF LEFT JOIN purchases p
+      |  ON s.user_id = p.user_id AND s.ts <= p.p_ts""".stripMargin
+  ) { (s, d) =>
+    val events = Tables.events(s, d)
+    val signups = events.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("pv"),
+        unix_micros(col("ts")).as("p_us"))
+    graft.functions.AsOfJoin.asofForward(
+      signups, purchases, Seq("user_id"), "ts", "ts",
+      Seq("pv" -> "p_value", "p_us" -> "p_ts_us"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("p_value"),
+        (col("p_ts_us") - unix_micros(col("ts"))).as("latency_us"))
+  }
+
   /** CUBE: all grouping-set combinations of (returnflag, linestatus)
     * in one pass — Spark plans an Expand the same way ROLLUP (q2c)
     * does, with partial aggregation below the single shuffle. */
@@ -558,6 +591,7 @@ object Relational2 {
     "q2f_pivot" -> q2fPivot,
     "q2g_asof_join" -> q2gAsofJoin,
     "q119_asof_tolerance" -> q119AsofTolerance,
+    "q120_asof_forward" -> q120AsofForward,
     "q24_lag_lead" -> q24LagLead,
     "q25_rank" -> q25Rank,
     "q26_intersect" -> q26Intersect,

@@ -389,6 +389,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("q120: forward as-of is the same joinless union+window shape") {
+    val p = plan("q120_asof_forward")
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Window") == 1, p)
+    assert(p.contains("Union"), p)
+  }
+
   test("q118: jw linkage keeps q80's compressed-space shape") {
     val p = plan("q118_jw_linkage")
     // the jw verify runs on the distinct candidate NAME pairs (q80's
