@@ -30,6 +30,7 @@ object SparkEntry {
     operators.ChangeOps.all,
     operators.AnalyticsOps.all,
     operators.AnalyticsOps2.all,
+    operators.AnalyticsOps3.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =
