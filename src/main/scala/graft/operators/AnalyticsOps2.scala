@@ -215,7 +215,7 @@ object AnalyticsOps2 {
     * the InMemoryRelation; a partition rebuilt after executor loss
     * reuses the same plan instance (same RangePartitioner
     * boundaries), so the assignment stays stable. */
-  private def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+  private[operators] def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       out: String): DataFrame = {
     val parts = df
       .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,

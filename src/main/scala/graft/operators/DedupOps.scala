@@ -574,8 +574,77 @@ object DedupOps {
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric sibling of q41 and the
+    * primitive behind eval-set contamination detection: containment
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| is high whenever A's content
+    * appears inside B even if B is much larger (Jaccard would dilute
+    * to |A|/|B| and miss it — the reason contamination scanners use
+    * containment, not Jaccard). Emits ordered pairs with C ≥ 0.6.
+    *
+    * Scale shape is exactly q41's: the candidate generator is the
+    * per-shingle postings expansion (one shuffle on the 64-bit
+    * shingle key, df band [2, maxDf] bounds every posting list, pair
+    * generation map-side) — the ordered-direction doubling happens
+    * AFTER the (doc_a, doc_b) intersection aggregate as a map-side
+    * explode, so the pair-stream shuffle cost is identical to q41's
+    * unordered stream. |sh(A)| is the true (uncapped) shingle count,
+    * so the score is the same exact-when-uncapped lower bound q41
+    * documents. */
+  val q124Containment: QueryDef = QueryDef.withOracle(
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+      |  WHERE df >= 2 AND df <= $DefaultMaxShingleDf),
+      |shf AS (SELECT sh.* FROM sh JOIN common USING (s)),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / c.n, 3) AS containment
+      |FROM inter JOIN cnt c ON c.doc_id = doc_a
+      |WHERE CAST(i AS DOUBLE) / c.n >= 0.6""".stripMargin
+  ) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // q41's postings-expansion candidate generator (see
+    // ngramJaccardPairs for the full argument); the intersection
+    // counts once per unordered pair …
+    val inter = sh
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, DefaultMaxShingleDf))
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    // … and both orientations emit map-side from the aggregated pair
+    // (the q102 explode-not-union rule: a union would replay the
+    // whole candidate aggregation per branch)
+    val dir = inter.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst"), col("i")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst"), col("i"))))
+        .as("x"))
+      .select(col("x.src").as("doc_a"), col("x.dst").as("doc_b"),
+        col("x.i").as("i"))
+    val c = col("i").cast("double") / col("na")
+    dir
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .filter(c >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(c, 3).as("containment"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q90_passage_overlap" -> q90PassageOverlap,
+    "q124_containment" -> q124Containment,
     "q80_fuzzy_join" -> q80FuzzyJoin,
     "q118_jw_linkage" -> q118JwLinkage,
     "q40_dedup_exact" -> q40DedupExact,

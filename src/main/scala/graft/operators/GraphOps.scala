@@ -465,8 +465,95 @@ object GraphOps {
       .filter(col("rnk") <= 3)
   }
 
+  /** Item-based collaborative-filtering recommendations — the second
+    * hop over q102's item-item k-NN graph: each customer's owned
+    * items pull in their top-3 similar neighbors, neighbor scores sum
+    * per (customer, candidate), owned items are anti-joined out, and
+    * the top-3 fresh candidates per customer ship — "customers also
+    * bought", end to end.
+    *
+    * Scale shape: the expensive part (the k-NN graph) is q102's
+    * capped-basket pair stream, built once; the second hop is a
+    * fan-out-3 equi-join on item (the graph is items×3 rows — small
+    * relative to ownership, AQE broadcasts it at bench SF), one
+    * (cust, candidate)-keyed aggregate, an anti-join back on the
+    * ownership key, and a WindowGroupLimit top-3. Nothing touches a
+    * pair space wider than ownership × 3. Score parity is the q55
+    * convention: each sim is exact IEEE (int64 / √int64), quantized
+    * to 1e-6 units BEFORE the sum, so the ranking key is an exact
+    * int64 — no order-dependent float aggregate. */
+  val q126Recommend: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |qb AS (SELECT bp.o, bp.p FROM bp JOIN ok USING (o)),
+      |cnt AS (SELECT p, count(*) AS n FROM qb GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa, pb, nab FROM pairs WHERE nab >= 2),
+      |dir AS (SELECT pa AS item, pb AS nbr, nab FROM e
+      |        UNION ALL SELECT pb, pa, nab FROM e),
+      |sim AS (
+      |  SELECT d.item, d.nbr,
+      |    CAST(d.nab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS sim
+      |  FROM dir d JOIN cnt ca ON ca.p = d.item JOIN cnt cb ON cb.p = d.nbr),
+      |nbrs AS (
+      |  SELECT item, nbr, sim FROM (
+      |    SELECT *, rank() OVER
+      |      (PARTITION BY item ORDER BY sim DESC, nbr) AS rnk
+      |    FROM sim)
+      |  WHERE rnk <= 3),
+      |owned AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |sc AS (
+      |  SELECT w.cust, n.nbr, count(*) AS n_src,
+      |    sum(CAST(floor(n.sim * 1000000 + 0.5) AS BIGINT)) AS score_fp
+      |  FROM owned w JOIN nbrs n ON n.item = w.item
+      |  GROUP BY 1, 2),
+      |fresh AS (
+      |  SELECT sc.* FROM sc
+      |  LEFT JOIN owned w2 ON w2.cust = sc.cust AND w2.item = sc.nbr
+      |  WHERE w2.item IS NULL)
+      |SELECT cust, CAST(rnk AS BIGINT) AS rank, nbr AS rec_item, n_src,
+      |  CAST(score_fp AS DOUBLE) / 1000000 AS score
+      |FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY cust ORDER BY score_fp DESC, nbr) AS rnk
+      |  FROM fresh)
+      |WHERE rnk <= 3""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val owned = Tables.orders(s, d)
+      .select(col("o_orderkey").as("o"), col("o_custkey").as("cust"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("item")),
+        Seq("o"))
+      .select(col("cust"), col("item")).distinct()
+      // consumed twice (fan-out source + anti-join filter): one
+      // materialization, not two order⋈lineitem replays
+      .cache()
+    val nbrs = q102ItemSim.fn(s, d)
+      .select(col("item"), col("nbr"),
+        floor(col("sim") * 1000000 + 0.5).cast("long").as("s_fp"))
+    val sc = owned.join(nbrs, Seq("item"))
+      .groupBy(col("cust"), col("nbr"))
+      .agg(count(lit(1)).as("n_src"), sum(col("s_fp")).as("score_fp"))
+    val fresh = sc.join(
+      owned.select(col("cust"), col("item").as("nbr")),
+      Seq("cust", "nbr"), "left_anti")
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("score_fp").desc, col("nbr"))
+    fresh.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("cust"), col("rank"), col("nbr").as("rec_item"),
+        col("n_src"), (col("score_fp").cast("double") / 1000000).as("score"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q75_pagerank" -> q75Pagerank,
+    "q126_recommend" -> q126Recommend,
     "q85_triangles" -> q85Triangles,
     "q86_copurchase" -> q86Copurchase,
     "q101_khop" -> q101Khop,

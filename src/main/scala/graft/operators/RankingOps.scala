@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,6 +91,45 @@ object RankingOps {
     * quantized to integer 1e-5 units BEFORE the per-document sum, so
     * the ranking key is an exact integer (order-free across
     * partitionings) and the tie-break is doc_id. */
+  /** BM25-scored documents for a fixed term set: (doc_id, n_match,
+    * s_fp) with the fixed-point integer score — q55's aggregation,
+    * shared with the hybrid-fusion ranker (q121). See q55 for the
+    * arithmetic contract. */
+  private def bm25Agg(s: org.apache.spark.sql.SparkSession, d: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("term"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df counts DOCUMENTS containing the term (per-doc-distinct rows)
+    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ", -1)).as("n_tok"))
+    val g = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(size(split(col("text"), " ", -1)).cast("long")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+    // arithmetic mirrored operation-for-operation with the oracle SQL:
+    // idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)), k1=1.2 b=0.75
+    val termScore =
+      log(((col("n_docs").cast("double") - col("df").cast("double")) + 0.5)
+        / (col("df").cast("double") + 0.5) + 1.0) *
+        (col("tf").cast("double") * 2.2) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("n_tok").cast("double") / col("avgdl"))))
+    tf
+      .join(broadcast(dfF), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .withColumn("term_score", termScore)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match"),
+        sum(floor(col("term_score") * ScoreQuantum + 0.5).cast("long"))
+          .as("s_fp"))
+  }
+
   val q55Bm25: QueryDef = QueryDef.withOracle(
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -120,39 +160,7 @@ object RankingOps {
       |SELECT doc_id, n_match, CAST(s_fp AS DOUBLE) / 100000.0::DOUBLE AS score
       |FROM agg ORDER BY s_fp DESC, doc_id LIMIT 20""".stripMargin
   ) { (s, d) =>
-    val queryTerms = Seq("spark", "window", "join")
-    val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"),
-      explode(split(col("text"), " ", -1)).as("term"))
-    val tf = terms.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // df counts DOCUMENTS containing the term (per-doc-distinct rows)
-    val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ", -1)).as("n_tok"))
-    val g = docs.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(size(split(col("text"), " ", -1)).cast("long")).cast("double")
-        / count(lit(1)).cast("double")).as("avgdl"))
-    // arithmetic mirrored operation-for-operation with the oracle SQL:
-    // idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)), k1=1.2 b=0.75
-    val termScore =
-      log(((col("n_docs").cast("double") - col("df").cast("double")) + 0.5)
-        / (col("df").cast("double") + 0.5) + 1.0) *
-        (col("tf").cast("double") * 2.2) /
-        (col("tf").cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * (col("n_tok").cast("double") / col("avgdl"))))
-    val agg = tf
-      .join(broadcast(dfF), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(g))
-      .withColumn("term_score", termScore)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_match"),
-        sum(floor(col("term_score") * ScoreQuantum + 0.5).cast("long"))
-          .as("s_fp"))
-    agg
+    bm25Agg(s, d, Seq("spark", "window", "join"))
       .orderBy(col("s_fp").desc, col("doc_id"))
       .limit(20)
       .select(col("doc_id"), col("n_match"),
@@ -222,9 +230,107 @@ object RankingOps {
       .select(col("doc_id"), col("pos"), col("phrase"))
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (RRF, k=60): the
+    * keyword ranking (BM25 over {spark, window, join} — q55's exact
+    * scorer) and the dense ranking (cosine of every embedding against
+    * vec_id 0's vector — q50's exact scorer) fuse as
+    * Σ 1/(60 + rank), a side missing from either ranking contributing
+    * 0 — the standard RAG first-stage retriever, robust to the two
+    * scores living on incomparable scales because only RANKS cross
+    * the fusion boundary. Top-10 fused items, doc_id ≡ vec_id.
+    *
+    * Parity: each 1/(60+r) is one IEEE division of exact integers,
+    * the fusion is a fixed two-term sum (not an aggregate — no order
+    * dependence), and ties (a text-rank/vec-rank swap gives the
+    * bit-identical sum) break on id. Unranked sides emit sentinel
+    * rank 0 (a NULL int column would round-trip as float through the
+    * oracle's dataframe compare).
+    *
+    * Scale: both global rankings run the q112 two-phase prefix
+    * pattern (range-repartition + local rank + broadcast offsets) —
+    * no single-task ORDER BY window anywhere; the dense side scans
+    * the corpus once against one broadcast query vector; the fusion
+    * join keys on the id both frames are already derived from; the
+    * final top-10 is TakeOrderedAndProject. */
+  val q121HybridRrf: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM t
+      |  WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |g AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM documents),
+      |ts AS (
+      |  SELECT tf.doc_id,
+      |    ln(((CAST(g.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5::DOUBLE)
+      |       / (CAST(df.df AS DOUBLE) + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2::DOUBLE)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2::DOUBLE *
+      |         (0.25::DOUBLE + 0.75::DOUBLE * (CAST(dl.n_tok AS DOUBLE) / g.avgdl)))
+      |      AS term_score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CAST(floor(term_score * 100000.0::DOUBLE + 0.5::DOUBLE)
+      |      AS BIGINT)) AS BIGINT) AS s_fp
+      |  FROM ts GROUP BY doc_id),
+      |rt AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY s_fp DESC, doc_id)
+      |    AS BIGINT) AS rt FROM agg),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |qv AS (SELECT emb AS q_emb FROM c WHERE vec_id = 0),
+      |sv AS (
+      |  SELECT vec_id, round(list_cosine_similarity(q_emb, emb), 6) AS cosine
+      |  FROM c, qv WHERE vec_id <> 0),
+      |rv AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+      |    AS BIGINT) AS rv FROM sv),
+      |fused AS (
+      |  SELECT coalesce(rt.doc_id, rv.vec_id) AS id,
+      |    coalesce(rt.rt, 0) AS rt, coalesce(rv.rv, 0) AS rv,
+      |    coalesce(1.0::DOUBLE / (60 + rt.rt), 0.0::DOUBLE)
+      |      + coalesce(1.0::DOUBLE / (60 + rv.rv), 0.0::DOUBLE) AS rrf
+      |  FROM rt FULL OUTER JOIN rv ON rt.doc_id = rv.vec_id),
+      |top AS (SELECT * FROM fused ORDER BY rrf DESC, id LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank,
+      |  id, rt, rv, round(rrf, 6) AS rrf
+      |FROM top""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.VectorExpressions
+    val rt = AnalyticsOps2.globalRowNumber(
+      bm25Agg(s, d, Seq("spark", "window", "join")).select("doc_id", "s_fp"),
+      Seq(col("s_fp").desc, col("doc_id")), "rt")
+    val c = Tables.embeddings(s, d)
+    val qv = c.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val sv = c.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(VectorExpressions.cosine(col("q_emb"), col("embedding")), 6)
+          .as("cosine"))
+    val rv = AnalyticsOps2.globalRowNumber(
+      sv, Seq(col("cosine").desc, col("vec_id")), "rv")
+    val fused = rt.select(col("doc_id"), col("rt"))
+      .join(rv.select(col("vec_id"), col("rv")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+        col("rt"), col("rv"),
+        (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .select(col("rank"), col("id"), coalesce(col("rt"), lit(0L)).as("rt"),
+        coalesce(col("rv"), lit(0L)).as("rv"), round(col("rrf"), 6).as("rrf"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q54_tfidf" -> q54Tfidf,
     "q55_bm25" -> q55Bm25,
-    "q89_phrase_search" -> q89PhraseSearch
+    "q89_phrase_search" -> q89PhraseSearch,
+    "q121_hybrid_rrf" -> q121HybridRrf
   )
 }

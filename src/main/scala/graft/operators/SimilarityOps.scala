@@ -526,8 +526,88 @@ object SimilarityOps {
       .select("q_id", "rank", "neighbor_id", "approx_d")
   }
 
+  /** ANN quality evaluation: recall@5 of the LSH index (q51) against
+    * the exact brute-force ground truth (q50), per query — the metric
+    * that closes the loop on every approximate index in the family
+    * (an ANN path without a measured recall is a guess, not an
+    * operator). n_match counts ground-truth neighbors the index
+    * returned; recall divides by the ground-truth size (5, or fewer
+    * in a degenerate corpus), so sparse-bucket queries (n_lsh < 5)
+    * are penalized exactly by what they missed.
+    *
+    * Composes the two operators' own frames — both already carry the
+    * deterministic (rounded-score, id-tiebreak) top-5 contract, so
+    * the set intersection is engine-stable. Scale: ground truth on a
+    * SAMPLED query set is how real systems measure recall too — the
+    * brute side's cost is queries×corpus by definition and the query
+    * sample (vec_id % 50 = 0 here) is the knob; everything else is
+    * query-keyed joins on queries-sized frames. */
+  val q125RecallEval: QueryDef = QueryDef.withOracle(
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |qs AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id % 50 = 0),
+      |bscored AS (
+      |  SELECT q_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q_emb, c.emb), 6) AS cosine
+      |  FROM qs JOIN c ON qs.q_id <> c.vec_id),
+      |brute AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM bscored)
+      |  WHERE rank <= 5),
+      |b AS (
+      |  SELECT * FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/lsh_buckets.parquet/*.parquet')),
+      |lq AS (SELECT vec_id AS q_id, t, bucket FROM b WHERE vec_id % 50 = 0),
+      |cand AS (
+      |  SELECT DISTINCT lq.q_id, b.vec_id AS neighbor_id
+      |  FROM b JOIN lq ON b.t = lq.t AND b.bucket = lq.bucket
+      |  WHERE lq.q_id <> b.vec_id),
+      |lscored AS (
+      |  SELECT q_id, neighbor_id,
+      |    round(list_cosine_similarity(cq.emb, cn.emb), 6) AS cosine
+      |  FROM cand
+      |  JOIN c cq ON cq.vec_id = q_id
+      |  JOIN c cn ON cn.vec_id = neighbor_id),
+      |lsh AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM lscored)
+      |  WHERE rank <= 5),
+      |nb AS (SELECT q_id, count(*) AS n_brute FROM brute GROUP BY 1),
+      |nl AS (SELECT q_id, count(*) AS n_lsh FROM lsh GROUP BY 1),
+      |nm AS (
+      |  SELECT b2.q_id, count(*) AS n_match
+      |  FROM brute b2 JOIN lsh l2
+      |    ON b2.q_id = l2.q_id AND b2.neighbor_id = l2.neighbor_id
+      |  GROUP BY 1)
+      |SELECT nb.q_id, nb.n_brute,
+      |  coalesce(nl.n_lsh, 0) AS n_lsh,
+      |  coalesce(nm.n_match, 0) AS n_match,
+      |  round(CAST(coalesce(nm.n_match, 0) AS DOUBLE) / nb.n_brute, 4)
+      |    AS recall
+      |FROM nb LEFT JOIN nl ON nl.q_id = nb.q_id
+      |LEFT JOIN nm ON nm.q_id = nb.q_id""".stripMargin
+  ) { (s, d) =>
+    val brute = q50AnnBrute.fn(s, d).select(col("q_id"), col("neighbor_id"))
+    val lsh = q51AnnLsh.fn(s, d).select(col("q_id"), col("neighbor_id"))
+    val nb = brute.groupBy(col("q_id")).agg(count(lit(1)).as("n_brute"))
+    val nl = lsh.groupBy(col("q_id")).agg(count(lit(1)).as("n_lsh"))
+    val nm = brute.join(lsh, Seq("q_id", "neighbor_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_match"))
+    nb
+      .join(nl, Seq("q_id"), "left")
+      .join(nm, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_brute"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        round(coalesce(col("n_match"), lit(0L)).cast("double")
+          / col("n_brute"), 4).as("recall"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q50_ann_brute" -> q50AnnBrute,
+    "q125_recall_eval" -> q125RecallEval,
     "q51_ann_lsh" -> q51AnnLsh,
     "q52_embed_stats" -> q52EmbedStats,
     "q53_ann_ivf" -> q53AnnIvf,

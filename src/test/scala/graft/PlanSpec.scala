@@ -417,6 +417,60 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q121: both fusion rankings run range-partitioned; top-10 is TakeOrdered") {
+    val p = plan("q121_hybrid_rrf")
+    // the BM25 and cosine global ranks use the q112 two-phase prefix
+    // pattern — never a single-task ORDER BY window over a data-sized
+    // frame; the only loop join is the broadcast 1-row query vector
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q122: cohort LTV is joinless — one window + rollup aggregates") {
+    val p = plan("q122_cohort_ltv")
+    // the cohort month derives from a window min over o_custkey (no
+    // join against a first-order frame); the cumulative sum's window
+    // sees only the (cohort, age) rollup
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Window") == 2, p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+  }
+
+  test("q123: seasonal anomaly caches branch points, never a loop join") {
+    val p = plan("q123_seasonal_anomaly")
+    // the ranked-scan and deviation frames each materialize once and
+    // feed both their median pick and their downstream consumer
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q124: containment pairs come from map-side generators, no self-join") {
+    val p = plan("q124_containment")
+    // shingle explode, postings pair explode, direction explode — the
+    // candidate stream never plans a shingle-table self-join and the
+    // count attach is an equi-join
+    assert(nodes(p, "Generate") >= 3, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q125: recall eval keeps both top-5 selections as WindowGroupLimit") {
+    val p = plan("q125_recall_eval")
+    // both rankings keep their partial+final rank pushdown; the only
+    // loop join is q50's documented broadcast query-set scan
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q126: recommendations are equi-joins + anti-join + WindowGroupLimit") {
+    val p = plan("q126_recommend")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.toLowerCase.contains("leftanti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
