@@ -133,4 +133,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(tri >= 0 && wedges >= 3 * tri, s"tri=$tri wedges=$wedges")
     pairs.unpersist()
   }
+
+  test("q126 on sf0.001: never recommends owned items; scores recompute") {
+    val d = sf("sf0.001")
+    val owned = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey").as("o"), col("o_custkey").as("cust"))
+      .join(graft.Tables.lineitem(spark, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("item")),
+        Seq("o"))
+      .select("cust", "item").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = GraphOps.q102ItemSim.fn(spark, d)
+      .select(col("item"), col("nbr"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val out = GraphOps.q126Recommend.fn(spark, d).collect()
+    assert(out.nonEmpty)
+    // anti-join contract: a recommendation the customer already owns
+    // is a bug by definition
+    out.foreach { r =>
+      assert(!owned.contains((r.getLong(0), r.getLong(2))),
+        s"owned item recommended: $r")
+    }
+    // ranks are 1..k contiguous per customer
+    out.groupBy(_.getLong(0)).foreach { case (cust, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"cust $cust ranks $ranks")
+      assert(ranks.length <= 3)
+    }
+    // score = Σ quantized sims of the customer's owned source items
+    out.take(20).foreach { r =>
+      val (cust, rec) = (r.getLong(0), r.getLong(2))
+      val fp = nbrs.collect {
+        case (item, nbr, sim) if nbr == rec && owned.contains((cust, item)) =>
+          math.floor(sim * 1000000 + 0.5).toLong
+      }
+      assert(fp.length == r.getLong(3), s"n_src mismatch for $r")
+      assert(fp.sum.toDouble / 1000000 == r.getDouble(4),
+        s"score mismatch for $r")
+    }
+    ()
+  }
 }

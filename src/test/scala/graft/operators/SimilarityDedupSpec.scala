@@ -210,6 +210,65 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 0.5) // 2 shared / (3 + 3 - 2)
   }
 
+  test("containment: asymmetric scores — A-in-B flags while B-in-A doesn't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    Seq(
+      (1L, "a b c d"), // sh {abc, bcd} — fully inside doc 2
+      (2L, "a b c d e f"), // sh {abc, bcd, cde, def}
+      (3L, "x y z w"), // exact near-dup pair with doc 4
+      (4L, "x y z w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.q124Containment.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // C(1→2) = |{abc,bcd}|/2 = 1.0 (df band keeps both: df=2);
+    // C(2→1) = 2/4 = 0.5 < 0.6 → excluded: the asymmetry is the op.
+    // cde/def have df=1 and can never pair. 3↔4 contain each other.
+    assert(out.keySet == Set((1L, 2L), (3L, 4L), (4L, 3L)), out)
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((3L, 4L)) == 1.0 && out((4L, 3L)) == 1.0)
+  }
+
+  test("recall eval: intersection arithmetic matches the source frames") {
+    val d = sf("sf0.001")
+    val brute = SimilarityOps.q50AnnBrute.fn(spark, d)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.q51AnnLsh.fn(spark, d)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = SimilarityOps.q125RecallEval.fn(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, nb, nl, nm, rec) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))
+      assert(nb == brute.count(_._1 == q))
+      assert(nl == lsh.count(_._1 == q))
+      assert(nm == brute.count(p => p._1 == q && lsh.contains(p)))
+      assert(nm <= math.min(nb, nl))
+      assert(rec == math.floor(nm.toDouble / nb * 10000 + 0.5) / 10000)
+    }
+  }
+
+  test("hybrid RRF: ranks 1..10, fused score matches the two-term formula") {
+    val d = sf("sf0.001")
+    val out = RankingOps.q121HybridRrf.fn(spark, d)
+      .orderBy(col("rank")).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    val rrfs = out.map(_.getDouble(4))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      val (rt, rv) = (r.getLong(2), r.getLong(3))
+      val expected = // rank 0 = sentinel for "absent from that ranking"
+        (if (rt > 0) 1.0 / (60 + rt) else 0.0) +
+          (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      assert(math.abs(r.getDouble(4) - expected) < 5e-7,
+        s"id ${r.getLong(1)}: ${r.getDouble(4)} vs $expected")
+    }
+  }
+
   test("query group maps have no name collisions") {
     // Sum the SAME group list SparkEntry merges, so adding a group
     // can never desync this expectation (round-4 regression).
