@@ -574,8 +574,121 @@ object TextOps {
           .as("avg_tri_freq"))
   }
 
+  /** BPE merge-rule training, the real thing (q35 only ESTIMATES
+    * BPE-ish token counts): `rounds` iterations of count-adjacent-
+    * symbol-pairs → take the most frequent → merge it everywhere,
+    * over the word-frequency dictionary. Output is the learned merge
+    * table (round, pair, merged symbol, pair count) — exactly what a
+    * tokenizer trainer persists.
+    *
+    * Scale design is the classic distributed-BPE factoring: the
+    * corpus is touched ONCE (token explode → word-count dictionary);
+    * every training round then runs on the DICTIONARY, whose size is
+    * the vocabulary — bounded by Heaps' law, orders of magnitude
+    * below the corpus and independent of corpus growth at 100 TB.
+    * Per round: one explode+aggregate over the dictionary for pair
+    * counts, a TakeOrdered(1) for the winner, and a codegen'd
+    * `aggregate` fold rewriting each word's symbol array against the
+    * broadcast 1-row winner. NOTHING is collected to the driver — the
+    * winner joins back as a broadcast frame, so the whole train is
+    * one lazy plan. Each round's dictionary state is cached (the next
+    * round and the rules union both read it).
+    *
+    * Parity: greedy left-to-right single-rule application is a fold —
+    * Spark's `aggregate` HOF and DuckDB's `list_reduce` express the
+    * identical CASE step (the oracle wraps elements as 1-element
+    * lists since list_reduce seeds the accumulator from the first
+    * element; a fold from [c₀] equals a fold from [] ∪ c₀). Pair
+    * counts are exact int64 sums; winner ties break on (s1, s2) —
+    * ASCII corpus, so string order agrees across engines. */
+  val q127BpeTrain: QueryDef = QueryDef.withOracle(bpeOracleSql(6)) { (s, d) =>
+    bpeTrain(Tables.documents(s, d), 6)
+  }
+
+  /** The q127 trainer as a reusable function of any (doc_id, text)
+    * frame. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    var state = docs
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        expr("filter(split(word, ''), x -> x <> '')").as("syms"))
+      .cache()
+    var rules = List.empty[org.apache.spark.sql.DataFrame]
+    for (r <- 1 to rounds) {
+      val best = state.filter(size(col("syms")) >= 2)
+        // adjacent pairs, 0-based subscripts (Spark [] is 0-based)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i - 1] AS s1, syms[i] AS s2))")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("s1"), col("s2"))
+        .limit(1)
+        .select(lit(r).as("merge_round"), col("s1"), col("s2"),
+          concat(col("s1"), col("s2")).as("merged"), col("pc"))
+        .cache()
+      rules ::= best
+      if (r < rounds)
+        state = state.crossJoin(broadcast(best.select(col("s1"), col("s2"))))
+          .withColumn("syms", expr(
+            "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+              "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = s1 " +
+              "AND x = s2 " +
+              "THEN concat(slice(acc, 1, size(acc) - 1), " +
+              "array(concat(s1, s2))) " +
+              "ELSE concat(acc, array(x)) END)"))
+          .select(col("cnt"), col("syms"))
+          .cache()
+    }
+    rules.reverse.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror of [[bpeTrain]], mechanically unrolled per round
+    * (SQL has no iteration without recursive CTEs, which cannot
+    * aggregate in the recursive term). NOTE DuckDB list slicing is
+    * INCLUSIVE at both ends: drop-last is acc[:len(acc)-1], never
+    * acc[:-1]. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+        |  WHERE len(word) >= 1 GROUP BY word),
+        |s0 AS (
+        |  SELECT cnt, list_filter(string_split(word, ''), x -> x <> '')
+        |    AS syms FROM w)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val pair =
+        s""",
+          |p$r AS (
+          |  SELECT syms[i] AS s1, syms[i + 1] AS s2,
+          |    CAST(sum(cnt) AS BIGINT) AS pc
+          |  FROM s${r - 1}, LATERAL
+          |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+          |  GROUP BY 1, 2 ORDER BY pc DESC, s1, s2 LIMIT 1)""".stripMargin
+      val rewrite = if (r == rounds) "" else
+        s""",
+          |s$r AS (
+          |  SELECT cnt, list_reduce(list_transform(syms, x -> [x]),
+          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p.s1
+          |        AND x[1] = p.s2
+          |      THEN list_append(acc[:len(acc) - 1], p.s1 || p.s2)
+          |      ELSE list_append(acc, x[1]) END) AS syms
+          |  FROM s${r - 1} CROSS JOIN p$r p)""".stripMargin
+      pair + rewrite
+    }.mkString
+    val sel = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, s1, s2, s1 || s2 AS merged, pc FROM p$r")
+      .mkString("\n", "\nUNION ALL ", "")
+    head + steps + sel
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q109_pmi_collocations" -> q109PmiCollocations,
+    "q127_bpe_train" -> q127BpeTrain,
     "q116_trigram_quality" -> q116TrigramQuality,
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,

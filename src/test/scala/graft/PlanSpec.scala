@@ -471,6 +471,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q127: BPE rounds run on cached dictionary state, winner broadcast") {
+    val p = plan("q127_bpe_train")
+    // corpus touched once: every training round reads the cached
+    // word dictionary; the per-round winner attaches as a broadcast
+    // 1-row frame (never a shuffled join, never a driver collect in
+    // the plan chain); pair generation is a map-side explode
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "Generate") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -97,4 +97,35 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out2(3L) == ((2L, 1L)) && out2(5L) == ((2L, 1L)))
   }
+
+  test("BPE training: the textbook low/lower/lowest merge sequence") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val rules = TextOps.bpeTrain(docs, 6).orderBy(col("merge_round"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // hand-derived: (l,o) and (o,w) tie at 5 → s1 tiebreak picks l;
+    // (lowe,r) and (lowe,s) and (s,t) tie at 1 → (s1, s2) order
+    assert(rules.toSeq == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "e", "lowe", 2L),
+      (4, "lowe", "r", "lower", 1L),
+      (5, "lowe", "s", "lowes", 1L),
+      (6, "lowes", "t", "lowest", 1L)), rules.mkString(";"))
+  }
+
+  test("BPE training: merged symbols are opaque (no re-splitting, greedy fold)") {
+    import spark.implicits._
+    // "aaa" with rule (a,a): greedy left-to-right gives [aa, a], so
+    // round 2's top pair is (aa, a) — the fold must not re-merge the
+    // fresh "aa" with the trailing "a" in the same round
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val rules = TextOps.bpeTrain(docs, 2).orderBy(col("merge_round"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(rules.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)),
+      rules.mkString(";"))
+  }
 }
