@@ -605,15 +605,29 @@ object TextOps {
     bpeTrain(Tables.documents(s, d), 6)
   }
 
-  /** The q127 trainer as a reusable function of any (doc_id, text)
-    * frame. */
-  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+  /** BPE ENCODE — the apply side of q127: per-document token counts
+    * under the trained 6-merge vocabulary, plus fertility (BPE
+    * symbols per whitespace word, the tokenizer-quality metric).
+    * Same dictionary factoring as training: the merges rewrite the
+    * vocabulary (not the corpus), and the corpus is touched twice —
+    * once to build the dictionary, once to attach per-word symbol
+    * counts back onto the token stream by word key. */
+  val q128BpeEncode: QueryDef = QueryDef.withOracle(bpeEncodeOracleSql(6)) {
+    (s, d) => bpeEncode(Tables.documents(s, d), 6)
+  }
+
+  /** Shared BPE training chain: `rounds` (winner, rewritten-state)
+    * stages over the word dictionary, word column retained so the
+    * final state can serve the encode path. Returns (rules in round
+    * order, final dictionary state). Everything is lazy — a consumer
+    * that only reads the rules never pays for the final rewrite. */
+  private def bpeChain(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     var state = docs
       .select(explode(split(col("text"), " ", -1)).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
+      .select(col("word"), col("cnt"),
         expr("filter(split(word, ''), x -> x <> '')").as("syms"))
       .cache()
     var rules = List.empty[org.apache.spark.sql.DataFrame]
@@ -631,19 +645,44 @@ object TextOps {
           concat(col("s1"), col("s2")).as("merged"), col("pc"))
         .cache()
       rules ::= best
-      if (r < rounds)
-        state = state.crossJoin(broadcast(best.select(col("s1"), col("s2"))))
-          .withColumn("syms", expr(
-            "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
-              "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = s1 " +
-              "AND x = s2 " +
-              "THEN concat(slice(acc, 1, size(acc) - 1), " +
-              "array(concat(s1, s2))) " +
-              "ELSE concat(acc, array(x)) END)"))
-          .select(col("cnt"), col("syms"))
-          .cache()
+      state = state.crossJoin(broadcast(best.select(col("s1"), col("s2"))))
+        .withColumn("syms", expr(
+          "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = s1 " +
+            "AND x = s2 " +
+            "THEN concat(slice(acc, 1, size(acc) - 1), " +
+            "array(concat(s1, s2))) " +
+            "ELSE concat(acc, array(x)) END)"))
+        .select(col("word"), col("cnt"), col("syms"))
+        .cache()
     }
-    rules.reverse.reduce(_ unionByName _)
+    (rules.reverse, state)
+  }
+
+  /** The q127 trainer as a reusable function of any (doc_id, text)
+    * frame. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame =
+    bpeChain(docs, rounds)._1.reduce(_ unionByName _)
+
+  /** The q128 encoder: per-document BPE token counts under the
+    * `rounds`-rule vocabulary trained on the same corpus. */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val encoded = bpeChain(docs, rounds)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) >= 1)
+      // dictionary-sized attach: AQE broadcasts the vocabulary at
+      // bench SF; at web scale it degenerates to a shuffle join on
+      // the word key, which the token stream already carries
+      .join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("n_syms")).as("n_bpe"))
+      .select(col("doc_id"), col("n_tok"), col("n_bpe"),
+        (floor(col("n_bpe").cast("double") / col("n_tok").cast("double")
+          * 10000 + 0.5) / 10000).as("fertility"))
   }
 
   /** DuckDB mirror of [[bpeTrain]], mechanically unrolled per round
@@ -651,44 +690,63 @@ object TextOps {
     * aggregate in the recursive term). NOTE DuckDB list slicing is
     * INCLUSIVE at both ends: drop-last is acc[:len(acc)-1], never
     * acc[:-1]. */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The shared WITH-chain (w, s0, p1, s1, …, p_r, s_r) mirroring
+    * [[bpeChain]]; `word` rides through every state so the encode
+    * oracle can join the final state back onto the token stream. */
+  private def bpeChainSqlPrefix(rounds: Int): String = {
     val head =
       """WITH w AS (
         |  SELECT word, count(*) AS cnt FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
         |  WHERE len(word) >= 1 GROUP BY word),
         |s0 AS (
-        |  SELECT cnt, list_filter(string_split(word, ''), x -> x <> '')
+        |  SELECT word, cnt, list_filter(string_split(word, ''), x -> x <> '')
         |    AS syms FROM w)""".stripMargin
-    val steps = (1 to rounds).map { r =>
-      val pair =
-        s""",
-          |p$r AS (
-          |  SELECT syms[i] AS s1, syms[i + 1] AS s2,
-          |    CAST(sum(cnt) AS BIGINT) AS pc
-          |  FROM s${r - 1}, LATERAL
-          |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
-          |  GROUP BY 1, 2 ORDER BY pc DESC, s1, s2 LIMIT 1)""".stripMargin
-      val rewrite = if (r == rounds) "" else
-        s""",
-          |s$r AS (
-          |  SELECT cnt, list_reduce(list_transform(syms, x -> [x]),
-          |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p.s1
-          |        AND x[1] = p.s2
-          |      THEN list_append(acc[:len(acc) - 1], p.s1 || p.s2)
-          |      ELSE list_append(acc, x[1]) END) AS syms
-          |  FROM s${r - 1} CROSS JOIN p$r p)""".stripMargin
-      pair + rewrite
+    head + (1 to rounds).map { r =>
+      s""",
+        |p$r AS (
+        |  SELECT syms[i] AS s1, syms[i + 1] AS s2,
+        |    CAST(sum(cnt) AS BIGINT) AS pc
+        |  FROM s${r - 1}, LATERAL
+        |    (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+        |  GROUP BY 1, 2 ORDER BY pc DESC, s1, s2 LIMIT 1),
+        |s$r AS (
+        |  SELECT word, cnt, list_reduce(list_transform(syms, x -> [x]),
+        |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p.s1
+        |        AND x[1] = p.s2
+        |      THEN list_append(acc[:len(acc) - 1], p.s1 || p.s2)
+        |      ELSE list_append(acc, x[1]) END) AS syms
+        |  FROM s${r - 1} CROSS JOIN p$r p)""".stripMargin
     }.mkString
-    val sel = (1 to rounds).map(r =>
+  }
+
+  private def bpeOracleSql(rounds: Int): String =
+    bpeChainSqlPrefix(rounds) + (1 to rounds).map(r =>
       s"SELECT $r AS merge_round, s1, s2, s1 || s2 AS merged, pc FROM p$r")
       .mkString("\n", "\nUNION ALL ", "")
-    head + steps + sel
-  }
+
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeChainSqlPrefix(rounds) +
+      s""",
+        |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+        |        FROM s$rounds),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tok, sum(n_syms) AS n_bpe
+        |  FROM toks JOIN enc USING (word)
+        |  WHERE len(word) >= 1
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tok, CAST(n_bpe AS BIGINT) AS n_bpe,
+        |  floor(CAST(n_bpe AS DOUBLE) / CAST(n_tok AS DOUBLE) * 10000 + 0.5)
+        |    / 10000 AS fertility
+        |FROM agg""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
     "q109_pmi_collocations" -> q109PmiCollocations,
     "q127_bpe_train" -> q127BpeTrain,
+    "q128_bpe_encode" -> q128BpeEncode,
     "q116_trigram_quality" -> q116TrigramQuality,
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,

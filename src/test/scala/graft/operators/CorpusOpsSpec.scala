@@ -116,6 +116,19 @@ class CorpusOpsSpec extends SparkSpec {
       (6, "lowes", "t", "lowest", 1L)), rules.mkString(";"))
   }
 
+  test("BPE encode: per-doc symbol counts under a 3-merge vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lowest"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    // merges after 3 rounds: lo, low, lowe →
+    //   low → [low] (1), lower → [lowe, r] (2), lowest → [lowe, s, t] (3)
+    val out = TextOps.bpeEncode(docs, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((5L, 3 * 1 + 2 + 3L, 1.6)), out)
+    assert(out(2L) == ((2L, 1 + 3L, 2.0)), out)
+  }
+
   test("BPE training: merged symbols are opaque (no re-splitting, greedy fold)") {
     import spark.implicits._
     // "aaa" with rule (a,a): greedy left-to-right gives [aa, a], so
