@@ -616,6 +616,73 @@ object TextOps {
     (s, d) => bpeEncode(Tables.documents(s, d), 6)
   }
 
+  /** Zipf-law fit over the corpus vocabulary: OLS slope of
+    * ln(freq) ~ ln(rank) on the top-1000 ranks — the one-row corpus
+    * diagnostic that flags synthetic, templated, or over-deduped text
+    * (natural corpora sit near exponent 1). zipf_exponent = −slope.
+    *
+    * Scale + parity: word counts are one corpus pass; the top-1000 is
+    * TakeOrderedAndProject (never a global sort); the regression runs
+    * on a CONSTANT 1000-row frame. Float parity follows the exact-
+    * integer regression convention (q97/q115): each ln() is quantized
+    * to 1e-4 units BEFORE any sum, all five regression sums are exact
+    * int64 (≤1e16 — no overflow at this quantum), and slope/r² are a
+    * fixed expression over those ints, identical in both engines. */
+  val q129ZipfFit: QueryDef = QueryDef.withOracle(
+    """WITH w AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+      |  WHERE len(word) >= 1 GROUP BY word),
+      |tot AS (SELECT count(*) AS n_vocab FROM w),
+      |top AS (
+      |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+      |  FROM (SELECT * FROM w ORDER BY cnt DESC, word LIMIT 1000)),
+      |q AS (
+      |  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+      |      AS x,
+      |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y
+      |  FROM top),
+      |s AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM q)
+      |SELECT tot.n_vocab, s.n AS n_top,
+      |  floor(-(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+      |    / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)) * 10000 + 0.5) / 10000
+      |    AS zipf_exponent,
+      |  floor(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+      |    * CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+      |    / (CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+      |       * CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)) * 10000 + 0.5)
+      |    / 10000 AS r2
+      |FROM s CROSS JOIN tot""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .cache() // consumed by the vocab count and the top-1000
+    val tot = w.agg(count(lit(1)).as("n_vocab"))
+    val top = w.orderBy(col("cnt").desc, col("word")).limit(1000)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))))
+    val q = top.select(
+      floor(log(col("rnk").cast("double")) * 10000 + 0.5).cast("long").as("x"),
+      floor(log(col("cnt").cast("double")) * 10000 + 0.5).cast("long").as("y"))
+    val sums = q.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    sums.crossJoin(broadcast(tot))
+      .select(col("n_vocab"), col("n").as("n_top"),
+        (floor(-(num / denX) * 10000 + 0.5) / 10000).as("zipf_exponent"),
+        (floor(num * num / (denX * denY) * 10000 + 0.5) / 10000).as("r2"))
+  }
+
   /** Shared BPE training chain: `rounds` (winner, rewritten-state)
     * stages over the word dictionary, word column retained so the
     * final state can serve the encode path. Returns (rules in round
@@ -747,6 +814,7 @@ object TextOps {
     "q109_pmi_collocations" -> q109PmiCollocations,
     "q127_bpe_train" -> q127BpeTrain,
     "q128_bpe_encode" -> q128BpeEncode,
+    "q129_zipf_fit" -> q129ZipfFit,
     "q116_trigram_quality" -> q116TrigramQuality,
     "q30_text_stats" -> q30TextStats,
     "q31_text_quality" -> q31TextQuality,

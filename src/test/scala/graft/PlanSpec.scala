@@ -490,6 +490,13 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "HashAggregate") >= 2, p)
   }
 
+  test("q129: top-1000 vocabulary pick is TakeOrdered, regression constant-sized") {
+    val p = plan("q129_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

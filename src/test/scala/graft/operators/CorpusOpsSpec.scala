@@ -116,6 +116,25 @@ class CorpusOpsSpec extends SparkSpec {
       (6, "lowes", "t", "lowest", 1L)), rules.mkString(";"))
   }
 
+  test("Zipf fit: an exact power-law corpus recovers exponent 1, r² 1") {
+    import spark.implicits._
+    // freq(rank r) = 60/r for ranks 1..5 (60, 30, 20, 15, 12):
+    // ln(freq) = ln 60 − ln(rank) exactly, so the OLS slope is −1 and
+    // r² = 1 up to the 1e-4 quantization of each ln()
+    val text = Seq(Seq.fill(60)("a"), Seq.fill(30)("b"), Seq.fill(20)("c"),
+      Seq.fill(15)("d"), Seq.fill(12)("e")).flatten.mkString(" ")
+    val out = TextOps.q129ZipfFit.fn(
+      spark, { // write a one-doc corpus
+        val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+        Seq((1L, text)).toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        dir
+      }).head()
+    assert(out.getLong(0) == 5 && out.getLong(1) == 5, out)
+    assert(math.abs(out.getDouble(2) - 1.0) <= 2e-4, out)
+    assert(out.getDouble(3) >= 0.9999, out)
+  }
+
   test("BPE encode: per-doc symbol counts under a 3-merge vocabulary") {
     import spark.implicits._
     val docs = Seq((1L, "low low low lower lowest"), (2L, "low lowest"))
