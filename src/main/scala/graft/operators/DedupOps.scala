@@ -642,9 +642,111 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(c, 3).as("containment"))
   }
 
+  /** Golden-record survivorship — the MERGE step that completes the
+    * dedup lifecycle (q40-q44 detect → q49 cluster → THIS merges):
+    * every multi-member cluster emits one canonical record built by
+    * field-level survivorship rules: the longest-text member carries
+    * the content (tie → lowest doc_id), the modal source wins the
+    * provenance field (tie → alphabetical), membership/char totals
+    * ride as lineage stats. Singleton clusters are already golden and
+    * are filtered out.
+    *
+    * Scale shape: clusters come from q49's label propagation (O(log
+    * diameter) rounds, checkpointed); everything here is keyed on
+    * canonical_id — one member-attach equi-join, two WindowGroupLimit
+    * rank picks, one rollup. Cluster sizes are bounded by the
+    * near-dup structure (a pathological mega-cluster is a data-quality
+    * signal q49's pair thresholds already gate). */
+  val q130Survivorship: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE sg AS (
+      |  SELECT doc_id, sig FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/minhash_sigs.parquet/*.parquet')),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band, sig[b*4+1:b*4+4] AS band_sig
+      |  FROM sg, LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |    >= 0.25),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r AS r
+      |  FROM edges e JOIN reach ON reach.doc_id = e.b),
+      |clusters AS (
+      |  SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+      |m AS (
+      |  SELECT c.canonical_id, d.doc_id, d.source, d.n_chars,
+      |    CAST(length(d.text) AS BIGINT) AS len
+      |  FROM clusters c JOIN documents d USING (doc_id)),
+      |surv AS (
+      |  SELECT canonical_id, doc_id AS survivor_doc, len AS survivor_len
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY canonical_id
+      |          ORDER BY len DESC, doc_id) AS rn FROM m)
+      |  WHERE rn = 1),
+      |sc AS (
+      |  SELECT canonical_id, source, count(*) AS n FROM m GROUP BY 1, 2),
+      |tops AS (
+      |  SELECT canonical_id, source AS top_source
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY canonical_id
+      |          ORDER BY n DESC, source) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |st AS (
+      |  SELECT canonical_id, count(*) AS n_members,
+      |    count(DISTINCT source) AS n_sources,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |  FROM m GROUP BY 1)
+      |SELECT st.canonical_id, n_members, n_sources, total_chars,
+      |  survivor_doc, survivor_len, top_source
+      |FROM st JOIN surv USING (canonical_id) JOIN tops USING (canonical_id)
+      |WHERE n_members >= 2""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = q49DedupClusters.fn(s, d)
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("canonical_id"), col("doc_id"), col("source"),
+        col("n_chars"), length(col("text")).cast("long").as("len"))
+      .cache() // three canonical_id-keyed consumers read one attach
+    val wLen = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("len").desc, col("doc_id"))
+    val surv = m.withColumn("rn", row_number().over(wLen))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("survivor_doc"),
+        col("len").as("survivor_len"))
+    val sc = m.groupBy(col("canonical_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("n").desc, col("source"))
+    val tops = sc.withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("source").as("top_source"))
+    m.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .join(surv, Seq("canonical_id"))
+      .join(tops, Seq("canonical_id"))
+      .filter(col("n_members") >= 2)
+      .select(col("canonical_id"), col("n_members"), col("n_sources"),
+        col("total_chars"), col("survivor_doc"), col("survivor_len"),
+        col("top_source"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q90_passage_overlap" -> q90PassageOverlap,
     "q124_containment" -> q124Containment,
+    "q130_survivorship" -> q130Survivorship,
     "q80_fuzzy_join" -> q80FuzzyJoin,
     "q118_jw_linkage" -> q118JwLinkage,
     "q40_dedup_exact" -> q40DedupExact,

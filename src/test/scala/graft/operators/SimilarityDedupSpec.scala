@@ -269,6 +269,27 @@ class SimilarityDedupSpec extends SparkSpec {
     }
   }
 
+  test("survivorship: field-level golden record on a known cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-surv").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, base, "web", 10L), // clone of 2 — same cluster
+      (2L, base, "web", 20L),
+      (3L, base + " extra", "pdf", 30L), // near-dup, longest text
+      (4L, (1 to 30).map(i => s"zz$i").mkString(" "), "web", 40L)) // singleton
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.q130Survivorship.fn(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString(";")) // singleton filtered out
+    val r = rows.head
+    assert(r.getLong(0) == 1L) // canonical = min member id
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // members, sources
+    assert(r.getLong(3) == 60L) // total n_chars
+    assert(r.getLong(4) == 3L) // longest text survives
+    assert(r.getString(6) == "web") // modal source
+  }
+
   test("query group maps have no name collisions") {
     // Sum the SAME group list SparkEntry merges, so adding a group
     // can never desync this expectation (round-4 regression).
