@@ -669,7 +669,92 @@ object AnalyticsOps {
         sum(col("cents")).as("revenue_cents"))
   }
 
+  /** Linear multi-touch attribution — q107's last-touch sibling and
+    * the other half of the standard attribution pair: every touch
+    * (click/view) inside the 7-day lookback of a purchase shares the
+    * conversion credit equally (1/n of the conversion, 1/n of the
+    * cents); purchases with no qualifying touch credit 'direct' in
+    * full.
+    *
+    * Parity: per-touch credit is EXACT INTEGER floor division in
+    * micro-units (cents·10⁶ div n, 10⁶ div n) — both engines' int64
+    * `div`/`//` agree bit-for-bit and the channel rollup sums exact
+    * ints, so no order-dependent float ever forms; the display
+    * doubles are one division each. (Floor division under-credits a
+    * conversion by < n micro-units — the documented quantization, not
+    * drift.)
+    *
+    * Scale shape: the touch×purchase pairing is a user-keyed
+    * equi-join with the window predicate inside it — both sides
+    * arrive on the same exchange key, and fan-out is per-user
+    * activity² within a week, the quantity the lookback bounds by
+    * design. A bot-grade hot user is the q73 salting lever. The
+    * credit-share count keys on the purchase id the pair stream
+    * already carries. */
+  val q131MultiTouch: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
+      |    event_type AS channel
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |p AS (
+      |  SELECT event_id AS p_id, user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |pairs AS (
+      |  SELECT p.p_id, p.cents, t.channel
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.t_us <= p.ts_us AND t.t_us >= p.ts_us - 604800000000),
+      |n AS (SELECT p_id, count(*) AS n_touch FROM pairs GROUP BY 1),
+      |credited AS (
+      |  SELECT pairs.channel,
+      |    1000000 // n.n_touch AS conv_fp,
+      |    (pairs.cents * 1000000) // n.n_touch AS rev_fp
+      |  FROM pairs JOIN n USING (p_id)
+      |  UNION ALL
+      |  SELECT 'direct' AS channel, 1000000 AS conv_fp,
+      |    p.cents * 1000000 AS rev_fp
+      |  FROM p LEFT JOIN n ON n.p_id = p.p_id
+      |  WHERE n.p_id IS NULL)
+      |SELECT channel,
+      |  CAST(sum(conv_fp) AS BIGINT) AS conversions_fp,
+      |  CAST(sum(rev_fp) AS BIGINT) AS revenue_fp,
+      |  CAST(sum(conv_fp) AS DOUBLE) / 1000000 AS conversions,
+      |  CAST(sum(rev_fp) AS DOUBLE) / 100000000 AS revenue
+      |FROM credited GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val pairs = purchases.join(touches,
+        purchases("user_id") === touches("user_id") &&
+          col("t_us") <= col("ts_us") &&
+          col("t_us") >= col("ts_us") - 604800000000L)
+      .select(col("p_id"), col("cents"), col("channel"))
+    val n = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("n_touch"))
+    val credited = pairs.join(n, Seq("p_id"))
+      .select(col("channel"),
+        expr("1000000 div n_touch").as("conv_fp"),
+        expr("(cents * 1000000) div n_touch").as("rev_fp"))
+      .unionByName(purchases.join(n, Seq("p_id"), "left_anti")
+        .select(lit("direct").as("channel"),
+          lit(1000000L).as("conv_fp"),
+          (col("cents") * 1000000L).as("rev_fp")))
+    credited.groupBy(col("channel"))
+      .agg(sum(col("conv_fp")).as("conversions_fp"),
+        sum(col("rev_fp")).as("revenue_fp"))
+      .select(col("channel"), col("conversions_fp"), col("revenue_fp"),
+        (col("conversions_fp").cast("double") / 1000000).as("conversions"),
+        (col("revenue_fp").cast("double") / 100000000).as("revenue"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q131_multi_touch" -> q131MultiTouch,
     "q92_skyline" -> q92Skyline,
     "q93_retention" -> q93Retention,
     "q94_transitions" -> q94Transitions,

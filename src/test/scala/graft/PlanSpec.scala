@@ -504,6 +504,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q131: multi-touch pairing is a user-keyed equi-join, never a loop join") {
+    val p = plan("q131_multi_touch")
+    // the window predicate rides INSIDE the user-keyed hash join —
+    // the classic mistake (time-only theta join) would plan a
+    // BroadcastNestedLoopJoin over the full touch×purchase space
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -7,6 +7,38 @@ import org.apache.spark.sql.functions._
   * the dominance / conservation properties the SF gate can't pin. */
 class AnalyticsOpsSpec extends SparkSpec {
 
+  test("multi-touch attribution: credit conservation and closed-form splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mta").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    def at(h: Int) = new java.sql.Timestamp(base.getTime + h * 3600_000L)
+    Seq(
+      // u1: click then view, both inside the purchase's 7-day window
+      (1L, at(0), 1L, "click", 0.0),
+      (2L, at(1), 1L, "view", 0.0),
+      (3L, at(2), 1L, "purchase", 10.0),
+      // u2: one touch, outside the window (8 days before) → direct
+      (4L, new java.sql.Timestamp(base.getTime - 8L * 86400_000L), 2L,
+        "click", 0.0),
+      (5L, at(0), 2L, "purchase", 5.0),
+      // u3: three clicks share one purchase (tests floor division)
+      (6L, at(0), 3L, "click", 0.0),
+      (7L, at(1), 3L, "click", 0.0),
+      (8L, at(2), 3L, "click", 0.0),
+      (9L, at(3), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps.q131MultiTouch.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // u1 splits 1000 cents halfway click/view; u3 splits 100 cents
+    // as 3 × floor(100e6/3) (floor loses 1 micro-unit of conversion
+    // and 2 micro-cents — the documented quantization)
+    assert(out("view") == ((500000L, 500000000L)), out)
+    assert(out("click") == ((500000L + 3 * 333333L,
+      500000000L + 3 * 33333333L)), out)
+    assert(out("direct") == ((1000000L, 500000000L)), out)
+  }
+
   test("skyline matches brute force on ties, duplicates, and frontiers") {
     import spark.implicits._
     def run(pts: Seq[(Long, Double, Int)]): Set[(Double, Int)] = {
