@@ -686,8 +686,17 @@ object TextOps {
   /** Shared BPE training chain: `rounds` (winner, rewritten-state)
     * stages over the word dictionary, word column retained so the
     * final state can serve the encode path. Returns (rules in round
-    * order, final dictionary state). Everything is lazy — a consumer
-    * that only reads the rules never pays for the final rewrite. */
+    * order, final dictionary state).
+    *
+    * Each round's state is truncated with an EAGER localCheckpoint
+    * (the q49 label-propagation idiom), not cache(): a cached chain
+    * keeps the full 6-round lambda lineage in every downstream plan,
+    * and Catalyst re-analysis/canonicalization over that tree cost a
+    * measured ~16 s of pure DRIVER time at any data size (22.9 s
+    * total at sf0.001 — all planning, zero data). With the lineage
+    * cut per round the whole train+encode is ~3 s. The trade is the
+    * label-prop one: dictionary-sized materialization per round,
+    * which is exactly the work the round performs anyway. */
   private def bpeChain(docs: org.apache.spark.sql.DataFrame, rounds: Int)
       : (Seq[org.apache.spark.sql.DataFrame], org.apache.spark.sql.DataFrame) = {
     var state = docs
@@ -696,7 +705,7 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"),
         expr("filter(split(word, ''), x -> x <> '')").as("syms"))
-      .cache()
+      .localCheckpoint(true)
     var rules = List.empty[org.apache.spark.sql.DataFrame]
     for (r <- 1 to rounds) {
       val best = state.filter(size(col("syms")) >= 2)
@@ -721,7 +730,7 @@ object TextOps {
             "array(concat(s1, s2))) " +
             "ELSE concat(acc, array(x)) END)"))
         .select(col("word"), col("cnt"), col("syms"))
-        .cache()
+        .localCheckpoint(true)
     }
     (rules.reverse, state)
   }
