@@ -36,11 +36,20 @@ object DedupCluster {
     *         connected component */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 50, checkpointEvery: Int = 5): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions. EAGER localCheckpoint,
+    // not cache(): a cache truncates execution but NOT the logical
+    // plan, so when the candidate generator behind `pairs` is itself
+    // a large subtree (q44's LSH bucket self-join), every
+    // label-propagation round — and especially the pointer-jump
+    // rounds, which reference the round's frame TWICE — re-nests that
+    // subtree, and AQE's per-stage plan stringification alone went
+    // quadratic (observed: q133 burned 10+ min of pure driver CPU in
+    // Statistics.toString with 17 GB of plan strings). The checkpoint
+    // makes the edge list the plan's leaf.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("canonical_id"))
     var changed = true

@@ -743,10 +743,55 @@ object DedupOps {
         col("top_source"))
   }
 
+  /** Semantic (embedding-space) cluster canonicalization — q49's
+    * exact sibling on the OTHER candidate generator: q44's
+    * LSH-bucketed cosine near-dup pairs feed the same checkpointed
+    * label propagation, so the embedding dedup lifecycle is complete
+    * (q44 detect → THIS cluster → the q130 merge pattern applies).
+    * Every vector maps to the min vec_id of its connected near-dup
+    * component; singletons map to themselves.
+    *
+    * Scale: pairs are the LSH-bounded q44 stream (never all-pairs);
+    * label propagation is O(log diameter) rounds with per-5-round
+    * lineage checkpoints (DedupCluster). Oracle: DuckDB re-derives
+    * candidates from the dumped bucket fixture, scores with
+    * list_cosine_similarity, and closes components with a recursive
+    * CTE — the q49 template. */
+  val q133SemanticClusters: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE b AS (
+      |  SELECT * FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/lsh_buckets.parquet/*.parquet')),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      |  FROM b a JOIN b b2
+      |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      |pairs AS (
+      |  SELECT vec_a, vec_b FROM cand
+      |  JOIN c ca ON ca.vec_id = vec_a
+      |  JOIN c cb ON cb.vec_id = vec_b
+      |  WHERE round(list_cosine_similarity(ca.emb, cb.emb), 6) >= 0.3),
+      |edges AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM pairs
+      |  UNION SELECT vec_b AS a, vec_a AS b FROM pairs),
+      |reach AS (
+      |  SELECT vec_id, vec_id AS r FROM embeddings
+      |  UNION
+      |  SELECT e.a AS vec_id, reach.r AS r
+      |  FROM edges e JOIN reach ON reach.vec_id = e.b)
+      |SELECT vec_id, min(r) AS canonical_id FROM reach GROUP BY vec_id""".stripMargin
+  ) { (s, d) =>
+    graft.functions.DedupCluster.canonicalize(
+      Tables.embeddings(s, d).select(col("vec_id").as("doc_id")),
+      q44EmbedNearDup.fn(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q90_passage_overlap" -> q90PassageOverlap,
     "q124_containment" -> q124Containment,
     "q130_survivorship" -> q130Survivorship,
+    "q133_semantic_clusters" -> q133SemanticClusters,
     "q80_fuzzy_join" -> q80FuzzyJoin,
     "q118_jw_linkage" -> q118JwLinkage,
     "q40_dedup_exact" -> q40DedupExact,

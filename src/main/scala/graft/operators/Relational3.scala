@@ -520,7 +520,96 @@ object Relational3 {
         min(col("b")).as("min_order"), max(col("b")).as("max_order"))
   }
 
+  /** Funnel step-latency distribution — q77 reports counts and MEANS;
+    * this reports the shape (median + p90 of time-to-convert per
+    * step), which is what a growth team actually reads: means hide
+    * the slow tail that p90 exposes.
+    *
+    * Both statistics are RANK-BASED picks (the q105 convention,
+    * extended): the median is the explicit lower/upper-middle
+    * average, p90 is the element at rank ⌈0.9·n⌉ — an actual latency
+    * value, no engine-specific quantile interpolation anywhere; the
+    * only float is the final (a+b)/2, written identically in both
+    * engines. The per-step rank is one step-keyed exchange over
+    * converted-user rows (step cardinality is small, but n per step
+    * is user-count-sized — the same dependent-selection floor q105
+    * documents). */
+  val q132FunnelLatency: QueryDef = QueryDef.withOracle(
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(ts_us) AS t1 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c1 AS (
+      |  SELECT ev.user_id, min(ev.ts_us) AS t2, min(s1.t1) AS t1
+      |  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+      |  WHERE ev.event_type = 'click' AND ev.ts_us > s1.t1
+      |  GROUP BY ev.user_id),
+      |p1 AS (
+      |  SELECT ev.user_id, min(ev.ts_us) AS t3, min(c1.t2) AS t2
+      |  FROM ev JOIN c1 ON ev.user_id = c1.user_id
+      |  WHERE ev.event_type = 'purchase' AND ev.ts_us > c1.t2
+      |  GROUP BY ev.user_id),
+      |lat AS (
+      |  SELECT 'signup_to_click' AS step, user_id, t2 - t1 AS lat_us FROM c1
+      |  UNION ALL
+      |  SELECT 'click_to_purchase' AS step, user_id, t3 - t2 AS lat_us
+      |  FROM p1),
+      |r AS (
+      |  SELECT step, lat_us,
+      |    row_number() OVER (PARTITION BY step ORDER BY lat_us, user_id)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY step) AS n
+      |  FROM lat),
+      |med AS (
+      |  SELECT step, avg(lat_us) AS med_us FROM r
+      |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+      |p90 AS (
+      |  SELECT step, CAST(min(lat_us) AS BIGINT) AS p90_us FROM r
+      |  WHERE rn = (9 * n + 9) // 10 GROUP BY 1)
+      |SELECT r.step, max(r.n) AS n, max(med.med_us) AS med_us,
+      |  max(p90.p90_us) AS p90_us
+      |FROM r JOIN med USING (step) JOIN p90 USING (step)
+      |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val c1 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("t2"), min(col("t1")).as("t1"))
+    val p1 = ev.filter(col("event_type") === "purchase")
+      .join(c1.select(col("user_id"), col("t2")), "user_id")
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("t3"), min(col("t2")).as("t2"))
+    val lat = c1.select(lit("signup_to_click").as("step"), col("user_id"),
+        (col("t2") - col("t1")).as("lat_us"))
+      .unionByName(p1.select(lit("click_to_purchase").as("step"),
+        col("user_id"), (col("t3") - col("t2")).as("lat_us")))
+    val byStep = Window.partitionBy(col("step"))
+    val r = lat
+      .withColumn("rn", row_number().over(
+        byStep.orderBy(col("lat_us"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(byStep))
+      .cache() // median pick, p90 pick, and the final rollup all read it
+    val med = r
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+              col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("step")).agg(avg(col("lat_us")).as("med_us"))
+    val p90 = r.filter(col("rn") === expr("(9 * n + 9) div 10"))
+      .groupBy(col("step")).agg(min(col("lat_us")).cast("long").as("p90_us"))
+    r.join(med, Seq("step")).join(p90, Seq("step"))
+      .groupBy(col("step"))
+      .agg(max(col("n")).as("n"), max(col("med_us")).as("med_us"),
+        max(col("p90_us")).as("p90_us"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q132_funnel_latency" -> q132FunnelLatency,
     "q2n_grouping_sets" -> q2nGroupingSets,
     "q2o_corr_stats" -> q2oCorrStats,
     "q2p_array_ops" -> q2pArrayOps,
