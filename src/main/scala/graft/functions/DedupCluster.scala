@@ -17,6 +17,27 @@ import org.apache.spark.sql.functions._
   * returned silently. All driver-side logic is the loop counter; the
   * data path is pure shuffled joins/aggregations (scales with edges,
   * not with cluster count).
+  *
+  * EVERY round's label frame is a lazy localCheckpoint that the
+  * round's own convergence count materializes — so each round's plan
+  * is a constant-size tree over two leaves (edges, previous labels).
+  * The earlier cache()-based variant kept plans nested: a jump round
+  * references its input twice, so the LOGICAL tree grew ~4× per
+  * round, and a 5-round checkpoint cadence still admitted ~1000×
+  * growth between cuts — measured 6.5 GB of catalyst trees (driver
+  * OOM at 8 GB) on a 500-doc / 321-edge input by round 9. Lineage
+  * truncation per round caps the whole loop at O(1) plan size, with
+  * the same one action per round.
+  *
+  * Fault-tolerance trade (deliberate): localCheckpoint truncates
+  * lineage, so a lost executor/block FAILS the query instead of
+  * recomputing the lost partition (what a cache would allow). That is
+  * the price of bounded planning cost; acceptable because each round
+  * is seconds of work and a failed query simply re-runs from source.
+  * Superseded checkpoints are released promptly via their underlying
+  * RDD (Dataset.unpersist does NOT free localCheckpoint blocks — only
+  * CacheManager entries); without the explicit release they linger
+  * until the ContextCleaner GCs the RDD reference.
   */
 object DedupCluster {
 
@@ -24,49 +45,61 @@ object DedupCluster {
     * (see the loop comment). */
   private val JumpAfter = 3
 
+  /** Free the storage blocks behind a localCheckpoint-backed frame.
+    * The checkpointed Dataset's analyzed plan is a LogicalRDD whose
+    * RDD holds the persisted blocks; unpersisting THAT rdd releases
+    * them (a new `.rdd` handle would not — it wraps a fresh
+    * deserializing RDD). No-op on non-checkpoint frames. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** @param pairs edges as (doc_a, doc_b) columns
     * @param docs  all doc ids as column `doc_id` (singletons keep
     *              themselves as canonical)
-    * @param checkpointEvery truncate plan lineage with an eager
-    *              localCheckpoint every N rounds — without it each
-    *              round's plan nests the previous round's joins, and a
-    *              deep component (diameter ≫ 5) grows the optimizer's
-    *              input linearly until planning dominates runtime
     * @return (doc_id, canonical_id) — canonical = min id in the
-    *         connected component */
+    *         connected component, as a localCheckpoint-backed frame:
+    *         a compact plan leaf that survives runner cache sweeps,
+    *         so callers (q49/q130, q133) can share one
+    *         materialization per session. Release with
+    *         [[releaseCheckpoint]] when done.
+    */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50, checkpointEvery: Int = 5): DataFrame = {
-    // undirected edge list, both directions. EAGER localCheckpoint,
-    // not cache(): a cache truncates execution but NOT the logical
-    // plan, so when the candidate generator behind `pairs` is itself
-    // a large subtree (q44's LSH bucket self-join), every
-    // label-propagation round — and especially the pointer-jump
-    // rounds, which reference the round's frame TWICE — re-nests that
-    // subtree, and AQE's per-stage plan stringification alone went
-    // quadratic (observed: q133 burned 10+ min of pure driver CPU in
-    // Statistics.toString with 17 GB of plan strings). The checkpoint
-    // makes the edge list the plan's leaf.
+      maxIter: Int = 50): DataFrame = {
+    // undirected edge list, both directions. EAGER localCheckpoint:
+    // a cache would truncate execution but NOT the logical plan, so
+    // when the candidate generator behind `pairs` is itself a large
+    // subtree (q44's LSH bucket self-join), every round would re-nest
+    // that subtree. The checkpoint makes the edge list the loop's
+    // leaf.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"),
       col("doc_id").as("canonical_id"))
+    var prevCp: DataFrame = null // superseded-checkpoint release handle
     var changed = true
     var i = 0
     while (changed && i < maxIter) {
-      // neighbor's current label, min over (own, neighbors')
+      // neighbor's current label, min over (own, neighbors'). The
+      // round CARRIES the pre-round label as __old so convergence is
+      // a plain column compare on the round's own frame — the earlier
+      // shape (join next↔labels on doc_id, filter, count) paid an
+      // extra doc-keyed shuffle every round for the same bit.
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
           .withColumnRenamed("canonical_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_label")).as("min_n_label"))
       val hopped = labels.join(viaEdges, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("canonical_id").as("__old"),
           least(col("canonical_id"),
             coalesce(col("min_n_label"), col("canonical_id")))
             .as("canonical_id"))
-        .cache()
       // Pointer jump — but only once plain hopping has had JumpAfter
       // rounds: near-dup components are almost always diameter ≤ 2-3,
       // and for them the jump's extra self-join per round is pure
@@ -75,30 +108,30 @@ object DedupCluster {
       // to ITS label (labels are always doc ids, so the self-join
       // matches every row), halving the remaining pointer depth —
       // O(log d) rounds for a diameter-d chain instead of O(d).
+      // The jump reads `hopped` twice; hopped is cached so the hop
+      // join/aggregate executes once per round.
+      val hc = if (i < JumpAfter) hopped else hopped.cache()
       val next =
-        if (i < JumpAfter) hopped
-        else hopped
-          .join(hopped.select(col("doc_id").as("canonical_id"),
+        if (i < JumpAfter) hc
+        else hc
+          .join(hc.select(col("doc_id").as("canonical_id"),
             col("canonical_id").as("jumped")), Seq("canonical_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("__old"),
             least(col("canonical_id"),
               coalesce(col("jumped"), col("canonical_id")))
               .as("canonical_id"))
-          .cache()
-      val diff = next.alias("n").join(labels.alias("l"), "doc_id")
-        .filter(col("n.canonical_id") =!= col("l.canonical_id")).count()
-      if (next ne hopped) hopped.unpersist()
-      labels.unpersist()
-      labels =
-        if ((i + 1) % checkpointEvery == 0) {
-          val cp = next.localCheckpoint(true) // eager: cuts lineage here
-          next.unpersist()
-          cp
-        } else next
+      // LAZY checkpoint, materialized by the round's ONE action (the
+      // convergence count): next round's plan starts from this leaf
+      val cp = next.localCheckpoint(false)
+      val diff = cp.filter(col("canonical_id") =!= col("__old")).count()
+      if (hc ne hopped) hc.unpersist()
+      if (prevCp ne null) releaseCheckpoint(prevCp)
+      prevCp = cp
+      labels = cp.drop("__old")
       changed = diff > 0
       i += 1
     }
-    edges.unpersist()
+    releaseCheckpoint(edges)
     if (changed)
       throw new IllegalStateException(
         s"DedupCluster.canonicalize did not converge in $maxIter rounds — " +

@@ -676,13 +676,16 @@ object AnalyticsOps {
     * cents); purchases with no qualifying touch credit 'direct' in
     * full.
     *
-    * Parity: per-touch credit is EXACT INTEGER floor division in
-    * micro-units (cents·10⁶ div n, 10⁶ div n) — both engines' int64
-    * `div`/`//` agree bit-for-bit and the channel rollup sums exact
-    * ints, so no order-dependent float ever forms; the display
-    * doubles are one division each. (Floor division under-credits a
-    * conversion by < n micro-units — the documented quantization, not
-    * drift.)
+    * Parity: per-touch credit is EXACT INTEGER division in
+    * micro-units (cents·10⁶ div n, 10⁶ div n) and the channel rollup
+    * sums exact ints, so no order-dependent float ever forms; the
+    * display doubles are one division each. (Integer division
+    * under-credits a conversion by < n micro-units — the documented
+    * quantization, not drift.) DuckDB `//` FLOORS while Spark `div`
+    * truncates toward zero — identical only on non-negative
+    * dividends, so purchases are explicitly restricted to value ≥ 0
+    * on BOTH sides: a negative purchase is a refund, not a
+    * conversion, and attribution models credit conversions.
     *
     * Scale shape: the touch×purchase pairing is a user-keyed
     * equi-join with the window predicate inside it — both sides
@@ -700,7 +703,7 @@ object AnalyticsOps {
       |  SELECT event_id AS p_id, user_id,
       |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase' AND value >= 0),
       |pairs AS (
       |  SELECT p.p_id, p.cents, t.channel
       |  FROM p JOIN t ON p.user_id = t.user_id
@@ -727,7 +730,8 @@ object AnalyticsOps {
     val touches = ev.filter(col("event_type").isin("click", "view"))
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
         col("event_type").as("channel"))
-    val purchases = ev.filter(col("event_type") === "purchase")
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("value") >= 0)
       .select(col("event_id").as("p_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))

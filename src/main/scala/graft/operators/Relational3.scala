@@ -530,10 +530,22 @@ object Relational3 {
     * average, p90 is the element at rank ⌈0.9·n⌉ — an actual latency
     * value, no engine-specific quantile interpolation anywhere; the
     * only float is the final (a+b)/2, written identically in both
-    * engines. The per-step rank is one step-keyed exchange over
-    * converted-user rows (step cardinality is small, but n per step
-    * is user-count-sized — the same dependent-selection floor q105
-    * documents). */
+    * engines.
+    *
+    * Scale shape: the latency frame is converted-user-sized, and the
+    * step key has exactly TWO values — a `Window.partitionBy(step)`
+    * rank would sort the whole population through two single tasks
+    * (the textbook skewed-key single-reducer). So the per-step rank
+    * runs the q112/q115 two-phase range-partitioned prefix pattern
+    * WITH step leading the range key: repartitionByRange(step,
+    * lat_us, user_id) keeps each partition inside one step's sorted
+    * run, partition-local row_numbers over (__pid, step) stay
+    * parallel across all partitions, and the global per-step rank is
+    * local rank + a broadcast per-(pid, step) offset from the
+    * metadata-sized count frame (≤ 2·P rows — the only unpartitioned
+    * windows in the plan run there). The stamped frame is cached so
+    * the median pick, p90 pick, and count all read one partition
+    * assignment (q112's AQE re-sampling hazard). */
   val q132FunnelLatency: QueryDef = QueryDef.withOracle(
     """WITH ev AS (
       |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us
@@ -590,22 +602,40 @@ object Relational3 {
         (col("t2") - col("t1")).as("lat_us"))
       .unionByName(p1.select(lit("click_to_purchase").as("step"),
         col("user_id"), (col("t3") - col("t2")).as("lat_us")))
-    val byStep = Window.partitionBy(col("step"))
-    val r = lat
-      .withColumn("rn", row_number().over(
-        byStep.orderBy(col("lat_us"), col("user_id"))))
-      .withColumn("n", count(lit(1)).over(byStep))
-      .cache() // median pick, p90 pick, and the final rollup all read it
+    // two-phase per-step global rank: range partitions ordered by
+    // (step, lat_us, user_id) → partition-local row_number per
+    // (__pid, step) → + broadcast per-(pid, step) prefix offset
+    val parts = lat
+      .repartitionByRange(s.sparkContext.defaultParallelism,
+        col("step"), col("lat_us"), col("user_id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid"), col("step"))
+          .orderBy(col("lat_us"), col("user_id"))))
+      .cache() // pin the partition stamp (q112's AQE re-sampling hazard)
+    // per-(pid, step) counts: ≤ 2·P rows — every window below is
+    // metadata-sized, so plain step-partitioned specs are fine here
+    val cnts = parts.groupBy(col("__pid"), col("step"))
+      .agg(count(lit(1)).as("__pc"))
+    val offs = cnts
+      .withColumn("__off", coalesce(
+        sum(col("__pc")).over(Window.partitionBy(col("step"))
+          .orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("__pc")).over(
+        Window.partitionBy(col("step"))))
+      .select(col("__pid"), col("step"), col("__off"), col("n"))
+    val r = parts.join(broadcast(offs), Seq("__pid", "step"))
+      .withColumn("rn", col("__lrn") + col("__off"))
     val med = r
       .filter(col("rn") === expr("(n + 1) div 2") ||
               col("rn") === expr("(n + 2) div 2"))
       .groupBy(col("step")).agg(avg(col("lat_us")).as("med_us"))
     val p90 = r.filter(col("rn") === expr("(9 * n + 9) div 10"))
       .groupBy(col("step")).agg(min(col("lat_us")).cast("long").as("p90_us"))
-    r.join(med, Seq("step")).join(p90, Seq("step"))
-      .groupBy(col("step"))
-      .agg(max(col("n")).as("n"), max(col("med_us")).as("med_us"),
-        max(col("p90_us")).as("p90_us"))
+    offs.groupBy(col("step")).agg(max(col("n")).as("n"))
+      .join(med, Seq("step")).join(p90, Seq("step"))
+      .select(col("step"), col("n"), col("med_us"), col("p90_us"))
   }
 
   val all: Map[String, QueryDef] = Map(

@@ -516,6 +516,39 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q132: per-step latency ranks run the two-phase range pattern") {
+    val p = plan("q132_funnel_latency")
+    // the converted-user latency frame is data-sized and `step` has
+    // exactly TWO values — the global per-step rank must come from
+    // range partitions on (step, lat_us, …) with partition-local
+    // row_numbers (windowed by __pid) plus a broadcast offset attach,
+    // never a 2-partition Window.partitionBy(step) single-reducer sort
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("InMemoryTableScan"), p) // pinned partition stamp
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // offset/count attach
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q133: semantic clusters are a checkpoint leaf, shared per session") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    // the label-propagation loop checkpoints every round, so the
+    // RESULT plan must be a (projected) LogicalRDD leaf — the O(1)
+    // plan-size design (the cache-based variant grew the logical tree
+    // ~4× per jump round: 6.5 GB of catalyst trees by round 9)
+    def leaves(name: String): Seq[Int] =
+      SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.analyzed.collect {
+          case lr: LogicalRDD => lr.rdd.id
+        }.toSeq
+    val first = leaves("q133_semantic_clusters")
+    assert(first.nonEmpty, "q133 must return a localCheckpoint-backed leaf")
+    // and the memoized canonical frame is SHARED: a second build must
+    // reuse the same checkpointed RDD, not re-run the propagation
+    assert(leaves("q133_semantic_clusters") == first,
+      "canonical frame must be memoized per (session, sfDir)")
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

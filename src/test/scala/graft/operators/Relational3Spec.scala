@@ -73,6 +73,40 @@ class Relational3Spec extends SparkSpec {
     assert(lazyPath.count() == 4)
   }
 
+  test("q132: hand-computed step latencies, rank-based median and p90") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-funlat").toString
+    // u1: signup@10 click@11 purchase@12 (plus a pre-signup click@9
+    //     that the ts>t1 filter must ignore) → s2c 1s, c2p 1s
+    // u2: signup@10 click@14                → s2c 4s
+    // u3: signup@10 purchase@11 click@12    → s2c 2s; the purchase
+    //     PRECEDES the first post-signup click, so no c2p row
+    // u4: click@11 only                     → no signup, excluded
+    // u5: signup@10 click@13 purchase@20    → s2c 3s, c2p 7s
+    val rows = Seq(
+      (1L, 1L, "click", 9L), (2L, 1L, "signup", 10L),
+      (3L, 1L, "click", 11L), (4L, 1L, "purchase", 12L),
+      (5L, 2L, "signup", 10L), (6L, 2L, "click", 14L),
+      (7L, 3L, "signup", 10L), (8L, 3L, "purchase", 11L),
+      (9L, 3L, "click", 12L),
+      (10L, 4L, "click", 11L),
+      (11L, 5L, "signup", 10L), (12L, 5L, "click", 13L),
+      (13L, 5L, "purchase", 20L))
+    rows.toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = SparkEntry.queries("q132_funnel_latency")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.size == 2, out)
+    // s2c lats sorted: [1,2,3,4]s → n=4, med=(2+3)/2 s, p90=rank 4
+    assert(out("signup_to_click") == ((4L, 2500000.0, 4000000L)), out)
+    // c2p lats sorted: [1,7]s → n=2, med=4s, p90=rank ⌈1.8⌉=2 → 7s
+    assert(out("click_to_purchase") == ((2L, 4000000.0, 7000000L)), out)
+  }
+
   test("q74: exact quartiles are ordered and the approx flag holds") {
     q("q74_approx_quantile").collect().foreach { r =>
       val (p25, med, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))

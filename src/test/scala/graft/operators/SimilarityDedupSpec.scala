@@ -290,6 +290,28 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(r.getString(6) == "web") // modal source
   }
 
+  test("q133: semantic clusters on a known embedding-space component set") {
+    import spark.implicits._
+    val ldir = java.nio.file.Files.createTempDirectory("graft-semcl").toString
+    // Identical vectors share every LSH bucket (same signature in all
+    // tables) and score cosine 1.0 ≥ 0.3; orthogonal basis directions
+    // score exactly 0.0 and are filtered regardless of any bucket
+    // collision — so the expected components hold for ANY hyperplane
+    // draw: {1,2,3} (e₀), {10,11} (e₁), {20} singleton.
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) 1f else 0f)
+    Seq(
+      (1L, basis(0), "a"), (2L, basis(0), "a"), (3L, basis(0), "b"),
+      (10L, basis(1), "a"), (11L, basis(1), "b"),
+      (20L, basis(2), "c"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$ldir/embeddings.parquet")
+    val out = DedupOps.q133SemanticClusters.fn(spark, ldir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), out)
+  }
+
   test("query group maps have no name collisions") {
     // Sum the SAME group list SparkEntry merges, so adding a group
     // can never desync this expectation (round-4 regression).
