@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local pre-flight mirror of the driver's DuckDB oracle check.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [resultJsonPath]
+
+With a third argument, also writes a per-query result map (the
+CORRECTNESS_r{N}.json shape) so a full local pass can be committed as
+an auditable artifact.
 
 For each query dumped by graft.Verify, run its oracle SQL in DuckDB over
 the same parquet tables, then compare: column names (sorted), row count,
@@ -40,6 +44,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -48,47 +53,74 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
+    results = {}
+
+    def record(name, ok, msg, spark_rows=None, oracle_rows=None,
+               rows_match=None, schema_match=None, hash_match=None, err=None):
+        print(f"{'pass' if ok else 'FAIL'} {name}: {msg}")
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+        return ok
+
     n_pass = n_fail = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no parquet output")
-            n_fail += 1
+            n_fail += not record(name, False, "no parquet output",
+                                 err="no parquet output")
             continue
         got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
         if name not in oracles:
             ok = len(got) > 0
-            print(f"{'pass' if ok else 'FAIL'} {name}: rows-only ({len(got)} rows)")
+            record(name, ok, f"rows-only ({len(got)} rows)",
+                   spark_rows=len(got), rows_match=ok,
+                   err=None if ok else "empty result")
             n_pass += ok
             n_fail += not ok
             continue
         try:
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
+            n_fail += not record(name, False, f"oracle SQL error: {e}",
+                                 spark_rows=len(got), err=str(e))
             continue
         cg, ce = canon(got), canon(exp)
         if list(cg.columns) != list(ce.columns):
-            print(f"FAIL {name}: columns {list(cg.columns)} vs {list(ce.columns)}")
-            n_fail += 1
+            n_fail += not record(
+                name, False, f"columns {list(cg.columns)} vs {list(ce.columns)}",
+                spark_rows=len(cg), oracle_rows=len(ce), rows_match=None,
+                schema_match=False, err="schema mismatch")
             continue
         if len(cg) != len(ce):
-            print(f"FAIL {name}: rows {len(cg)} vs {len(ce)}")
-            n_fail += 1
+            n_fail += not record(
+                name, False, f"rows {len(cg)} vs {len(ce)}",
+                spark_rows=len(cg), oracle_rows=len(ce), rows_match=False,
+                schema_match=True, err="row count mismatch")
             continue
         neq = (cg.values != ce.values)
         if neq.any():
             i, j = np.argwhere(neq)[0]
-            print(f"FAIL {name}: value mismatch at row {i} col {cg.columns[j]}: "
-                  f"spark={cg.values[i, j]!r} duckdb={ce.values[i, j]!r} "
-                  f"({neq.sum()} cells differ)")
-            n_fail += 1
+            n_fail += not record(
+                name, False,
+                f"value mismatch at row {i} col {cg.columns[j]}: "
+                f"spark={cg.values[i, j]!r} duckdb={ce.values[i, j]!r} "
+                f"({neq.sum()} cells differ)",
+                spark_rows=len(cg), oracle_rows=len(ce), rows_match=True,
+                schema_match=True, hash_match=False, err="value mismatch")
             continue
-        print(f"pass {name}: {len(cg)} rows hash-match")
+        record(name, True, f"{len(cg)} rows hash-match",
+               spark_rows=len(cg), oracle_rows=len(ce), rows_match=True,
+               schema_match=True, hash_match=True)
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": results}, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
