@@ -31,6 +31,7 @@ object SparkEntry {
     operators.AnalyticsOps.all,
     operators.AnalyticsOps2.all,
     operators.AnalyticsOps3.all,
+    operators.AnalyticsOps4.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

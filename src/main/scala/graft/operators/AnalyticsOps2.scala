@@ -237,6 +237,51 @@ object AnalyticsOps2 {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** GROUPED two-phase prefix sum — [[globalRowNumber]]'s per-group
+    * sibling, for the skewed-key case where the group column has few
+    * values (q132's 2-value `step`, q134's 5-value segment): a
+    * `Window.partitionBy(group)` would sort the whole population
+    * through |group| single tasks, so instead the GROUP LEADS THE
+    * RANGE KEY — each range partition holds a contiguous slice of one
+    * group's sorted run, the partition-local running sum stays
+    * parallel across all partitions, and the global prefix is local +
+    * a broadcast per-(pid, group) offset. The only group-partitioned
+    * windows run on the metadata-sized count frame (≤ |groups|·P
+    * rows). Same AQE re-sampling pin as globalRowNumber.
+    *
+    * With `value = lit(1L)` the inclusive prefix is exactly a
+    * per-group row_number. Adds `cumOut` (inclusive prefix of
+    * `value` in `sortCols` order within each group) and `totalOut`
+    * (per-group total). `sortCols` must be a total order within each
+    * group (tiebreak on a unique id) or the prefix is
+    * nondeterministic. */
+  private[operators] def groupedPrefixSum(df: DataFrame, groups: Seq[String],
+      sortCols: Seq[Column], value: Column,
+      cumOut: String, totalOut: String): DataFrame = {
+    val gcols = groups.map(col)
+    val parts = df
+      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+        (gcols ++ sortCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lc", sum(value).over(
+        Window.partitionBy((col("__pid") +: gcols): _*).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .cache() // pin the partition stamp (q112's AQE hazard)
+    val cnts = parts.groupBy((col("__pid") +: gcols): _*)
+      .agg(sum(value).as("__pc"))
+    val offs = cnts
+      .withColumn("__off", coalesce(
+        sum(col("__pc")).over(Window.partitionBy(gcols: _*)
+          .orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalOut, sum(col("__pc")).over(
+        Window.partitionBy(gcols: _*)))
+      .select((col("__pid") +: gcols :+ col("__off") :+ col(totalOut)): _*)
+    parts.join(broadcast(offs), "__pid" +: groups)
+      .withColumn(cumOut, col("__lc") + col("__off"))
+      .drop("__pid", "__lc", "__off")
+  }
+
   /** Benford first-digit audit of order totals: observed first-digit
     * distribution of the cents-exact amounts against the Benford
     * expectation log₁₀(1 + 1/d) — the fraud/data-quality screen that

@@ -448,7 +448,81 @@ object CurationOps {
       .select(col("o_orderkey"), col("weight_cents"))
   }
 
+  /** Quality-filter cascade attrition report — the funnel a curation
+    * run publishes with every corpus release: each document is
+    * attributed to the FIRST filter it fails (min-tokens → max-chars
+    * → uniqueness → stopword-density, the conventional cheap-to-
+    * expensive order), and the report shows per-stage kills plus the
+    * surviving count after each stage.
+    *
+    * Every predicate is INTEGER-exact (ratios as cross-
+    * multiplications: 10·n_uniq ≥ 5·n_tok, 10·n_stop ≤ 2·n_tok), so
+    * no float ever forms — cross-engine parity is arithmetic
+    * identity. Scale shape: one scan with map-side token counting →
+    * one ≤5-row first-fail aggregate; the cumulative survivors
+    * window runs on that metadata-sized frame. */
+  val q139FilterCascade: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT n_chars,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a'))) AS n_stop
+      |  FROM documents),
+      |f AS (
+      |  SELECT CASE
+      |    WHEN n_tok < 30 THEN 1
+      |    WHEN n_chars > 400 THEN 2
+      |    WHEN 10 * n_uniq < 5 * n_tok THEN 3
+      |    WHEN 10 * n_stop > 2 * n_tok THEN 4
+      |    ELSE 5 END AS stage_idx
+      |  FROM t),
+      |c AS (
+      |  SELECT s.stage_idx, s.stage,
+      |    CAST(coalesce(k.n, 0) AS BIGINT) AS n_failed_here
+      |  FROM (VALUES (1, 'min_tokens'), (2, 'max_chars'),
+      |    (3, 'uniqueness'), (4, 'stopword_density')) AS s(stage_idx, stage)
+      |  LEFT JOIN (SELECT stage_idx, count(*) AS n FROM f GROUP BY 1) k
+      |    ON k.stage_idx = s.stage_idx),
+      |tot AS (SELECT count(*) AS total FROM f)
+      |SELECT stage_idx, stage, n_failed_here,
+      |  CAST(total - sum(n_failed_here) OVER (ORDER BY stage_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_remaining_after
+      |FROM c CROSS JOIN tot""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ", -1)
+    val t = Tables.documents(s, d).select(col("n_chars"),
+      size(toks).as("n_tok"),
+      size(array_distinct(toks)).as("n_uniq"),
+      size(filter(toks, x => x.isin("the", "a"))).as("n_stop"))
+    val f = t.select(
+      when(col("n_tok") < 30, 1)
+        .when(col("n_chars") > 400, 2)
+        .when(lit(10) * col("n_uniq") < lit(5) * col("n_tok"), 3)
+        .when(lit(10) * col("n_stop") > lit(2) * col("n_tok"), 4)
+        .otherwise(5).as("stage_idx"))
+    val k = f.groupBy(col("stage_idx")).agg(count(lit(1)).as("n"))
+    val stages = s.createDataFrame(Seq(
+      (1, "min_tokens"), (2, "max_chars"),
+      (3, "uniqueness"), (4, "stopword_density")))
+      .toDF("stage_idx", "stage")
+    val tot = f.agg(count(lit(1)).as("total"))
+    // the cascade frame is 4 rows — the unpartitioned window is
+    // metadata-sized by construction
+    stages.join(k, Seq("stage_idx"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("stage_idx"), col("stage"),
+        col("n").cast("long").as("n_failed_here"),
+        (col("total") - sum(col("n")).over(Window.orderBy(col("stage_idx"))
+          .rowsBetween(Window.unboundedPreceding, 0))).cast("long")
+          .as("n_remaining_after"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q139_filter_cascade" -> q139FilterCascade,
     "q57_winnow" -> q57Winnow,
     "q58_bloom_decontam" -> q58BloomDecontam,
     "q59_mixing_weights" -> q59MixingWeights,

@@ -824,7 +824,208 @@ object DedupOps {
     }.select(col("doc_id").as("vec_id"), col("canonical_id"))
   }
 
+  /** Cluster-size histogram over the q49 MinHash components — the
+    * dedup REPORT a curation run actually reads (how much of the
+    * corpus is duplicated, and in what clump sizes) before choosing a
+    * drop policy. Singletons included (size 1 = unique share).
+    *
+    * Scale shape: reads the memoized canonical frame (built once per
+    * session, shared with q49/q130), then two tiny aggregates — the
+    * size rollup is canonical-keyed (cluster-count-sized) and the
+    * histogram is ≤ max-cluster-size rows. Oracle: q49's recursive
+    * transitive-closure CTE plus the same two rollups. */
+  val q138ClusterSizes: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE sg AS (
+      |  SELECT doc_id, sig FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/minhash_sigs.parquet/*.parquet')),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band, sig[b*4+1:b*4+4] AS band_sig
+      |  FROM sg, LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |    >= 0.25),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r AS r
+      |  FROM edges e JOIN reach ON reach.doc_id = e.b),
+      |canon AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY 1),
+      |sz AS (SELECT canonical_id, count(*) AS cluster_size
+      |  FROM canon GROUP BY 1)
+      |SELECT cluster_size, count(*) AS n_clusters,
+      |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+      |FROM sz GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    q49DedupClusters.fn(s, d)
+      .groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  }
+
+  /** MinHash estimator calibration — est vs TRUE Jaccard on the q42
+    * candidate pairs, binned by absolute error: the sketch-accuracy
+    * eval a pipeline runs before trusting a 16-hash signature to
+    * gate dedup decisions (the k=16 standard error is ~1/√16 ≈ 0.25;
+    * this measures it on the actual corpus).
+    *
+    * True Jaccard uses the FULL distinct shingle sets (no df cap —
+    * unlike q41's candidate path, truth must not be approximated);
+    * shingles shared by a pair have df ≥ 2 by construction, so the
+    * only divergence from q41's intersection is the cap itself.
+    * est = k/16 is exactly representable; truth is one division of
+    * exact ints; |est−truth| quantizes to int micro-units before any
+    * aggregation (the q126 convention), so sums stay exact.
+    *
+    * Scale shape: the pair frame is LSH-bounded (q42); the
+    * intersection attach is two shingle-keyed equi-joins of that
+    * small frame against the corpus shingle table; set sizes attach
+    * by doc key; the histogram is a ≤21-row rollup. */
+  val q140SketchCalibration: QueryDef = QueryDef.withOracle(
+    s"""WITH sg AS (
+      |  SELECT doc_id, sig FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/minhash_sigs.parquet/*.parquet')),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band, sig[b*4+1:b*4+4] AS band_sig
+      |  FROM sg, LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(list_sum(list_transform(range(1, 17),
+      |      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+      |      AS DOUBLE) / 16 AS est_jaccard
+      |  FROM cand
+      |  WHERE CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |    >= 0.25),
+      |toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT e.doc_a, e.doc_b, count(*) AS i
+      |  FROM est e
+      |  JOIN sh a ON a.doc_id = e.doc_a
+      |  JOIN sh b ON b.doc_id = e.doc_b AND b.s = a.s
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT CAST(floor(abs(e.est_jaccard
+      |      - CAST(coalesce(i.i, 0) AS DOUBLE)
+      |        / (ca.n + cb.n - coalesce(i.i, 0))) * 1000000 + 0.5)
+      |    AS BIGINT) AS err_fp
+      |  FROM est e
+      |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      |  JOIN cnt ca ON ca.doc_id = e.doc_a
+      |  JOIN cnt cb ON cb.doc_id = e.doc_b)
+      |SELECT err_fp // 50000 AS err_bin, count(*) AS n_pairs,
+      |  CAST(sum(err_fp) AS BIGINT) AS sum_err_fp
+      |FROM scored GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val pairs = minhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val sh = shingles(Tables.documents(s, d))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")),
+        Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val scored = pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("i"))
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(floor(abs(col("est_jaccard") -
+        col("i").cast("double") / (col("na") + col("nb") - col("i"))) *
+        1000000 + 0.5).cast("long").as("err_fp"))
+    scored.groupBy(expr("err_fp div 50000").as("err_bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err_fp")).as("sum_err_fp"))
+  }
+
+  /** Cross-source near-duplicate matrix — for every unordered source
+    * pair, how many q49 clusters contain documents from BOTH: the
+    * inter-source contamination screen (a training mix that keeps the
+    * same page from two crawls double-weights it; this attributes the
+    * overlap to source pairs so mixing weights can be corrected).
+    * Near-dup clusters, not exact hashes: crawls rarely ship
+    * byte-identical copies (this corpus has zero), they ship
+    * near-copies — exactly what the MinHash components capture.
+    *
+    * Scale shape: reads the memoized canonical frame; dedups to
+    * distinct (cluster, source) map-side + one exchange; the matrix
+    * join is cluster-keyed (groups are per-cluster source counts,
+    * ≤ |sources|); the rollup domain is |sources|². */
+  val q141CrossSourceDups: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE sg AS (
+      |  SELECT doc_id, sig FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/minhash_sigs.parquet/*.parquet')),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band, sig[b*4+1:b*4+4] AS band_sig
+      |  FROM sg, LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+      |    >= 0.25),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r AS r
+      |  FROM edges e JOIN reach ON reach.doc_id = e.b),
+      |canon AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY 1),
+      |m AS (
+      |  SELECT DISTINCT canon.canonical_id, d.source
+      |  FROM canon JOIN documents d USING (doc_id))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  count(*) AS n_shared_clusters
+      |FROM m a JOIN m b
+      |  ON a.canonical_id = b.canonical_id AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val m = q49DedupClusters.fn(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("canonical_id"), col("source"))
+      .distinct()
+    m.select(col("canonical_id"), col("source").as("source_a"))
+      .join(m.select(col("canonical_id"), col("source").as("source_b")),
+        Seq("canonical_id"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_clusters"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q138_cluster_sizes" -> q138ClusterSizes,
+    "q140_sketch_calibration" -> q140SketchCalibration,
+    "q141_cross_source_dups" -> q141CrossSourceDups,
     "q90_passage_overlap" -> q90PassageOverlap,
     "q124_containment" -> q124Containment,
     "q130_survivorship" -> q130Survivorship,

@@ -549,6 +549,44 @@ class PlanSpec extends SparkSpec {
       "canonical frame must be memoized per (session, sfDir)")
   }
 
+  test("q134/q135: grouped prefix runs range-partitioned, never per-group windows") {
+    // both use AnalyticsOps2.groupedPrefixSum: segment/flag has ≤5
+    // values, so the rank/cumsum must come from range partitions with
+    // the group LEADING the range key — partition-local windows over
+    // (__pid, group), broadcast offset attach, no single-reducer sort
+    for (q <- Seq("q134_gini", "q135_weighted_median")) {
+      val p = plan(q)
+      assert(p.contains("rangepartitioning"), s"$q\n$p")
+      assert(p.contains("windowspecdefinition(__pid"), s"$q\n$p")
+      assert(p.contains("InMemoryTableScan"), s"$q\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
+  test("q138/q141: both dedup reports read the SAME memoized canonical leaf") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    def leaves(name: String): Set[Int] =
+      SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.analyzed.collect {
+          case lr: LogicalRDD => lr.rdd.id
+        }.toSet
+    val a = leaves("q138_cluster_sizes")
+    val b = leaves("q141_cross_source_dups")
+    assert(a.nonEmpty, "q138 must read the checkpoint-backed canonical frame")
+    assert((a & b).nonEmpty,
+      "q138 and q141 must share one canonical materialization per session")
+  }
+
+  test("q140: calibration attaches truth by shingle equi-joins, no cartesian") {
+    val p = plan("q140_sketch_calibration")
+    // the candidate pairs are LSH-bounded (q42); the exact-Jaccard
+    // attach must be shingle/doc-keyed equi-joins over the pair frame
+    assert(nodes(p, "Generate") >= 1, p) // map-side shingle explode
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -233,4 +233,30 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == ref)
   }
+
+  test("q139: each cascade stage kills exactly its designed victim, in order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cascade").toString
+    def doc(toks: Seq[String]): String = toks.mkString(" ")
+    val tooShort = doc((1 to 5).map(i => s"w$i"))              // stage 1
+    val tooLong = doc((1 to 40).map(i => f"longword$i%04d"))   // ≥30 toks, >400 chars → stage 2
+    val repeaty = doc(Seq.fill(40)("x"))                       // uniq 1/40 < 50% → stage 3
+    val stoppy = doc(Seq.fill(10)("the") ++                    // 25% stop, uniq 31/40 → stage 4
+      (1 to 30).map(i => s"v$i"))
+    val clean = doc((1 to 40).map(i => s"c$i"))                // passes all
+    Seq((1L, tooShort), (2L, tooLong), (3L, repeaty), (4L, stoppy),
+      (5L, clean))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("web"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q139FilterCascade.fn(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1 -> (("min_tokens", 1L, 4L)),
+      2 -> (("max_chars", 1L, 3L)),
+      3 -> (("uniqueness", 1L, 2L)),
+      4 -> (("stopword_density", 1L, 1L))), out)
+  }
 }

@@ -312,6 +312,40 @@ class SimilarityDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L), out)
   }
 
+  test("q138/q141: cluster-size histogram and source matrix on a known cluster") {
+    import spark.implicits._
+    val cdir = java.nio.file.Files.createTempDirectory("graft-csz").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, base, "web", 10L),           // {1,2,3} one near-dup cluster
+      (2L, base, "web", 20L),
+      (3L, base + " extra", "pdf", 30L),
+      (4L, (1 to 30).map(i => s"zz$i").mkString(" "), "web", 40L)) // singleton
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    val hist = DedupOps.q138ClusterSizes.fn(spark, cdir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist == Map(3L -> ((1L, 3L)), 1L -> ((1L, 1L))), hist)
+    val mat = DedupOps.q141CrossSourceDups.fn(spark, cdir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mat == Map(("pdf", "web") -> 1L), mat)
+  }
+
+  test("q140: an exact clone pair calibrates to zero error in bin 0") {
+    import spark.implicits._
+    val kdir = java.nio.file.Files.createTempDirectory("graft-cal").toString
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, base, "web", 10L), (2L, base, "web", 20L), // identical → est 1.0, true 1.0
+      (3L, (1 to 30).map(i => s"zz$i").mkString(" "), "web", 30L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$kdir/documents.parquet")
+    val rows = DedupOps.q140SketchCalibration.fn(spark, kdir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // one candidate pair (the clones), |est − true| = |1 − 1| = 0
+    assert(rows == Map(0L -> ((1L, 0L))), rows)
+  }
+
   test("query group maps have no name collisions") {
     // Sum the SAME group list SparkEntry merges, so adding a group
     // can never desync this expectation (round-4 regression).
