@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Relational.all,
     operators.Relational2.all,
     operators.Relational3.all,
+    operators.Relational4.all,
     operators.TextOps.all,
     operators.DedupOps.all,
     operators.SimilarityOps.all,

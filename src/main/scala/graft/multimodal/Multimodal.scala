@@ -227,16 +227,122 @@ object Multimodal {
     }
   }
 
-  /** Real video decode for MJPEG-in-AVI — AVI is a RIFF container
-    * (the same public chunk grammar as WAV, walked the same way) and
-    * Motion-JPEG stores every frame as a standalone JPEG the JDK's
-    * imageio can decode, so this needs no external codec either.
-    * Frame count from the `##dc`/`##db` movi chunks (ground truth —
-    * the avih header's dwTotalFrames is advisory and often wrong in
-    * the wild), per-frame interval from avih's dwMicroSecPerFrame,
-    * dims + the 8-bin luminance histogram from the FIRST frame's JPEG
-    * via the shared decodeImage. LIST chunks (`hdrl`, `movi`, `rec `)
-    * recurse; anything malformed returns None → deterministic fake
+  /** Decode one uncompressed-DIB (BI_RGB) or RLE8 (BI_RLE8) AVI video
+    * frame given the stream's BITMAPINFOHEADER (strf chunk bytes).
+    * Both codecs are public bitmap formats a pure header+pixel parse
+    * handles — no external codec. Returns the decodeImage-shaped
+    * (w, h, fmt, 8-bin luminance histogram).
+    *
+    * Layout facts used: rows are BOTTOM-UP when biHeight > 0 and
+    * 4-byte aligned; 24/32-bit pixels are BGR(X); 8-bit pixels index
+    * the RGBQUAD palette that follows the 40-byte header inside strf
+    * (biClrUsed entries, 256 when 0); RLE8 encodes (count, index)
+    * runs with escapes 0=EOL, 1=end, 2=delta, n≥3=literal (word-
+    * aligned) — pixels a sparse RLE stream never paints default to
+    * palette index 0, the conventional reading of the format's
+    * "undefined" cells. Row order doesn't matter for the histogram,
+    * but the row STRIDE does (padding bytes must not be read as
+    * pixels). */
+  private def decodeDibFrame(frame: Array[Byte], strf: Array[Byte])
+      : Option[(Int, Int, String, Array[Float])] = {
+    def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    try {
+      if (strf.length < 40) return None
+      val w = le32(strf, 4)
+      val h = math.abs(le32(strf, 8)) // negative = top-down; |h| rows either way
+      val bits = le16(strf, 14)
+      val comp = le32(strf, 16)
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      val bins = new Array[Float](8)
+      def addLum(r: Int, g: Int, b: Int): Unit = {
+        val lum = 0.299 * r + 0.587 * g + 0.114 * b
+        bins(math.min(7, (lum / 32).toInt)) += 1f
+      }
+      if (comp == 0 && (bits == 24 || bits == 32)) { // BI_RGB truecolor
+        val bpp = bits / 8
+        val stride = (w * bpp + 3) & ~3
+        if (frame.length < stride.toLong * h) return None
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = y * stride + x * bpp // B, G, R[, X]
+            addLum(frame(o + 2) & 0xff, frame(o + 1) & 0xff, frame(o) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+      } else if (bits == 8 && (comp == 0 || comp == 1)) { // paletted
+        val nColors = { val c = le32(strf, 32); if (c == 0) 256 else c }
+        if (strf.length < 40 + 4 * nColors) return None
+        val idx = new Array[Byte](w * h) // defaults to palette index 0
+        if (comp == 0) { // uncompressed 8-bit, bottom-up, 4-aligned rows
+          val stride = (w + 3) & ~3
+          if (frame.length < stride.toLong * h) return None
+          var y = 0
+          while (y < h) {
+            System.arraycopy(frame, y * stride, idx, y * w, w)
+            y += 1
+          }
+        } else { // BI_RLE8
+          var i = 0; var x = 0; var y = 0; var done = false
+          while (!done && i + 1 < frame.length && y < h) {
+            val count = frame(i) & 0xff
+            val value = frame(i + 1) & 0xff
+            i += 2
+            if (count > 0) { // encoded run
+              var k = 0
+              while (k < count && x < w) { idx(y * w + x) = value.toByte
+                x += 1; k += 1 }
+            } else value match { // escape
+              case 0 => x = 0; y += 1 // end of line
+              case 1 => done = true // end of bitmap
+              case 2 => // delta (skipped cells stay index 0)
+                if (i + 1 < frame.length) { x += frame(i) & 0xff
+                  y += frame(i + 1) & 0xff; i += 2 }
+                else done = true
+              case n => // literal run, word-aligned
+                var k = 0
+                while (k < n && i < frame.length) {
+                  if (x < w && y < h) { idx(y * w + x) = frame(i); x += 1 }
+                  i += 1; k += 1
+                }
+                i += (n & 1)
+            }
+          }
+        }
+        var p = 0
+        while (p < w * h) {
+          val o = 40 + 4 * (idx(p) & 0xff) // RGBQUAD: B, G, R, reserved
+          if (o + 2 < strf.length)
+            addLum(strf(o + 2) & 0xff, strf(o + 1) & 0xff, strf(o) & 0xff)
+          p += 1
+        }
+      } else return None
+      val n = (w.toLong * h).toFloat
+      Some((w, h, if (comp == 1) "rle8" else "dib", bins.map(_ / n)))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Real video decode for AVI — AVI is a RIFF container (the same
+    * public chunk grammar as WAV, walked the same way). Three codec
+    * families decode for real, all pure-JVM: Motion-JPEG (every frame
+    * a standalone JPEG the JDK's imageio reads), uncompressed DIB
+    * (BI_RGB 8/24/32-bit), and RLE8 (BI_RLE8) — the latter two via
+    * [[decodeDibFrame]] using the video stream's strf header. Only
+    * inter-frame-coded containers (mp4/webm) remain outside pure-JVM
+    * reach. Frame count from the `##dc`/`##db` movi chunks (ground
+    * truth — the avih header's dwTotalFrames is advisory and often
+    * wrong in the wild), per-frame interval from avih's
+    * dwMicroSecPerFrame, dims + the 8-bin luminance histogram from
+    * the FIRST frame. LIST chunks (`hdrl`, `movi`, `rec `) recurse;
+    * anything malformed returns None → deterministic fake
     * (decodeImage's never-kill-the-task contract). */
   private def decodeAviMjpeg(content: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
     // Long offsets end-to-end, as in decodeWav: a declared chunk size
@@ -253,6 +359,8 @@ object Multimodal {
         var usPerFrame = 0L
         var nFrames = 0
         var first: Option[(Int, Int, String, Array[Float])] = None
+        var lastStrhVids = false // the strf that follows belongs to 'vids'
+        var vidStrf: Option[Array[Byte]] = None
         // iterative walk with an explicit range stack (decodeWav's
         // loop pattern): a crafted chain of nested LIST headers must
         // exhaust the input, not the JVM stack — StackOverflowError
@@ -272,12 +380,24 @@ object Multimodal {
               descend = true
             } else if (id == "avih" && size >= 4)
               usPerFrame = le32(body) // dwMicroSecPerFrame
-            else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
+            else if (id == "strh" && size >= 4 && body + 4 <= content.length)
+              lastStrhVids = tag(body) == "vids"
+            else if (id == "strf" && lastStrhVids && size >= 40 &&
+                body + size <= content.length) {
+              vidStrf = Some(java.util.Arrays.copyOfRange(
+                content, body.toInt, (body + size).toInt))
+              lastStrhVids = false
+            } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
                 (id.endsWith("dc") || id.endsWith("db"))) {
               nFrames += 1
-              if (first.isEmpty && size > 0 && body + size <= content.length)
-                first = decodeImage(java.util.Arrays.copyOfRange(
-                  content, body.toInt, (body + size).toInt))
+              if (first.isEmpty && size > 0 && body + size <= content.length) {
+                val frame = java.util.Arrays.copyOfRange(
+                  content, body.toInt, (body + size).toInt)
+                // self-contained JPEG (MJPG) first; else a raw
+                // DIB/RLE8 frame interpreted through the stream header
+                first = decodeImage(frame)
+                  .orElse(vidStrf.flatMap(decodeDibFrame(frame, _)))
+              }
             }
             off = body + size + (size & 1) // chunks are word-aligned
           }
@@ -430,18 +550,95 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic uncompressed-DIB (BI_RGB 24-bit) or RLE8 AVI
+    * sample clip — half-black / half-white cards like the MJPEG one,
+    * but with EXACT pixels (no JPEG ringing), so the decoded
+    * histogram is precisely [0.5, 0, 0, 0, 0, 0, 0, 0.5]. The RLE8
+    * variant encodes each row as two runs + EOL with a final
+    * end-of-bitmap escape, over a 2-entry palette. */
+  def syntheticAviDib(rle8: Boolean = false, nFrames: Int = 2,
+      w: Int = 4, h: Int = 2, usPerFrame: Int = 100000): Array[Byte] = {
+    val frames: Seq[Array[Byte]] =
+      if (!rle8) {
+        val stride = (w * 3 + 3) & ~3
+        (0 until nFrames).map { _ =>
+          val b = new Array[Byte](stride * h)
+          for (y <- 0 until h; x <- 0 until w) {
+            val v: Byte = if (x < w / 2) 0 else 0xff.toByte
+            val o = y * stride + x * 3
+            b(o) = v; b(o + 1) = v; b(o + 2) = v // B, G, R
+          }
+          b
+        }
+      } else (0 until nFrames).map { _ =>
+        val bos = new java.io.ByteArrayOutputStream()
+        for (_ <- 0 until h) {
+          bos.write(w / 2); bos.write(0) // encoded run: black
+          bos.write(w - w / 2); bos.write(1) // encoded run: white
+          bos.write(0); bos.write(0) // escape: end of line
+        }
+        bos.write(0); bos.write(1) // escape: end of bitmap
+        bos.toByteArray
+      }
+    val bits = if (rle8) 8 else 24
+    val comp = if (rle8) 1 else 0
+    val nPal = if (rle8) 2 else 0
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def even(n: Int): Int = n + (n & 1)
+    val strfBody = 40 + 4 * nPal
+    val strlSize = 4 + (8 + 56) + (8 + strfBody)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + frames.map(f => 8 + even(f.length)).sum
+    fourcc("RIFF"); le32(4 + (8 + hdrlSize) + (8 + moviSize)); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(usPerFrame); le32(0); le32(0); le32(0)
+    le32(nFrames); le32(0); le32(1); le32(0)
+    le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(strlSize); fourcc("strl")
+    fourcc("strh"); le32(56)
+    fourcc("vids"); fourcc(if (rle8) "RLE8" else "DIB "); le32(0)
+    le16(0); le16(0); le32(0)
+    le32(1); le32(1000000 / usPerFrame)
+    le32(0); le32(nFrames); le32(0); le32(10000); le32(0)
+    le16(0); le16(0); le16(w); le16(h)
+    fourcc("strf"); le32(strfBody)
+    le32(40); le32(w); le32(h); le16(1); le16(bits) // BITMAPINFOHEADER
+    le32(comp); le32(0); le32(0); le32(0); le32(nPal); le32(0)
+    if (rle8) { // RGBQUAD palette: 0 = black, 1 = white
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(255); out.write(255); out.write(255); out.write(0)
+    }
+    fourcc("LIST"); le32(moviSize); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); le32(f.length); out.write(f, 0, f.length)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
   /** Deterministic media fixture derived from the documents table:
     * text bytes as payload, kind cycling image/audio/video — plus one
-    * REAL MJPEG-in-AVI clip (media_id −1, below the doc_id range) so
-    * the q66 pipeline exercises the real video decoder end-to-end,
+    * REAL clip per JVM-decodable video codec (media_ids −1 MJPEG,
+    * −2 uncompressed DIB, −3 RLE8 — all below the doc_id range) so
+    * the q66 pipeline exercises every real video decoder end-to-end,
     * not just the fake seam. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val avi = syntheticAviMjpeg()
-    val aviRow = spark.range(1).select(
-      lit(-1L).as("media_id"), lit("video").as("kind"),
-      lit(avi).as("content"),
-      struct(lit("synthetic_avi").as("source"),
-        lit(avi.length.toLong).as("n_bytes")).as("meta"))
+    val clips = Seq(
+      -1L -> syntheticAviMjpeg(),
+      -2L -> syntheticAviDib(rle8 = false),
+      -3L -> syntheticAviDib(rle8 = true))
+    val aviRow = clips.map { case (id, avi) =>
+      spark.range(1).select(
+        lit(id).as("media_id"), lit("video").as("kind"),
+        lit(avi).as("content"),
+        struct(lit("synthetic_avi").as("source"),
+          lit(avi.length.toLong).as("n_bytes")).as("meta"))
+    }.reduce(_ unionByName _)
     documents.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Fourth relational tranche (SURVEY §2.11): the remaining reshaping /
+  * sequence surface a standalone engine owes — UNPIVOT (melt),
+  * gaps-and-islands streaks, and a one-pass gram (second-moment)
+  * matrix over the embedding table.
+  *
+  * Same float-parity conventions as the rest of the repo: exact int64
+  * fixed-point sums, at most one final IEEE expression written
+  * identically in both engines, and deterministic tiebreaks on id
+  * columns everywhere an order matters.
+  */
+object Relational4 {
+
+  /** UNPIVOT / melt — wide measure columns to (measure, value) rows,
+    * the reshaping step every metrics store needs before a generic
+    * per-measure rollup. Spark's `stack` is a codegen'd Generate (no
+    * shuffle to reshape — the melt happens map-side inside the scan
+    * stage); the rollup is then one ordinary partial+final aggregate
+    * on (flag, measure). The oracle spells the same melt as UNION ALL
+    * (engine-agnostic UNPIVOT). Values quantize to int cents/basis
+    * points BEFORE melting, so the per-measure sums stay exact. */
+  val q142Unpivot: QueryDef = QueryDef.withOracle(
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_fp,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_fp,
+      |    CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_fp,
+      |    CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_fp
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT flag, 'quantity' AS measure, qty_fp AS value_fp FROM b
+      |  UNION ALL SELECT flag, 'price', price_fp FROM b
+      |  UNION ALL SELECT flag, 'discount', disc_fp FROM b
+      |  UNION ALL SELECT flag, 'tax', tax_fp FROM b)
+      |SELECT flag, measure, count(*) AS n,
+      |  CAST(sum(value_fp) AS BIGINT) AS total_fp,
+      |  CAST(min(value_fp) AS BIGINT) AS min_fp,
+      |  CAST(max(value_fp) AS BIGINT) AS max_fp
+      |FROM m GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_fp"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_fp"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long").as("disc_fp"),
+        floor(col("l_tax") * 10000 + 0.5).cast("long").as("tax_fp"))
+      .select(col("flag"), expr(
+        "stack(4, 'quantity', qty_fp, 'price', price_fp, " +
+          "'discount', disc_fp, 'tax', tax_fp) AS (measure, value_fp)"))
+      .groupBy(col("flag"), col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("value_fp")).as("total_fp"),
+        min(col("value_fp")).as("min_fp"), max(col("value_fp")).as("max_fp"))
+  }
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands sequence op (and the engagement metric next to
+    * q136's stickiness). Island id = epoch_day − per-user row_number
+    * over distinct active days: consecutive days share the id, a gap
+    * starts a new one. Top-20 by (streak desc, user, start) keeps the
+    * output bounded and fully deterministic.
+    *
+    * Scale shape: the (user, day) dedup is one partial+final
+    * aggregate; the row_number window keys on user_id —
+    * user-cardinality parallelism, no skew (per-user days are
+    * calendar-bounded); the island rollup rides the same user-keyed
+    * exchange; top-20 is TakeOrderedAndProject, never a global sort. */
+  val q143Streaks: QueryDef = QueryDef.withOracle(
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM du),
+      |st AS (
+      |  SELECT user_id, count(*) AS streak,
+      |    CAST(min(day) AS BIGINT) AS start_day
+      |  FROM isl GROUP BY user_id, island),
+      |best AS (
+      |  SELECT user_id, streak, start_day,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY streak DESC, start_day) AS rn
+      |  FROM st)
+      |SELECT user_id, streak AS best_streak, start_day
+      |FROM best WHERE rn = 1
+      |ORDER BY best_streak DESC, user_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val isl = du.withColumn("island", col("day") - row_number().over(
+      Window.partitionBy(col("user_id")).orderBy(col("day"))))
+    val st = isl.groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak"), min(col("day")).as("start_day"))
+    st.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("streak").desc, col("start_day"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("streak").as("best_streak"),
+        col("start_day"))
+      .orderBy(col("best_streak").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** One-pass gram (uncentered second-moment) matrix of the embedding
+    * table — the Σ xᵢxⱼ statistic PCA/whitening starts from, computed
+    * the way a 100 TB pass must: each row emits its d(d+1)/2 upper-
+    * triangle products map-side (a codegen'd nested-sequence
+    * transform + explode), and the (i, j)-keyed aggregate pre-combines
+    * per partition, so the exchange carries ≤ 2080·P rows no matter
+    * how many vectors flow through. n·d² work is the statistic's own
+    * floor; the SHUFFLE is what the design keeps constant.
+    *
+    * Parity: element products quantize to 1e-9 fixed point BEFORE
+    * summing (float32 → float64 widening is exact in both engines, the
+    * product is one IEEE multiply of identical doubles, the quantized
+    * summand is int64 — bound: |x|≤1-ish ⇒ |fp|≤10⁹, safe through
+    * ~10⁹ rows; beyond, shrink the quantum — the q2o convention);
+    * `gram` is one final IEEE division. */
+  val q144GramMatrix: QueryDef = QueryDef.withOracle(
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |p AS (
+      |  SELECT i.i AS i, j.j AS j,
+      |    CAST(floor(emb[i.i + 1] * emb[j.j + 1] * 1000000000 + 0.5)
+      |      AS BIGINT) AS fp
+      |  FROM c,
+      |    LATERAL (SELECT unnest(range(0, len(emb))) AS i) i,
+      |    LATERAL (SELECT unnest(range(0, len(emb))) AS j) j
+      |  WHERE j.j >= i.i)
+      |SELECT i, j, count(*) AS n,
+      |  CAST(sum(fp) AS BIGINT) AS gram_fp,
+      |  CAST(sum(fp) AS DOUBLE) / count(*) / 1000000000 AS gram
+      |FROM p GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x)")
+        .as("emb"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(emb) - 1), i ->
+          |  transform(sequence(i, size(emb) - 1), j ->
+          |    struct(i AS i, j AS j,
+          |      CAST(floor(emb[i] * emb[j] * 1000000000D + 0.5D) AS BIGINT)
+          |        AS fp))))""".stripMargin)).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.fp").as("fp"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("fp")).as("gram_fp"))
+      .select(col("i"), col("j"), col("n"), col("gram_fp"),
+        (col("gram_fp").cast("double") / col("n") / 1000000000L).as("gram"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q142_unpivot" -> q142Unpivot,
+    "q143_streaks" -> q143Streaks,
+    "q144_gram_matrix" -> q144GramMatrix
+  )
+}

@@ -587,6 +587,31 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q142: the melt is a map-side Generate feeding one partial+final agg") {
+    val p = plan("q142_unpivot")
+    assert(nodes(p, "Generate") >= 1, p) // stack(), inside the scan stage
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("Join"), p) // reshaping must not plan a join
+  }
+
+  test("q143: per-user best pick pushes WindowGroupLimit; top-20 is TakeOrdered") {
+    val p = plan("q143_streaks")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q144: gram matrix shuffles ONE pre-combined (i,j) aggregate") {
+    val p = plan("q144_gram_matrix")
+    // the d(d+1)/2 products explode map-side and MUST pre-combine
+    // before the exchange — the shuffle carries ≤2080·P rows however
+    // many vectors flow through
+    assert(nodes(p, "Generate") >= 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -183,6 +183,34 @@ class MultimodalSpec extends SparkSpec {
     assert(clip.getString(4) == "avi" && clip.getInt(5) == 600)
   }
 
+  test("uncompressed-DIB and RLE8 AVI decode to EXACT dims and histogram") {
+    import spark.implicits._
+    val dib = Multimodal.syntheticAviDib(rle8 = false, nFrames = 2,
+      w = 4, h = 2, usPerFrame = 100000)
+    val rle = Multimodal.syntheticAviDib(rle8 = true, nFrames = 2,
+      w = 4, h = 2, usPerFrame = 100000)
+    val media = Seq((1L, "video", dib), (2L, "video", rle))
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.decode(media).orderBy("media_id").collect()
+    for (r <- rows) {
+      assert(r.getInt(2) == 4 && r.getInt(3) == 2, r)
+      assert(r.getString(4) == "avi", r)
+      assert(r.getInt(5) == 200, "2 movi frames × 100 ms from avih")
+      // no JPEG ringing: exactly half the pixels in bin 0, half in 7
+      val hist = r.getSeq[Float](6)
+      assert(hist.head == 0.5f && hist.last == 0.5f, hist)
+      assert(hist.slice(1, 7).forall(_ == 0f), hist)
+    }
+    // both codec clips ride the q66 media fixture end-to-end
+    val fx = Multimodal.mediaFromDocuments(spark,
+      Tables.documents(spark, sf("sf0.001")))
+    val decoded = Multimodal.decode(
+      fx.filter(col("media_id").isin(-2L, -3L))).collect()
+    assert(decoded.length == 2 &&
+      decoded.forall(r => r.getString(4) == "avi" && r.getInt(5) == 200),
+      decoded.mkString(";"))
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)
