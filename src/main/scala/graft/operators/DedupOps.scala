@@ -1022,7 +1022,136 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_clusters"))
   }
 
+  /** Label purity of the q133 semantic clusters — the clustering-eval
+    * metric that closes the embedding-dedup loop: if near-dup
+    * components mix labels, the similarity threshold (or the
+    * embedding space) is wrong. Per multi-member cluster: size,
+    * majority label (ties break to the lexicographically smallest —
+    * deterministic), and purity = majority count / size (ONE IEEE
+    * division of exact counts).
+    *
+    * Scale shape: reads the memoized semantic canonical leaf; the
+    * label attach is a vec-keyed equi-join; per-(cluster, label)
+    * counts and the majority pick (WindowGroupLimit rank-1) ride one
+    * cluster-keyed exchange. */
+  val q146ClusterPurity: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE b AS (
+      |  SELECT * FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/lsh_buckets.parquet/*.parquet')),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      |  FROM b a JOIN b b2
+      |    ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+      |pairs AS (
+      |  SELECT vec_a, vec_b FROM cand
+      |  JOIN c ca ON ca.vec_id = vec_a
+      |  JOIN c cb ON cb.vec_id = vec_b
+      |  WHERE round(list_cosine_similarity(ca.emb, cb.emb), 6) >= 0.3),
+      |edges AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM pairs
+      |  UNION SELECT vec_b AS a, vec_a AS b FROM pairs),
+      |reach AS (
+      |  SELECT vec_id, vec_id AS r FROM embeddings
+      |  UNION
+      |  SELECT e.a AS vec_id, reach.r AS r
+      |  FROM edges e JOIN reach ON reach.vec_id = e.b),
+      |canon AS (SELECT vec_id, min(r) AS canonical_id FROM reach GROUP BY 1),
+      |m AS (
+      |  SELECT canon.canonical_id, em.label
+      |  FROM canon JOIN embeddings em USING (vec_id)),
+      |lc AS (
+      |  SELECT canonical_id, label, count(*) AS n
+      |  FROM m GROUP BY 1, 2),
+      |sz AS (
+      |  SELECT canonical_id, CAST(sum(n) AS BIGINT) AS n_members
+      |  FROM lc GROUP BY 1),
+      |top AS (
+      |  SELECT canonical_id, label AS top_label, n AS top_n
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY canonical_id
+      |          ORDER BY n DESC, label) AS rn FROM lc)
+      |  WHERE rn = 1)
+      |SELECT sz.canonical_id, n_members, top_label,
+      |  CAST(top_n AS BIGINT) AS top_n,
+      |  CAST(top_n AS DOUBLE) / n_members AS purity
+      |FROM sz JOIN top USING (canonical_id)
+      |WHERE n_members >= 2""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = q133SemanticClusters.fn(s, d)
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    val lc = m.groupBy(col("canonical_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // size rollup and majority pick read one count frame
+    val sz = lc.groupBy(col("canonical_id")).agg(sum(col("n")).as("n_members"))
+    val top = lc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("canonical_id"))
+          .orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("label").as("top_label"),
+        col("n").as("top_n"))
+    sz.join(top, Seq("canonical_id"))
+      .filter(col("n_members") >= 2)
+      .select(col("canonical_id"), col("n_members"), col("top_label"),
+        col("top_n"),
+        (col("top_n").cast("double") / col("n_members")).as("purity"))
+  }
+
+  /** Pairwise source-level Jaccard similarity from a MERGEABLE
+    * MinHash sketch — the custom `TypedImperativeAggregate` showcase
+    * (SURVEY §6): each source's shingle stream collapses to a k=16
+    * sketch with map-side partial aggregation and associative merge
+    * (the property that makes sketching work when a source's shingles
+    * never co-locate), then |sources|² sketch pairs compare with a
+    * zip_with — no shingle-level join between sources AT ALL, unlike
+    * q41/q140's pair-exact paths. est = matching minima / k.
+    *
+    * Parity: the hash family is the repo's md5 recipe, so the oracle
+    * recomputes the EXACT per-(source, i) minima in SQL and agreement
+    * is integer equality, not sketch-probability. */
+  val q149SourceSketchSim: QueryDef = QueryDef.withOracle(
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+      |sh AS (
+      |  SELECT DISTINCT d.source, sh0.s
+      |  FROM sh0 JOIN documents d USING (doc_id)),
+      |hs AS (
+      |  SELECT source, g.i,
+      |    min(CAST(('0x' || substring(md5(CAST(g.i AS VARCHAR) || ':' || s),
+      |      1, 15)) AS BIGINT)) AS h
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+      |  GROUP BY 1, 2)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_matches,
+      |  CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+      |    AS est_jaccard
+      |FROM hs a JOIN hs b ON a.i = b.i AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val sk = sh.groupBy(col("source"))
+      .agg(graft.functions.SketchAggregates.minhashSketch(col("s"), 16)
+        .as("sketch"))
+    val a = sk.select(col("source").as("source_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sketch").as("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        expr("size(filter(zip_with(sk_a, sk_b, (x, y) -> x = y), p -> p))")
+          .cast("long").as("n_matches"))
+      .select(col("source_a"), col("source_b"), col("n_matches"),
+        (col("n_matches").cast("double") / 16).as("est_jaccard"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q149_source_sketch_sim" -> q149SourceSketchSim,
+    "q146_cluster_purity" -> q146ClusterPurity,
     "q138_cluster_sizes" -> q138ClusterSizes,
     "q140_sketch_calibration" -> q140SketchCalibration,
     "q141_cross_source_dups" -> q141CrossSourceDups,

@@ -551,7 +551,53 @@ object GraphOps {
         col("n_src"), (col("score_fp").cast("double") / 1000000).as("score"))
   }
 
+  /** Degree distribution of the co-purchase graph — the first chart
+    * any graph analysis draws (is this power-law? where does the hub
+    * tail start?). Degree = distinct co-purchase partners per part
+    * over the capped-basket pair stream (q86/q102's generator);
+    * the histogram log₂-bins via INTEGER bit length (`bin(deg)`
+    * string length — both engines format int64 binary identically,
+    * so no libm log2 boundary risk at exact powers of two).
+    *
+    * Scale shape: the pair stream is basket-capped (∝ rows); degree
+    * is count(DISTINCT partner) per part — Spark plans the distinct
+    * aggregate as a map-side partial dedup feeding ONE part-keyed
+    * exchange (a global pairs.distinct() first would pay a second,
+    * (p,q)-keyed shuffle of the whole stream for nothing); the
+    * histogram domain is ≤64 buckets. */
+  val q148DegreeDist: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |qb AS (SELECT bp.o, bp.p FROM bp JOIN ok USING (o)),
+      |nbr AS (
+      |  SELECT DISTINCT a.p AS p, b.p AS q
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p <> b.p),
+      |deg AS (SELECT p, count(*) AS degree FROM nbr GROUP BY 1)
+      |SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS log2_bucket,
+      |  count(*) AS n_parts,
+      |  CAST(min(degree) AS BIGINT) AS min_degree,
+      |  CAST(max(degree) AS BIGINT) AS max_degree
+      |FROM deg GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val bp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val ok = bp.groupBy(col("o")).agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 1000)).select(col("o"))
+    val qb = bp.join(ok, Seq("o"))
+    qb.select(col("o"), col("p"))
+      .join(qb.select(col("o"), col("p").as("q")), Seq("o"))
+      .filter(col("p") =!= col("q"))
+      .groupBy(col("p")).agg(countDistinct(col("q")).as("degree"))
+      .groupBy((length(bin(col("degree"))) - 1).cast("long")
+        .as("log2_bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q148_degree_dist" -> q148DegreeDist,
     "q75_pagerank" -> q75Pagerank,
     "q126_recommend" -> q126Recommend,
     "q85_triangles" -> q85Triangles,

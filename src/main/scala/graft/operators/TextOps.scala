@@ -819,7 +819,51 @@ object TextOps {
         |    / 10000 AS fertility
         |FROM agg""".stripMargin
 
+  /** Flesch-Kincaid readability grade per document — the classic
+    * text-difficulty screen a curation mix uses beside q31's quality
+    * score. Every COUNT is integer-exact and regex-defined
+    * identically in both engines: words = space-split size, sentences
+    * = runs of [.!?] (floored to 1 — headlines have no terminator),
+    * syllables = runs of [aeiouy] in the lowercased text (the
+    * standard vowel-group heuristic; spaces break runs, so counting
+    * over the whole text equals the per-word sum). The grade
+    *
+    *   0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    *
+    * is computed with the identical IEEE op order and then quantized
+    * to 4 decimals (floor(x·10⁴+0.5)/10⁴ — the q31 convention).
+    * Scale shape: pure map-side projection, no exchange at all. */
+  val q147Readability: QueryDef = QueryDef.withOracle(
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+      |    AS BIGINT) AS n_sent,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |    AS BIGINT) AS n_syll,
+      |  floor((0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |      / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+      |    + 11.8 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |        AS DOUBLE) / len(string_split(text, ' ')))
+      |    - 15.59) * 10000 + 0.5) / 10000 AS fk_grade
+      |FROM documents""".stripMargin
+  ) { (s, d) =>
+    val words = size(split(col("text"), " ", -1))
+    val sent = greatest(lit(1),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+    val syll = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      sent.cast("long").as("n_sent"),
+      syll.cast("long").as("n_syll"),
+      (floor((lit(0.39) * (words.cast("double") / sent)
+        + lit(11.8) * (syll.cast("double") / words)
+        - lit(15.59)) * 10000 + 0.5) / 10000).as("fk_grade"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q147_readability" -> q147Readability,
     "q109_pmi_collocations" -> q109PmiCollocations,
     "q127_bpe_train" -> q127BpeTrain,
     "q128_bpe_encode" -> q128BpeEncode,

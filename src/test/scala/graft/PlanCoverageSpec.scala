@@ -45,7 +45,11 @@ class PlanCoverageSpec extends SparkSpec {
     "q81_semantic_keep" -> ("shares q56's training loop; the keep " +
       "filter is a broadcast semi-join on the tiny representative set"),
     "q75_pagerank" -> ("iterative rank rounds materialize inside " +
-      "fn(); checkpoint-path equivalence spec'd in Relational3Spec"))
+      "fn(); checkpoint-path equivalence spec'd in Relational3Spec"),
+    "q145_top_eigenvector" -> ("fn() runs q144's gram job then the " +
+      "driver-side integer power iteration (metadata-sized matrix — " +
+      "the bloom-sketch convention); the data-sized plan is q144's, " +
+      "which is locked"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet

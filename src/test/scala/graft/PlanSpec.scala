@@ -612,6 +612,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q146: purity majority pick is WindowGroupLimit over the count frame") {
+    val p = plan("q146_cluster_purity")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("InMemoryTableScan"), p) // lc frame branches twice
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q147: readability is map-only — no exchange anywhere in the plan") {
+    val p = plan("q147_readability")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q148: degree histogram is equi-joined pairs + partial/final aggs") {
+    val p = plan("q148_degree_dist")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q149: the sketch aggregate plans partial+final — merge, not re-scan") {
+    val p = plan("q149_source_sketch_sim")
+    // the TypedImperativeAggregate must pre-combine map-side and
+    // merge across the exchange (ObjectHashAggregate partial/final);
+    // source pairs then compare SKETCHES — no shingle-level join
+    // between sources anywhere
+    assert(p.toLowerCase.contains("minhashsketch"), p)
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -160,4 +160,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rules.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)),
       rules.mkString(";"))
   }
+
+  test("q147: hand-counted words/sentences/vowel-groups and exact FK grade") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fk").toString
+    // "The cat sat. It ran!": 5 space-separated words, 2 terminator
+    // runs, vowel runs in lowercase = e, a, a, i, a → 5 syllables
+    //   fk = 0.39·(5/2) + 11.8·(5/5) − 15.59 = −2.815 exactly
+    // "mm hmm": 2 words, 0 terminators (floored to 1), 0 vowel runs
+    //   fk = 0.39·2 + 0 − 15.59 = −14.81
+    Seq((1L, "The cat sat. It ran!"), (2L, "mm hmm"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q147Readability.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((5L, 2L, 5L, -2.815)), out)
+    assert(out(2L) == ((2L, 1L, 0L, -14.81)), out)
+  }
 }

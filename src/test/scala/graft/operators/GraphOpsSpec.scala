@@ -173,4 +173,22 @@ class GraphOpsSpec extends SparkSpec {
     }
     ()
   }
+
+  test("q148: degrees count distinct partners; log2 buckets are bit-length") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-deg").toString
+    // baskets: o1 {1,2,3}, o2 {1,2} → parts 1,2,3 each degree 2
+    // (distinct partners, multi-basket co-occurrence not double-counted);
+    // o3 {4,5} → parts 4,5 degree 1; o4 {9} is below the 2-item cap
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.q148DegreeDist.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      0L -> ((2L, 1L, 1L)), // degree 1 → bin length 1 − 1 = bucket 0
+      1L -> ((3L, 2L, 2L))), out) // degree 2 → "10" → bucket 1
+  }
 }

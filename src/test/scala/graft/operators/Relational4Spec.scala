@@ -47,6 +47,32 @@ class Relational4Spec extends SparkSpec {
       (1L, 3L, day0), (2L, 2L, day0 + 9), (3L, 1L, day0 + 19)), out.toSeq)
   }
 
+  test("q145: aligned corpus gives the axis eigenvector with exact lambda") {
+    import spark.implicits._
+    val dir = tmp("graft-eig")
+    // both vectors along e0 → mean gram = diag(1, 0): the dominant
+    // direction is exactly e0 with λ = 1, reached in one step and
+    // stable through all 12 — every value closed-form
+    Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Relational4.q145TopEigenvector.fn(spark, dir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      0 -> ((100000L, 1.0, 1.0)),
+      1 -> ((0L, 0.0, 1.0))), out)
+  }
+
+  test("q145: on real data the component is unit-infinity-norm, 64 dims") {
+    val rows = Relational4.q145TopEigenvector.fn(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length == 64)
+    assert(rows.map(r => math.abs(r.getLong(1))).max == 100000L,
+      "infinity-norm normalization must pin max |comp_fp| to Q")
+    assert(rows.head.getDouble(3) > 0, "gram of real vectors has λ > 0")
+  }
+
   test("q144: hand-computed 2x2 gram matrix, exact fp sums") {
     import spark.implicits._
     val dir = tmp("graft-gram")

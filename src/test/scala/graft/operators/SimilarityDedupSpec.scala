@@ -346,6 +346,27 @@ class SimilarityDedupSpec extends SparkSpec {
     assert(rows == Map(0L -> ((1L, 0L))), rows)
   }
 
+  test("q146: purity is the majority-label share, ties to smallest label") {
+    import spark.implicits._
+    val pdir = java.nio.file.Files.createTempDirectory("graft-purity").toString
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == i) 1f else 0f)
+    // cluster {1,2,3}: labels a, a, b → purity 2/3 with top 'a';
+    // cluster {10,11}: labels b, a → 1/2 tie → 'a' (lexicographic);
+    // singleton 20 is excluded by the n_members >= 2 filter
+    Seq((1L, basis(0), "a"), (2L, basis(0), "a"), (3L, basis(0), "b"),
+      (10L, basis(1), "b"), (11L, basis(1), "a"),
+      (20L, basis(2), "c"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$pdir/embeddings.parquet")
+    val out = DedupOps.q146ClusterPurity.fn(spark, pdir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      1L -> ((3L, "a", 2L, 2.0 / 3.0)),
+      10L -> ((2L, "a", 1L, 0.5))), out)
+  }
+
   test("query group maps have no name collisions") {
     // Sum the SAME group list SparkEntry merges, so adding a group
     // can never desync this expectation (round-4 regression).
