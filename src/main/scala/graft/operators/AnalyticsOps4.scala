@@ -230,7 +230,55 @@ object AnalyticsOps4 {
         (center + half).as("wilson_hi"))
   }
 
+  /** Calibration curve for the purchase-propensity score — q115's AUC
+    * says the score RANKS well; this says whether its LEVELS mean
+    * anything: rank-deciles of the score vs the observed purchase
+    * rate inside each decile (the reliability diagram's table form).
+    * Decile = ((rank−1)·10) div n over the GLOBAL score order —
+    * exact integer math on the q112/q115 two-phase global rank, no
+    * quantile interpolation; per-decile mean score sums exact cents;
+    * the two rates are one IEEE division each.
+    *
+    * Scale shape: globalRowNumber's range-partitioned two-phase rank
+    * (never a single-task window), one decile rollup, broadcast
+    * 1-row total. */
+  val q151ScoreCalibration: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT event_id, value AS score,
+      |    CAST(event_type = 'purchase' AS BIGINT) AS y,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY score, event_id) AS rn,
+      |    count(*) OVER () AS n FROM t)
+      |SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+      |  count(*) AS n_events,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(cents) AS DOUBLE) / 100 / count(*) AS mean_score,
+      |  CAST(sum(y) AS DOUBLE) / count(*) AS purchase_rate
+      |FROM r GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val t = Tables.events(s, d).select(col("event_id"),
+      col("value").as("score"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val ranked = AnalyticsOps2.globalRowNumber(t,
+      Seq(col("score"), col("event_id")), "rn")
+    val tot = t.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy(expr("(rn - 1) * 10 div n").as("decile"))
+      .agg(count(lit(1)).as("n_events"), sum(col("y")).as("n_pos"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("decile"), col("n_events"), col("n_pos"),
+        col("sum_cents"),
+        (col("sum_cents").cast("double") / 100 / col("n_events"))
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n_events")).as("purchase_rate"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q151_score_calibration" -> q151ScoreCalibration,
     "q134_gini" -> q134Gini,
     "q135_weighted_median" -> q135WeightedMedian,
     "q136_dau_mau" -> q136DauMau,

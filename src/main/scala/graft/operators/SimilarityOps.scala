@@ -605,7 +605,71 @@ object SimilarityOps {
           / col("n_brute"), 4).as("recall"))
   }
 
+  /** kNN-classifier confusion matrix over the LSH index — the
+    * label-propagation eval that turns the ANN path (q51) into a
+    * measured classifier: each query vector is predicted the MAJORITY
+    * label of its top-5 approximate neighbors (ties break count-desc
+    * then label-asc — deterministic), and the output is the
+    * (true, predicted) confusion matrix the model card reports.
+    *
+    * Scale shape: rides q51's LSH candidate join (never all-pairs);
+    * the label attach is a vec-keyed equi-join; the majority pick is
+    * a WindowGroupLimit rank-1 per query; the matrix rollup domain is
+    * |labels|². Oracle: q51's bucket-fixture re-derivation extended
+    * with the same vote. */
+  val q150KnnConfusion: QueryDef = QueryDef.withOracle(
+    s"""WITH b AS (
+      |  SELECT * FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/lsh_buckets.parquet/*.parquet')),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, t, bucket FROM b WHERE vec_id % 50 = 0),
+      |cand AS (
+      |  SELECT DISTINCT q.q_id, b.vec_id AS neighbor_id
+      |  FROM b JOIN q ON b.t = q.t AND b.bucket = q.bucket
+      |  WHERE q.q_id <> b.vec_id),
+      |scored AS (
+      |  SELECT q_id, neighbor_id,
+      |    round(list_cosine_similarity(cq.emb, cn.emb), 6) AS cosine
+      |  FROM cand
+      |  JOIN c cq ON cq.vec_id = q_id
+      |  JOIN c cn ON cn.vec_id = neighbor_id),
+      |top5 AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM scored)
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT t.q_id, e.label, count(*) AS n_votes
+      |  FROM top5 t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT q_id, label AS label_pred FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY n_votes DESC, label) AS rn FROM votes)
+      |  WHERE rn = 1)
+      |SELECT te.label AS label_true, pred.label_pred, count(*) AS n
+      |FROM pred JOIN embeddings te ON te.vec_id = pred.q_id
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = q51AnnLsh.fn(s, d)
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = votes.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("n_votes").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("label").as("label_pred"))
+    pred.join(labels.withColumnRenamed("label", "label_true"), Seq("vec_id"))
+      .groupBy(col("label_true"), col("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q150_knn_confusion" -> q150KnnConfusion,
     "q50_ann_brute" -> q50AnnBrute,
     "q125_recall_eval" -> q125RecallEval,
     "q51_ann_lsh" -> q51AnnLsh,

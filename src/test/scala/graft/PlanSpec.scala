@@ -642,6 +642,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q150: both rank-1 picks stay WindowGroupLimit; candidates LSH-bounded") {
+    val p = plan("q150_knn_confusion")
+    assert(p.contains("WindowGroupLimit"), p) // top-5 and majority picks
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q151: calibration deciles ride the two-phase global rank") {
+    val p = plan("q151_score_calibration")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

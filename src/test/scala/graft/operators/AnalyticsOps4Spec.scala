@@ -72,6 +72,27 @@ class AnalyticsOps4Spec extends SparkSpec {
       "2026-02-01" -> ((1L, 1L, 1.0))), out)
   }
 
+  test("q151: deciles are exact global-rank cuts with hand-computed rates") {
+    import spark.implicits._
+    val dir = tmp("graft-calib")
+    // 20 events, scores 1..20 — decile k holds ranks 2k+1, 2k+2.
+    // Purchases at scores 19 and 20 → only decile 9 converts (rate 1)
+    val rows = (1 to 20).map { i =>
+      (i.toLong, if (i >= 19) "purchase" else "view", i.toDouble)
+    }
+    rows.toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps4.q151ScoreCalibration.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.size == 10, out)
+    // decile 0: scores 1,2 → mean 1.5, rate 0
+    assert(out(0L) == ((2L, 0L, 1.5, 0.0)), out)
+    // decile 9: scores 19,20 → mean 19.5, rate 1
+    assert(out(9L) == ((2L, 2L, 19.5, 1.0)), out)
+    assert((1L to 8L).forall(k => out(k)._2 == 0L), out)
+  }
+
   test("q137: Wilson bounds bracket p_hat and match a local recomputation") {
     import spark.implicits._
     val dir = tmp("graft-wilson")

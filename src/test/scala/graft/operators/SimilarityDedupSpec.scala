@@ -367,6 +367,23 @@ class SimilarityDedupSpec extends SparkSpec {
       10L -> ((2L, "a", 1L, 0.5))), out)
   }
 
+  test("q150: majority vote of identical-vector neighbors, ties to count/label") {
+    import spark.implicits._
+    val kdir = java.nio.file.Files.createTempDirectory("graft-knn").toString
+    // all vectors identical → every corpus vector neighbors the query
+    // (id 50, the only % 50 == 0 id); top-5 = ids 1..5 by the
+    // neighbor_id tiebreak (all cosines are 1.0); labels a,a,a,b,b →
+    // predicted 'a'; true label of the query is 'b'
+    val e = Array.tabulate(8)(j => if (j == 0) 1f else 0f)
+    Seq((1L, e, "a"), (2L, e, "a"), (3L, e, "a"), (4L, e, "b"),
+      (5L, e, "b"), (6L, e, "c"), (50L, e, "b"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$kdir/embeddings.parquet")
+    val out = SimilarityOps.q150KnnConfusion.fn(spark, kdir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("b", "a") -> 1L), out)
+  }
+
   test("query group maps have no name collisions") {
     // Sum the SAME group list SparkEntry merges, so adding a group
     // can never desync this expectation (round-4 regression).
