@@ -16,7 +16,11 @@ object ExplainAudit {
         "q38_curate_topk", "q39_vocab_topk", "q41_ngram_jaccard",
         "q44_embed_neardup", "q46_doc_pack", "q50_ann_brute",
         "q57_winnow", "q58_bloom_decontam", "q67_bigram_novelty",
-        "q73_salted_agg", "q75_pagerank", "q77_funnel")
+        "q73_salted_agg", "q75_pagerank", "q77_funnel",
+        // round-8 shapes: grouped two-phase ranks, constant-size gram
+        // exchange, sketch aggregate, joinless two-SCD merge
+        "q132_funnel_latency", "q134_gini", "q144_gram_matrix",
+        "q149_source_sketch_sim", "q152_interval_align")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -299,7 +299,102 @@ object ChangeOps {
         col("valid_from_us"))
   }
 
+  /** Temporal alignment (merge) of two change timelines — the
+    * two-SCD2 join: per customer, the PRIORITY timeline and the
+    * STATUS timeline (each keeping only its own CHANGE points, so
+    * their boundary sets genuinely differ) are merged into the
+    * segments on which BOTH attributes are constant — the operator a
+    * warehouse needs to join two slowly-changing dimensions of the
+    * same entity without a cross-interval theta join.
+    *
+    * Scale shape: ONE custkey-keyed exchange carries everything —
+    * per-(cust, day) dedup picks the max-orderkey row, the
+    * consecutive-repeat drops are lag windows, the merged timeline is
+    * a UNION of the two change sets with each attribute forward-
+    * filled by last(ignoreNulls) over the same sort, and seg_end is a
+    * lead. No join between the timelines AT ALL (the naive encoding —
+    * interval × interval ON overlap — is the quadratic theta join
+    * this shape exists to avoid). Same-day changes in both timelines
+    * collapse to one boundary row via a final (cust, day) group.
+    *
+    * Output: segments where both attributes are known; open tails
+    * carry the 9999-12-31 sentinel (NULL dates render differently in
+    * the two engines' parquet readers — None vs NaT — so the gate
+    * uses the conventional SCD2 far-future end instead). All
+    * values/dates exact; no floats anywhere. */
+  val q152IntervalAlign: QueryDef = QueryDef.withOracle(
+    """WITH base AS (
+      |  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+      |    o_orderkey, o_orderpriority AS pri, o_orderstatus AS st
+      |  FROM orders),
+      |dedup AS (
+      |  SELECT cust, day, pri, st FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cust, day
+      |      ORDER BY o_orderkey DESC) AS rn FROM base)
+      |  WHERE rn = 1),
+      |pa AS (
+      |  SELECT cust, day, pri FROM (
+      |    SELECT cust, day, pri,
+      |      lag(pri) OVER (PARTITION BY cust ORDER BY day) AS prev
+      |    FROM dedup)
+      |  WHERE prev IS NULL OR pri <> prev),
+      |sb AS (
+      |  SELECT cust, day, st FROM (
+      |    SELECT cust, day, st,
+      |      lag(st) OVER (PARTITION BY cust ORDER BY day) AS prev
+      |    FROM dedup)
+      |  WHERE prev IS NULL OR st <> prev),
+      |u AS (
+      |  SELECT cust, day, max(pri) AS pri, max(st) AS st FROM (
+      |    SELECT cust, day, pri, NULL AS st FROM pa
+      |    UNION ALL
+      |    SELECT cust, day, NULL AS pri, st FROM sb)
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT cust, day AS seg_start,
+      |    coalesce(lead(day) OVER (PARTITION BY cust ORDER BY day),
+      |      DATE '9999-12-31') AS seg_end,
+      |    last_value(pri IGNORE NULLS) OVER (PARTITION BY cust
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS priority,
+      |    last_value(st IGNORE NULLS) OVER (PARTITION BY cust
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS status
+      |  FROM u)
+      |SELECT cust AS o_custkey, CAST(seg_start AS DATE) AS seg_start,
+      |  CAST(seg_end AS DATE) AS seg_end, priority, status
+      |FROM f WHERE priority IS NOT NULL AND status IS NOT NULL""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byCustDay = Window.partitionBy(col("cust")).orderBy(col("day"))
+    val base = Tables.orders(s, d).select(
+      col("o_custkey").as("cust"), col("o_orderdate").cast("date").as("day"),
+      col("o_orderkey"), col("o_orderpriority").as("pri"),
+      col("o_orderstatus").as("st"))
+    val dedup = base.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cust"), col("day"))
+          .orderBy(col("o_orderkey").desc)))
+      .filter(col("rn") === 1).select("cust", "day", "pri", "st")
+    def changes(c: String) = dedup
+      .withColumn("prev", lag(col(c), 1).over(byCustDay))
+      .filter(col("prev").isNull || col(c) =!= col("prev"))
+      .select(col("cust"), col("day"), col(c))
+    val u = changes("pri").withColumn("st", lit(null).cast("string"))
+      .unionByName(changes("st").withColumn("pri", lit(null).cast("string"))
+        .select("cust", "day", "pri", "st"))
+      .groupBy(col("cust"), col("day"))
+      .agg(max(col("pri")).as("pri"), max(col("st")).as("st"))
+    val ff = byCustDay.rowsBetween(Window.unboundedPreceding, 0)
+    u.select(col("cust").as("o_custkey"), col("day").as("seg_start"),
+        coalesce(lead(col("day"), 1).over(byCustDay),
+          lit("9999-12-31").cast("date")).as("seg_end"),
+        last(col("pri"), ignoreNulls = true).over(ff).as("priority"),
+        last(col("st"), ignoreNulls = true).over(ff).as("status"))
+      .filter(col("priority").isNotNull && col("status").isNotNull)
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q152_interval_align" -> q152IntervalAlign,
     "q78_table_diff" -> q78TableDiff,
     "q79_merge" -> q79Merge,
     "q87_scd2" -> q87Scd2,

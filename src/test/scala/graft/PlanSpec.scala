@@ -656,6 +656,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q152: the two-timeline merge is JOINLESS — union + entity windows") {
+    val p = plan("q152_interval_align")
+    // the naive encoding (interval x interval ON overlap) would plan
+    // a quadratic theta join; this shape must stay a union of change
+    // sets with forward-fill windows on entity-keyed exchanges
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "Window") >= 3, p)
+    assert(p.contains("Union"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -114,4 +114,29 @@ class ChangeOpsSpec extends SparkSpec {
       .count() == 0)
     out.unpersist()
   }
+
+  test("q152: two change timelines align on their union of boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-align").toString
+    // cust 1: priority changes at d1 (P1) and d5 (P2); status changes
+    // at d1 (O) and d3 (F). Day 5 has TWO orders — the max-orderkey
+    // row (P2/F) must win the per-day dedup over the decoy (P9/X).
+    Seq(
+      (1L, 1L, "2026-01-01", "P1", "O"),
+      (2L, 1L, "2026-01-03", "P1", "F"),
+      (3L, 1L, "2026-01-05", "P9", "X"), // decoy, lower orderkey
+      (4L, 1L, "2026-01-05", "P2", "F"))
+      .toDF("o_orderkey", "o_custkey", "dd", "o_orderpriority",
+        "o_orderstatus")
+      .withColumn("o_orderdate", to_date(col("dd"))).drop("dd")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = ChangeOps.q152IntervalAlign.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getString(3), r.getString(4)))
+      .sortBy(_._2)
+    assert(out.toSeq == Seq(
+      (1L, "2026-01-01", "2026-01-03", "P1", "O"),
+      (1L, "2026-01-03", "2026-01-05", "P1", "F"),
+      (1L, "2026-01-05", "9999-12-31", "P2", "F")), out.toSeq)
+  }
 }
