@@ -375,6 +375,9 @@ object ChangeOps {
         Window.partitionBy(col("cust"), col("day"))
           .orderBy(col("o_orderkey").desc)))
       .filter(col("rn") === 1).select("cust", "day", "pri", "st")
+      .cache() // both change-set branches read ONE scan + dedup pass
+      // (uncached, the union re-planned the whole subtree per branch:
+      // two parquet scans and two (cust, day) exchanges)
     def changes(c: String) = dedup
       .withColumn("prev", lag(col(c), 1).over(byCustDay))
       .filter(col("prev").isNull || col(c) =!= col("prev"))

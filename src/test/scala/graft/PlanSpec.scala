@@ -660,10 +660,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q152_interval_align")
     // the naive encoding (interval x interval ON overlap) would plan
     // a quadratic theta join; this shape must stay a union of change
-    // sets with forward-fill windows on entity-keyed exchanges
+    // sets with forward-fill windows on entity-keyed exchanges, and
+    // both branches must read ONE cached dedup pass (uncached, the
+    // union re-planned the scan + (cust, day) exchange per branch)
     assert(!p.contains("Join"), p)
     assert(nodes(p, "Window") >= 3, p)
     assert(p.contains("Union"), p)
+    assert(p.contains("InMemoryTableScan"), p)
   }
 
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
