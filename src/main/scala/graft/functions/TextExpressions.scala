@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -21,8 +20,7 @@ object TextExpressions {
     * XXH64 (Spark's own, seed 42 like the xxhash64 SQL function);
     * bit b of the signature is set iff more tokens have bit b set
     * than unset (majority vote, weight 1 per token). */
-  case class SimHash64(child: Expression) extends UnaryExpression
-      with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -34,37 +32,52 @@ object TextExpressions {
             s"graft_simhash needs array<string>, got ${t.sql}")
       }
 
-    override def nullSafeEval(a: Any): Any = {
-      val arr = a.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val votes = new Array[Int](64)
-      var i = 0
-      var nonNull = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          nonNull += 1
-          val s = arr.getUTF8String(i)
-          val h = XXH64.hashUnsafeBytes(
-            s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-          var b = 0
-          while (b < 64) {
-            votes(b) += ((h >>> b) & 1L).toInt
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) * 2 > nonNull) sig |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(sig)
-    }
+    override def nullSafeEval(a: Any): Any =
+      java.lang.Long.valueOf(
+        TextExpressions.simhash64(a.asInstanceOf[ArrayData]))
+
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      // static-method call per row (the JaroWinkler / Levenshtein
+      // pattern): no CodegenFallback row boxing, stage stays in
+      // whole-stage codegen
+      nullSafeCodeGen(ctx, ev, x =>
+        s"${ev.value} = graft.functions.TextExpressions.simhash64($x);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Static kernel behind [[SimHash64]] (also called from generated
+    * code — keep the signature stable). */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    var nonNull = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        nonNull += 1
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) * 2 > nonNull) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   /** Order-sensitive 64-bit rolling (polynomial) fingerprint over an
@@ -72,10 +85,7 @@ object TextExpressions {
     * wrap-around multiplication — two docs match iff their token
     * SEQUENCES match (unlike the set-based md5 fingerprint). One
     * pass, map-only. */
-  case class RollingFingerprint(child: Expression) extends UnaryExpression
-      with CodegenFallback {
-    private val Base = 1099511628211L // FNV prime
-
+  case class RollingFingerprint(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -87,25 +97,38 @@ object TextExpressions {
             s"graft_fingerprint needs array<string>, got ${t.sql}")
       }
 
-    override def nullSafeEval(a: Any): Any = {
-      val arr = a.asInstanceOf[ArrayData]
-      var h = 0L
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        val tokHash = if (arr.isNullAt(i)) 0L else {
-          val s = arr.getUTF8String(i)
-          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-            s.numBytes(), 42L)
-        }
-        h = h * Base + tokHash
-        i += 1
-      }
-      java.lang.Long.valueOf(h)
-    }
+    override def nullSafeEval(a: Any): Any =
+      java.lang.Long.valueOf(
+        TextExpressions.rollingFingerprint64(a.asInstanceOf[ArrayData]))
+
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"${ev.value} = graft.functions.TextExpressions.rollingFingerprint64($x);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Static kernel behind [[RollingFingerprint]] (also called from
+    * generated code — keep the signature stable). */
+  def rollingFingerprint64(arr: ArrayData): Long = {
+    val Base = 1099511628211L // FNV prime
+    var h = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val tokHash = if (arr.isNullAt(i)) 0L else {
+        val s = arr.getUTF8String(i)
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes(), 42L)
+      }
+      h = h * Base + tokHash
+      i += 1
+    }
+    h
   }
 
   /** Jaro–Winkler similarity — the record-linkage scorer Spark lacks

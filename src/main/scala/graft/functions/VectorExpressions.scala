@@ -203,8 +203,7 @@ object VectorExpressions {
     * every executor, no plane matrix to broadcast. One fused loop in
     * codegen replaces ~L·k·dim interpreted lambda calls per row. */
   case class HyperplaneSignature(child: Expression, tables: Int, bits: Int)
-      extends UnaryExpression
-      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -216,39 +215,51 @@ object VectorExpressions {
             s"graft_lsh_sig needs array<float|double>, got ${t.sql}")
       }
 
-    override def nullSafeEval(a: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val f = elemIsFloat(child)
-      val n = x.numElements()
-      val out = new Array[Long](tables)
-      var t = 0
-      while (t < tables) {
-        var sig = 0L
-        var p = 0
-        while (p < bits) {
-          val plane = t * bits + p
-          var dot = 0.0
-          var i = 0
-          while (i < n) {
-            val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
-            dot += v * VectorExpressions.planeWeight(plane, i)
-            i += 1
-          }
-          if (dot > 0) sig |= (1L << p)
-          p += 1
-        }
-        out(t) = sig
-        t += 1
-      }
-      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-    }
+    override def nullSafeEval(a: Any): Any =
+      VectorExpressions.hyperplaneSig(a.asInstanceOf[ArrayData],
+        tables, bits, elemIsFloat(child))
 
-    // eval-based; the loop body is already primitive-tight and this
-    // node sits behind a projection, so interpreted eval costs one
-    // virtual call per row, not per element.
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      // static kernel with the table/bit counts and element type
+      // baked in as literals — one call per row, stage stays in
+      // whole-stage codegen (the JaroWinkler pattern)
+      nullSafeCodeGen(ctx, ev, x =>
+        s"${ev.value} = graft.functions.VectorExpressions.hyperplaneSig(" +
+          s"$x, $tables, $bits, ${elemIsFloat(child)});")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Static kernel behind [[HyperplaneSignature]] (also called from
+    * generated code — keep the signature stable). */
+  def hyperplaneSig(x: ArrayData, tables: Int, bits: Int,
+      isFloat: Boolean): ArrayData = {
+    val n = x.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val plane = t * bits + p
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          dot += v * VectorExpressions.planeWeight(plane, i)
+          i += 1
+        }
+        if (dot > 0) sig |= (1L << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
   /** splitmix64 finalizer → ±1 weight for (plane, dim). */

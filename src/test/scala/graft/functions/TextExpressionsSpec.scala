@@ -53,4 +53,35 @@ class TextExpressionsSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(out == Seq(0.9611111111111111, 0.0))
   }
+
+  test("simhash/fingerprint/lsh-sig stay inside whole-stage codegen") {
+    import spark.implicits._
+    import graft.functions.{VectorExpressions => VE}
+    // all three were CodegenFallback until round 8; the static-kernel
+    // doGenCode must (a) keep the projection in a WholeStageCodegen
+    // span and (b) produce the same values as interpreted eval
+    // parquet round-trip: a local Seq would constant-fold the whole
+    // projection into a LocalTableScan and never exercise codegen
+    val dir = java.nio.file.Files.createTempDirectory("graft-cg").toString
+    Seq((Seq("a", "b", "c"), Seq(0.5f, -1.0f, 2.0f)))
+      .toDF("toks", "emb").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(TextExpressions.simhash(col("toks")).as("sh"),
+        TextExpressions.rollingFingerprint(col("toks")).as("fp"),
+        VE.lshSignature(col("emb"), 3, 4).as("sig"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("[codegen id :"), plan)
+    val r = df.head()
+    // values must equal a direct kernel call (codegen ≡ interpreted)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(UTF8String.fromString("a"), UTF8String.fromString("b"),
+        UTF8String.fromString("c")))
+    assert(r.getLong(0) == TextExpressions.simhash64(arr))
+    assert(r.getLong(1) == TextExpressions.rollingFingerprint64(arr))
+    val emb = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(0.5f, -1.0f, 2.0f))
+    assert(r.getSeq[Long](2) ==
+      VE.hyperplaneSig(emb, 3, 4, isFloat = true).toLongArray().toSeq)
+  }
 }
