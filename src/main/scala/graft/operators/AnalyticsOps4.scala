@@ -277,7 +277,96 @@ object AnalyticsOps4 {
         (col("n_pos").cast("double") / col("n_events")).as("purchase_rate"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the
+    * even-id and odd-id halves of the event value distribution — the
+    * nonparametric drift test beside q117's χ² (χ² needs bins; KS
+    * compares whole CDFs):
+    *
+    *   KS = max over distinct scores x of |F₁(x) − F₂(x)|
+    *
+    * computed EXACTLY: per-score counts collapse the stream to its
+    * distinct-score frame; both cumulative counts come from ONE
+    * range-partitioned two-phase prefix pass (the q115 shape, carrying
+    * two running sums over the same partition stamp); the CDF gap is
+    * the cross-multiplied integer |c₁·N₂ − c₂·N₁| — no per-row
+    * division, so max() compares exact int64 (bound: N₁·N₂ < 2⁶³
+    * holds through ~3·10⁹ rows per side; beyond, pre-divide the
+    * counts by a common 2ᵏ — the q2o convention). The final KS is ONE
+    * IEEE division.
+    *
+    * A deterministic id-parity split, not a random one: the gate
+    * needs identical halves in both engines, and parity is as
+    * arbitrary as any hash for synthetic drift detection (a real
+    * deployment splits by time window — swap the predicate). */
+  val q153KsDrift: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT value AS score, CAST(event_id % 2 AS BIGINT) AS grp
+      |  FROM events),
+      |g AS (
+      |  SELECT score,
+      |    CAST(sum(1 - grp) AS BIGINT) AS n1,
+      |    CAST(sum(grp) AS BIGINT) AS n2
+      |  FROM t GROUP BY 1),
+      |c AS (
+      |  SELECT score,
+      |    CAST(sum(n1) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(n2) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS c2
+      |  FROM g),
+      |tot AS (
+      |  SELECT CAST(sum(n1) AS BIGINT) AS na, CAST(sum(n2) AS BIGINT) AS nb
+      |  FROM g)
+      |SELECT na, nb,
+      |  CAST(max(abs(c1 * nb - c2 * na)) AS BIGINT) AS ks_num,
+      |  CAST(max(abs(c1 * nb - c2 * na)) AS DOUBLE) / na / nb AS ks
+      |FROM c CROSS JOIN tot GROUP BY na, nb""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.events(s, d)
+      .select(col("value").as("score"),
+        (col("event_id") % 2).cast("long").as("grp"))
+      .groupBy(col("score"))
+      .agg(sum(lit(1L) - col("grp")).as("n1"), sum(col("grp")).as("n2"))
+    // q115's two-phase prefix, carrying BOTH running counts over one
+    // partition stamp (a second groupedPrefixSum call would pay a
+    // second range shuffle + cache for the same order)
+    val parts = g
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("score"))
+      .sortWithinPartitions(col("score"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__l1", sum(col("n1")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__l2", sum(col("n2")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .cache() // pin the partition stamp (q112's AQE hazard)
+    val offs = parts.groupBy(col("__pid"))
+      .agg(sum(col("n1")).as("__p1"), sum(col("n2")).as("__p2"))
+      .withColumn("__o1", coalesce(
+        sum(col("__p1")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__o2", coalesce(
+        sum(col("__p2")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__o1"), col("__o2"))
+    val tot = g.agg(sum(col("n1")).as("na"), sum(col("n2")).as("nb"))
+    parts.join(broadcast(offs), Seq("__pid"))
+      .select((col("__l1") + col("__o1")).as("c1"),
+        (col("__l2") + col("__o2")).as("c2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(abs(col("c1") * col("nb") - col("c2") * col("na")))
+        .as("ks_num"))
+      .select(col("na"), col("nb"), col("ks_num"),
+        (col("ks_num").cast("double") / col("na") / col("nb")).as("ks"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q153_ks_drift" -> q153KsDrift,
     "q151_score_calibration" -> q151ScoreCalibration,
     "q134_gini" -> q134Gini,
     "q135_weighted_median" -> q135WeightedMedian,

@@ -669,6 +669,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q153: both KS CDFs ride ONE range-partitioned prefix pass") {
+    val p = plan("q153_ks_drift")
+    // the distinct-score frame is data-sized: both cumulative counts
+    // must come from one two-phase range pass (never a single-task
+    // global window), sharing one pinned partition stamp
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

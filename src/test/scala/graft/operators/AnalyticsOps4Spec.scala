@@ -93,6 +93,29 @@ class AnalyticsOps4Spec extends SparkSpec {
     assert((1L to 8L).forall(k => out(k)._2 == 0L), out)
   }
 
+  test("q153: KS is the exact max CDF gap; identical halves give zero") {
+    import spark.implicits._
+    val dir = tmp("graft-ks")
+    // even ids (grp A): scores 1, 2, 3; odd ids (grp B): scores 3, 4
+    //   distinct scores: 1, 2, 3, 4; NA=3, NB=2
+    //   c1: 1, 2, 3, 3 | c2: 0, 0, 1, 2
+    //   |c1·NB − c2·NA|: 2, 4, 3, 0 → max 4 → KS = 4/6 = 2/3
+    Seq((2L, 1.0), (4L, 2.0), (6L, 3.0), (1L, 3.0), (3L, 4.0))
+      .toDF("event_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnalyticsOps4.q153KsDrift.fn(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 4L)), r)
+    assert(r.getDouble(3) == 4.0 / 3.0 / 2.0, r)
+
+    val dir2 = tmp("graft-ks0")
+    // identical distributions in both halves → every gap is exactly 0
+    Seq((2L, 5.0), (4L, 7.0), (1L, 5.0), (3L, 7.0))
+      .toDF("event_id", "value")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val z = AnalyticsOps4.q153KsDrift.fn(spark, dir2).head()
+    assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0, z)
+  }
+
   test("q137: Wilson bounds bracket p_hat and match a local recomputation") {
     import spark.implicits._
     val dir = tmp("graft-wilson")
