@@ -64,8 +64,14 @@ object DedupCluster {
     *         connected component, as a localCheckpoint-backed frame:
     *         a compact plan leaf that survives runner cache sweeps,
     *         so callers (q49/q130, q133) can share one
-    *         materialization per session. Release with
-    *         [[releaseCheckpoint]] when done.
+    *         materialization per session. OWNERSHIP: whoever holds
+    *         the frame decides its lifetime — `DedupOps.memoCanonical`
+    *         shares the frame session-wide and only application end
+    *         retires it, so consumers of a memoized frame must NOT
+    *         call [[releaseCheckpoint]] on it (a lost localCheckpoint
+    *         block FAILS, it does not recompute). Only a caller that
+    *         builds privately (e.g. under SPARK_GRAFT_NO_MEMO) should
+    *         release the frame when done.
     */
   def canonicalize(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
@@ -132,10 +138,15 @@ object DedupCluster {
       i += 1
     }
     releaseCheckpoint(edges)
-    if (changed)
+    if (changed) {
+      // failure path owns the final round's checkpoint too — release
+      // it before throwing so the blocks don't linger until the
+      // ContextCleaner happens to GC the RDD handle
+      if (prevCp ne null) releaseCheckpoint(prevCp)
       throw new IllegalStateException(
         s"DedupCluster.canonicalize did not converge in $maxIter rounds — " +
           "a component has diameter > maxIter; raise maxIter")
+    }
     labels
   }
 

@@ -56,6 +56,20 @@ object SketchAggregates {
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+    // analysis-time contract (same pattern as SimHash64 /
+    // RollingFingerprint): a non-string child or k < 1 would otherwise
+    // surface only at execution as a ClassCastException / empty buffer
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType != StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft minhash_sketch needs a string child, got ${child.dataType.sql}")
+      else if (k < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft minhash_sketch needs k >= 1 permutations, got $k")
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
     override def createAggregationBuffer(): Array[Long] =
       Array.fill(k)(Long.MaxValue)
 

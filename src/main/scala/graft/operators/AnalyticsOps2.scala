@@ -473,7 +473,8 @@ object AnalyticsOps2 {
     * metadata-sized (two broadcast joins of ≤7-row frames). */
   val q117Chi2Drift: QueryDef = QueryDef.withOracle(
     """WITH cells AS (
-      |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+      |  SELECT event_type,
+      |    ((epoch_us(ts) // 86400000000 + 4) % 7 + 7) % 7 AS dow,
       |    count(*) AS o
       |  FROM events GROUP BY 1, 2),
       |rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
@@ -489,7 +490,12 @@ object AnalyticsOps2 {
   ) { (s, d) =>
     val cells = Tables.events(s, d)
       .select(col("event_type"),
-        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+        // sign-safe epoch→dow: floordiv via pmod-subtraction (oracle's
+        // `//` floors, `div` truncates) then pmod for the mod-7 — the
+        // oracle mirrors with a ((x % 7) + 7) % 7 wrap, so both
+        // engines agree for pre-1970 epochs too
+        expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
+          " div 86400000000 + 4, 7)").as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
     val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))

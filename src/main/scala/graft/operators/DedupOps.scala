@@ -29,6 +29,14 @@ object DedupOps {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String, String), DataFrame]()
 
+  /** Sessions that already carry the application-end eviction hook —
+    * ONE listener per session regardless of how many (kind, sfDir)
+    * entries it memoizes; the listener removes itself after firing so
+    * nothing accumulates on the ListenerBus of a long-lived session. */
+  private val evictHooked =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+
   private def memoCanonical(kind: String,
       s: org.apache.spark.sql.SparkSession, d: String)
       (build: => DataFrame): DataFrame = {
@@ -36,18 +44,40 @@ object DedupOps {
     // sweep's median-of-3 times the actual propagation build (the
     // memoized steady state would otherwise report a block read)
     if (sys.env.contains("SPARK_GRAFT_NO_MEMO")) return build
-    canonCache.computeIfAbsent((s, d, kind), _ => {
-      s.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
+    if (evictHooked.putIfAbsent(s, java.lang.Boolean.TRUE) == null) {
+      val sc = s.sparkContext
+      sc.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener { self =>
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
               : Unit = {
-            canonCache.keySet.removeIf(k => k._1 eq s); ()
+            canonCache.keySet.removeIf(k => k._1 eq s)
+            evictHooked.remove(s)
+            sc.removeSparkListener(self)
           }
         })
-      build
-    })
+    }
+    canonCache.computeIfAbsent((s, d, kind), _ => build)
   }
+
+  /** Bench hook: build the session's two canonical-cluster memo frames
+    * COLD and report the build wall-seconds per kind. Bench calls this
+    * once, up front, so the per-query numbers for the six memo
+    * consumers (q49/q130/q133/q138/q141/q146) are honestly
+    * steady-state AND the cold cost is visible in the bench JSON as
+    * its own metric instead of vanishing into whichever consumer runs
+    * first (the r8 bench-protocol footnote). The count() materializes
+    * the lazy localCheckpoint behind each frame. No-op-fast if the
+    * memo is already warm; under SPARK_GRAFT_NO_MEMO callers should
+    * skip this (every consumer pays its own build). */
+  def primeCanonicalMemos(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, Double)] =
+    Seq("minhash" -> q49DedupClusters, "semantic" -> q133SemanticClusters)
+      .map { case (kind, q) =>
+        val t0 = System.nanoTime()
+        q.fn(s, d).count()
+        kind -> (System.nanoTime() - t0) / 1e9
+      }
 
   /** Tokenized docs with ≥3 tokens: (doc_id, toks). */
   private def tokenized(df: DataFrame): DataFrame =

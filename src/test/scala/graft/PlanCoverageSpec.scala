@@ -51,23 +51,134 @@ class PlanCoverageSpec extends SparkSpec {
       "the bloom-sketch convention); the data-sized plan is q144's, " +
       "which is locked"))
 
+  /** The OTHER anti-pattern the blanket scans for (r8 verdict): a
+    * `Window` whose partition spec can only ever take a handful of
+    * values, so every row funnels through ≲ a-few reducers — the
+    * q132 round-7 regression class (rank over a 2-value pid). The
+    * statically-detectable forms:
+    *   - empty partition spec (ONE reducer sorts the world);
+    *   - constant partition keys (references-free after Catalyst's
+    *     foldable propagation — same thing in disguise);
+    *   - boolean-typed keys (domain ≤ 2 + null);
+    *   - `x % k` / `pmod(x, k)` keys with a small literal k (a
+    *     derived bucket id bounds parallelism at k).
+    * A partition key that happens to be a low-cardinality DATA column
+    * is not statically visible — that class is covered by the
+    * individual PlanSpec locks on the two-phase idiom queries.
+    * Metadata-sized frames (the offs/counts side of two-phase prefix)
+    * legitimately use such windows; those queries get a named
+    * exemption with the reason. */
+  private def lowCardWindows(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.Window] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, ExprId, Expression, Literal, Pmod, Remainder}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Project, Window}
+    // partition keys are usually attribute refs pointing at an Alias a
+    // few Projects below — resolve them to the defining expression so
+    // `pid = id % 2` is visible at the Window node
+    val aliasMap: Map[ExprId, Expression] = plan.collect {
+      case p: Project =>
+        p.projectList.collect { case a: Alias => a.exprId -> a.child }
+      case a: Aggregate =>
+        a.aggregateExpressions.collect { case al: Alias => al.exprId -> al.child }
+      case w: Window =>
+        w.windowExpressions.collect { case al: Alias => al.exprId -> al.child }
+    }.flatten.toMap
+    def resolve(e: Expression): Expression = {
+      var cur = e
+      var i = 0
+      var changed = true
+      while (changed && i < 10) {
+        val next = cur.transformUp {
+          case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+            aliasMap(ar.exprId)
+        }
+        changed = !(next fastEquals cur)
+        cur = next
+        i += 1
+      }
+      cur
+    }
+    val smallMod: PartialFunction[Expression, Boolean] = {
+      case Remainder(_, Literal(k: Long, _), _) => k <= 64
+      case Remainder(_, Literal(k: Int, _), _) => k <= 64
+      case Pmod(_, Literal(k: Long, _), _) => k <= 64
+      case Pmod(_, Literal(k: Int, _), _) => k <= 64
+    }
+    plan.collect {
+      case w: Window if w.partitionSpec.isEmpty || w.partitionSpec.forall {
+        raw =>
+          val e = resolve(raw)
+          e.references.isEmpty ||
+            e.dataType == org.apache.spark.sql.types.BooleanType ||
+            smallMod.lift(e).getOrElse(false)
+      } => w
+    }
+  }
+
+  /** Blanket queries allowed a suspicious-looking window, with the
+    * reason (all: the window runs over a METADATA-sized frame — the
+    * per-prefix-partition offs/counts rollup of the two-phase idiom,
+    * one row per shuffle partition — not over data). */
+  private val windowExempt: Map[String, String] = Map(
+    "q139_filter_cascade" -> ("the unpartitioned cumulative-survivors " +
+      "window runs over the 4-row stage dimension joined to a ≤5-row " +
+      "first-fail aggregate — metadata-sized by construction (the " +
+      "data-sized work is the one scan + map-side token counting " +
+      "feeding that aggregate)"))
+
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet
-    val stale = (locked ++ exempt.keySet) -- all
+    val stale = (locked ++ exempt.keySet ++ windowExempt.keySet) -- all
     assert(stale.isEmpty, s"locks/exemptions for unknown queries: $stale")
     val doubly = locked.intersect(exempt.keySet)
     assert(doubly.isEmpty, s"both locked and exempt (drop the exemption): $doubly")
 
     val blanket = (all -- locked -- exempt.keySet).toSeq.sorted
     val offenders = blanket.flatMap { name =>
-      val p = SparkEntry.queries(name)(spark, sf("sf0.001"))
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      if (p.contains("CartesianProduct")) Some(name) else None
+      val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+      val p = qe.explainString(ExplainMode.fromString("formatted"))
+      val cart = p.contains("CartesianProduct")
+      val badWin = !windowExempt.contains(name) &&
+        lowCardWindows(qe.optimizedPlan).nonEmpty
+      if (cart) Some(s"$name(cartesian)")
+      else if (badWin) Some(s"$name(low-card window)")
+      else None
     }
     assert(offenders.isEmpty,
-      s"CartesianProduct in gate-query plans: $offenders")
+      s"anti-patterns in gate-query plans: $offenders")
     // coverage is total by construction; report the partition sizes so
     // a failing diff is easy to read
     info(s"locked=${locked.size} exempt=${exempt.size} blanket=${blanket.size}")
+  }
+
+  test("the low-cardinality-window detector actually fires (planted fixtures)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    def flagged(df: org.apache.spark.sql.DataFrame) =
+      lowCardWindows(df.queryExecution.optimizedPlan).nonEmpty
+    val base = spark.range(100).toDF("id")
+    // 2-value derived pid — the exact q132 r7 shape
+    val modWin = base.withColumn("pid", col("id") % 2)
+      .withColumn("r", row_number().over(W.partitionBy("pid").orderBy("id")))
+    assert(flagged(modWin), "id % 2 partition window must be flagged")
+    // empty partition spec — one reducer sorts everything
+    val globalWin = base
+      .withColumn("r", row_number().over(W.orderBy("id")))
+    assert(flagged(globalWin), "empty-partition window must be flagged")
+    // boolean flag partition
+    val boolWin = base.withColumn("f", col("id") > 50)
+      .withColumn("r", row_number().over(W.partitionBy("f").orderBy("id")))
+    assert(flagged(boolWin), "boolean-partition window must be flagged")
+    // constant partition (foldable propagation inlines the literal)
+    val litWin = base.withColumn("p", lit(1))
+      .withColumn("r", row_number().over(W.partitionBy("p").orderBy("id")))
+    assert(flagged(litWin), "literal-partition window must be flagged")
+    // and the healthy shape does NOT fire: partition by a real key column
+    val okWin = base
+      .withColumn("r", row_number().over(W.partitionBy("id").orderBy("id")))
+    assert(!flagged(okWin), "attribute-keyed window must pass")
   }
 }
