@@ -257,29 +257,64 @@ object AnalyticsOps2 {
     * nondeterministic. */
   private[operators] def groupedPrefixSum(df: DataFrame, groups: Seq[String],
       sortCols: Seq[Column], value: Column,
-      cumOut: String, totalOut: String): DataFrame = {
+      cumOut: String, totalOut: String): DataFrame =
+    groupedPrefixSums(df, groups, sortCols,
+      Seq((value, cumOut, Some(totalOut))))
+
+  /** N-measure form of [[groupedPrefixSum]] — ONE range shuffle + one
+    * pinned partition stamp carrying any number of running sums over
+    * the same sort order (q153 carries both KS CDFs; q132 carries a
+    * rank + needs the per-group total). `groups` may be empty (pure
+    * global prefix, the q153 case): every group-partitioned window
+    * below runs on the metadata-sized per-(pid, group) count frame
+    * (≤ |groups|·P rows), never on data.
+    *
+    * Each measure is (value, cumOut, totalOut): `cumOut` gets the
+    * inclusive prefix of `value` in `sortCols` order within each
+    * group; `totalOut = Some(name)` also attaches the per-group total
+    * of that measure. With `value = lit(1L)` the prefix is exactly a
+    * per-group row_number. `sortCols` must totally order rows within
+    * each group (tiebreak on a unique id) or the prefix is
+    * nondeterministic. Same AQE re-sampling pin as globalRowNumber:
+    * the stamped frame is cached so the offsets branch and the
+    * join-back branch read ONE materialized spark_partition_id
+    * assignment. */
+  private[operators] def groupedPrefixSums(df: DataFrame,
+      groups: Seq[String], sortCols: Seq[Column],
+      measures: Seq[(Column, String, Option[String])]): DataFrame = {
     val gcols = groups.map(col)
-    val parts = df
-      .repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
-        (gcols ++ sortCols): _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lc", sum(value).over(
-        Window.partitionBy((col("__pid") +: gcols): _*).orderBy(sortCols: _*)
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    val local = Window.partitionBy((col("__pid") +: gcols): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val mi = measures.zipWithIndex
+    val parts = mi.foldLeft(
+      df.repartitionByRange(
+          df.sparkSession.sparkContext.defaultParallelism,
+          (gcols ++ sortCols): _*)
+        .withColumn("__pid", spark_partition_id())) {
+        case (acc, ((v, _, _), i)) =>
+          // same window spec for every measure → ONE physical Window node
+          acc.withColumn(s"__lc$i", sum(v).over(local))
+      }
       .cache() // pin the partition stamp (q112's AQE hazard)
+    val pcs = mi.map { case ((v, _, _), i) => sum(v).as(s"__pc$i") }
     val cnts = parts.groupBy((col("__pid") +: gcols): _*)
-      .agg(sum(value).as("__pc"))
-    val offs = cnts
-      .withColumn("__off", coalesce(
-        sum(col("__pc")).over(Window.partitionBy(gcols: _*)
+      .agg(pcs.head, pcs.tail: _*)
+    val offs = mi.foldLeft(cnts) { case (acc, ((_, _, totalOut), i)) =>
+      val withOff = acc.withColumn(s"__off$i", coalesce(
+        sum(col(s"__pc$i")).over(Window.partitionBy(gcols: _*)
           .orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn(totalOut, sum(col("__pc")).over(
-        Window.partitionBy(gcols: _*)))
-      .select((col("__pid") +: gcols :+ col("__off") :+ col(totalOut)): _*)
-    parts.join(broadcast(offs), "__pid" +: groups)
-      .withColumn(cumOut, col("__lc") + col("__off"))
-      .drop("__pid", "__lc", "__off")
+      totalOut.fold(withOff)(t => withOff.withColumn(t,
+        sum(col(s"__pc$i")).over(Window.partitionBy(gcols: _*))))
+    }.select((col("__pid") +: gcols) ++
+      mi.map { case (_, i) => col(s"__off$i") } ++
+      measures.flatMap(_._3).map(col): _*)
+    val joined = parts.join(broadcast(offs), "__pid" +: groups)
+    mi.foldLeft(joined) { case (acc, ((_, cumOut, _), i)) =>
+      acc.withColumn(cumOut, col(s"__lc$i") + col(s"__off$i"))
+    }.drop("__pid" +: mi.flatMap { case (_, i) =>
+      Seq(s"__lc$i", s"__off$i") }: _*)
   }
 
   /** Benford first-digit audit of order totals: observed first-digit

@@ -324,41 +324,20 @@ object AnalyticsOps4 {
       |  CAST(max(abs(c1 * nb - c2 * na)) AS DOUBLE) / na / nb AS ks
       |FROM c CROSS JOIN tot GROUP BY na, nb""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val g = Tables.events(s, d)
       .select(col("value").as("score"),
         (col("event_id") % 2).cast("long").as("grp"))
       .groupBy(col("score"))
       .agg(sum(lit(1L) - col("grp")).as("n1"), sum(col("grp")).as("n2"))
-    // q115's two-phase prefix, carrying BOTH running counts over one
-    // partition stamp (a second groupedPrefixSum call would pay a
-    // second range shuffle + cache for the same order)
-    val parts = g
-      .repartitionByRange(s.sparkContext.defaultParallelism, col("score"))
-      .sortWithinPartitions(col("score"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__l1", sum(col("n1")).over(
-        Window.partitionBy(col("__pid")).orderBy(col("score"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__l2", sum(col("n2")).over(
-        Window.partitionBy(col("__pid")).orderBy(col("score"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .cache() // pin the partition stamp (q112's AQE hazard)
-    val offs = parts.groupBy(col("__pid"))
-      .agg(sum(col("n1")).as("__p1"), sum(col("n2")).as("__p2"))
-      .withColumn("__o1", coalesce(
-        sum(col("__p1")).over(Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__o2", coalesce(
-        sum(col("__p2")).over(Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__o1"), col("__o2"))
-    val tot = g.agg(sum(col("n1")).as("na"), sum(col("n2")).as("nb"))
-    parts.join(broadcast(offs), Seq("__pid"))
-      .select((col("__l1") + col("__o1")).as("c1"),
-        (col("__l2") + col("__o2")).as("c2"))
-      .crossJoin(broadcast(tot))
-      .groupBy(col("na"), col("nb"))
+    // both CDFs + both totals from ONE call of the TESTED N-measure
+    // two-phase prefix helper (TwoPhasePrefixSpec pins it): one range
+    // shuffle, one pinned partition stamp, one physical Window node
+    // carrying both running sums — a second groupedPrefixSum call
+    // would pay a second range shuffle + cache for the same order
+    val c = AnalyticsOps2.groupedPrefixSums(g, Seq.empty,
+      Seq(col("score")),
+      Seq((col("n1"), "c1", Some("na")), (col("n2"), "c2", Some("nb"))))
+    c.groupBy(col("na"), col("nb"))
       .agg(max(abs(col("c1") * col("nb") - col("c2") * col("na")))
         .as("ks_num"))
       .select(col("na"), col("nb"), col("ks_num"),

@@ -602,38 +602,20 @@ object Relational3 {
         (col("t2") - col("t1")).as("lat_us"))
       .unionByName(p1.select(lit("click_to_purchase").as("step"),
         col("user_id"), (col("t3") - col("t2")).as("lat_us")))
-    // two-phase per-step global rank: range partitions ordered by
-    // (step, lat_us, user_id) → partition-local row_number per
-    // (__pid, step) → + broadcast per-(pid, step) prefix offset
-    val parts = lat
-      .repartitionByRange(s.sparkContext.defaultParallelism,
-        col("step"), col("lat_us"), col("user_id"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("__pid"), col("step"))
-          .orderBy(col("lat_us"), col("user_id"))))
-      .cache() // pin the partition stamp (q112's AQE re-sampling hazard)
-    // per-(pid, step) counts: ≤ 2·P rows — every window below is
-    // metadata-sized, so plain step-partitioned specs are fine here
-    val cnts = parts.groupBy(col("__pid"), col("step"))
-      .agg(count(lit(1)).as("__pc"))
-    val offs = cnts
-      .withColumn("__off", coalesce(
-        sum(col("__pc")).over(Window.partitionBy(col("step"))
-          .orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum(col("__pc")).over(
-        Window.partitionBy(col("step"))))
-      .select(col("__pid"), col("step"), col("__off"), col("n"))
-    val r = parts.join(broadcast(offs), Seq("__pid", "step"))
-      .withColumn("rn", col("__lrn") + col("__off"))
+    // two-phase per-step global rank + per-step total, via the TESTED
+    // shared helper (TwoPhasePrefixSpec pins it to the window
+    // reference): with value = 1 the grouped prefix IS the per-step
+    // row_number, and totalOut carries n — same range-partitioned /
+    // broadcast-offset plan the hand-rolled r8 version built inline
+    val r = AnalyticsOps2.groupedPrefixSum(lat, Seq("step"),
+      Seq(col("lat_us"), col("user_id")), lit(1L), "rn", "n")
     val med = r
       .filter(col("rn") === expr("(n + 1) div 2") ||
               col("rn") === expr("(n + 2) div 2"))
       .groupBy(col("step")).agg(avg(col("lat_us")).as("med_us"))
     val p90 = r.filter(col("rn") === expr("(9 * n + 9) div 10"))
       .groupBy(col("step")).agg(min(col("lat_us")).cast("long").as("p90_us"))
-    offs.groupBy(col("step")).agg(max(col("n")).as("n"))
+    r.groupBy(col("step")).agg(max(col("n")).as("n"))
       .join(med, Seq("step")).join(p90, Seq("step"))
       .select(col("step"), col("n"), col("med_us"), col("p90_us"))
   }

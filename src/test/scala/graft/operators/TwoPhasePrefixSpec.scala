@@ -52,6 +52,36 @@ class TwoPhasePrefixSpec extends SparkSpec {
     }
   }
 
+  test("groupedPrefixSums carries N measures exactly (q153/q132 shapes, 12 seeds)") {
+    import spark.implicits._
+    for (seed <- 40L to 51L) {
+      val df = draw(seed).toDF("g", "v", "w", "id").repartition(6)
+      // two measures over one pass: a weighted prefix (w) and a pure
+      // rank (1) — the q153 dual-CDF and q132 rank+total shapes at once;
+      // empty groups = pure global prefix (the q153 case)
+      val got = AnalyticsOps2.groupedPrefixSums(df, Seq.empty,
+          Seq(col("v"), col("id")),
+          Seq((col("w"), "cw", Some("tw")), (lit(1L), "rn", None)))
+        .select("id", "cw", "tw", "rn")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val ref = Window.orderBy(col("v"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val want = df.coalesce(1)
+        .withColumn("cw", sum(col("w")).over(ref))
+        .withColumn("tw", sum(col("w")).over(
+          Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "cw", "tw", "rn")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == want, s"seed $seed")
+      graft.CacheHygiene.sweep(spark)
+    }
+  }
+
   test("globalRowNumber equals the single-window reference (12 seeds)") {
     import spark.implicits._
     for (seed <- 20L to 31L) {
