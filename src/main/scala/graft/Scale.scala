@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * plan-shape arguments).
   *
   *   runMain graft.Scale gen   <srcSfDir> <dstDir> <copies>
+  *   runMain graft.Scale skew  <srcSfDir> <dstDir> <copies>
   *   runMain graft.Scale sweep <sfDir> <q1> <q2> ...
   *
   * `gen` replicates a driver SF directory N× with CONTENT
@@ -62,13 +63,37 @@ object Scale {
     spark.sparkContext.setLogLevel("ERROR")
     args(0) match {
       case "gen"   => gen(spark, args(1), args(2), args(3).toInt)
+      case "skew"  => gen(spark, args(1), args(2), args(3).toInt, skew = true)
       case "sweep" => sweep(spark, args(1), args.drop(2).toSeq)
-      case other   => sys.error(s"unknown mode $other (gen|sweep)")
+      case other   => sys.error(s"unknown mode $other (gen|skew|sweep)")
     }
     spark.stop()
   }
 
-  def gen(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+  /** `skew = true` (mode `skew`) generates the ADVERSARIAL-SKEW
+    * replica: same content-perturbed N× replication, then hot keys
+    * are planted at the concentrations the benign sweep can't
+    * produce (uniform replicas only ever scale population, never
+    * per-key mass — the hot-key cliff is the real 100 TB killer):
+    *   - events: ONE user (id 0) owns ~1% of ALL events (≈150× the
+    *     mean user) — stresses every user-keyed window/join family
+    *     (q2b, q114, q131, q143, q2k, q106);
+    *   - lineitem: ONE part lands in ~10% of all baskets (first line
+    *     of every 10th order) — stresses the basket pair-stream
+    *     families' per-item degree (q86, q102, q108, q148);
+    *   - documents: one shared shingle is planted just UNDER the
+    *     df-cap (df ≈ 950 < 1000 — the worst key the cap still
+    *     admits: one posting list of ~950 ids, ~450k verify pairs
+    *     from a single key) and one just OVER it (df ≈ 3×cap — must
+    *     be dropped for free by the df band) — stresses q41/q124/
+    *     q42/q140; n_chars is recomputed so the documents table
+    *     stays internally consistent.
+    * Hot ids keep referential integrity (user 0 and the min partkey
+    * exist in every copy's dim range). The planted tokens use
+    * letters outside both rotation alphabets, so the df counts
+    * accumulate across copies instead of being rotated apart. */
+  def gen(spark: SparkSession, src: String, dst: String, copies: Int,
+      skew: Boolean = false): Unit = {
     // read through Tables.load, not raw: the loader normalizes every
     // timestamp encoding (NANOS/NTZ/LTZ), so replicas always carry a
     // genuine TimestampType — a raw read of a NANOS source would write
@@ -105,9 +130,22 @@ object Scale {
         else translate(once, Letters2, rot(Letters2, (k / 10) % 10))
       }
 
-    write(rep(docs) { (d, k) =>
+    val docsRep = rep(docs) { (d, k) =>
       d.withColumn("doc_id", shift("doc_id", docS, k))
         .withColumn("text", mutate(col("text"), k))
+    }
+    write(if (!skew) docsRep else {
+      val total = docS * copies
+      val mHot = math.max(1L, total / 950)   // df ≈ 950, just under the cap
+      val mOver = math.max(1L, total / 3000) // df ≈ 3000, over the cap
+      docsRep
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(mHot)) === 0,
+            concat(col("text"), lit(" zx qv jk")))
+          .when(pmod(col("doc_id"), lit(mOver)) === 1,
+            concat(col("text"), lit(" xj vk qz")))
+          .otherwise(col("text")))
+        .withColumn("n_chars", length(col("text")))
     }, "documents")
     write(rep(emb) { (d, k) =>
       d.withColumn("vec_id", shift("vec_id", vecS, k))
@@ -116,18 +154,41 @@ object Scale {
           else transform(col("embedding"), (x, i) =>
             when(pmod(hash(i, lit(k)), lit(2)) === 0, x).otherwise(-x)))
     }, "embeddings")
-    write(rep(ev) { (d, k) =>
+    val evRep = rep(ev) { (d, k) =>
       d.withColumn("event_id", shift("event_id", evS, k))
         .withColumn("user_id", shift("user_id", userS, k))
-    }, "events")
+    }
+    write(if (!skew) evRep else
+      // ~1% of all events funnel to user 0 (xxhash64 of the unique
+      // event id — deterministic, uniform over rows)
+      evRep.withColumn("user_id",
+        when(pmod(xxhash64(col("event_id")), lit(100)) === 0, lit(0L))
+          .otherwise(col("user_id"))), "events")
     write(rep(ord) { (d, k) =>
       d.withColumn("o_orderkey", shift("o_orderkey", okS, k))
         .withColumn("o_custkey", shift("o_custkey", ckS, k))
     }, "orders")
-    write(rep(li) { (d, k) =>
+    val liRep = rep(li) { (d, k) =>
       d.withColumn("l_orderkey", shift("l_orderkey", okS, k))
         .withColumn("l_suppkey", shift("l_suppkey", skS, k))
         .withColumn("l_partkey", shift("l_partkey", pkS, k))
+    }
+    write(if (!skew) liRep else {
+      // the min partkey exists in copy 0's dim range; planting it on
+      // exactly ONE line of every ~10th basket puts one item in ~10%
+      // of all baskets without changing basket sizes (row_number, not
+      // l_linenumber: the synthetic lineitem's linenumbers are neither
+      // unique nor dense per order — gen-time-only window cost)
+      val hotPart = prt.agg(min(col("p_partkey"))).head().getLong(0)
+      liRep.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_orderkey"))
+            .orderBy(col("l_linenumber"), col("l_partkey"))))
+        .withColumn("l_partkey",
+          when(pmod(xxhash64(col("l_orderkey")), lit(10)) === 0 &&
+               col("__rn") === 1, lit(hotPart))
+            .otherwise(col("l_partkey")))
+        .drop("__rn")
     }, "lineitem")
     write(rep(prt) { (d, k) =>
       d.withColumn("p_partkey", shift("p_partkey", pkS, k))
@@ -144,7 +205,7 @@ object Scale {
     // nation/region are genuinely fixed-cardinality reference data
     // (dim keys above keep their nationkeys valid): copy through
     Seq("nation", "region").foreach { t => write(read(t), t) }
-    println(s"""{"gen":"$dst","copies":$copies}""")
+    println(s"""{"gen":"$dst","copies":$copies,"skew":$skew}""")
   }
 
   def sweep(spark: SparkSession, sfDir: String, names: Seq[String]): Unit = {

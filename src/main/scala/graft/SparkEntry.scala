@@ -33,6 +33,7 @@ object SparkEntry {
     operators.AnalyticsOps2.all,
     operators.AnalyticsOps3.all,
     operators.AnalyticsOps4.all,
+    operators.AnalyticsOps5.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

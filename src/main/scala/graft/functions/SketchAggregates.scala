@@ -121,4 +121,98 @@ object SketchAggregates {
       MinHashSketch(
         org.apache.spark.sql.GraftColumnBridge.expression(col), k)
         .toAggregateExpression())
+
+  /** HyperLogLog register sketch over a string column — the OTHER
+    * mergeable sketch a 100 TB engine cannot live without (distinct
+    * counts where the per-group element streams never co-locate):
+    * array<int> of 2^p max-rank registers, map-side update,
+    * elementwise-max merge (associative + idempotent, so re-merging
+    * across rollup levels is safe). The ESTIMATE is deliberately NOT
+    * computed here: registers stay a pure mergeable state, and the
+    * estimator runs as auditable column math on the array (see
+    * q154).
+    *
+    * Hash recipe (cross-engine): h = first 15 hex chars of md5(s)
+    * parsed base-16 (60 bits, the q33/q37/q149 family) — bucket is
+    * the TOP p bits (h >> (60−p)), the rank word w is the LOW 40
+    * bits, rank = 40 − floor(log2(w)) (w = 0 → 41). The 40-bit
+    * window is a parity choice: the oracle recomputes floor(log2(w))
+    * in double math, where log2(2^k − 1) sits ~1/(2^k ln2) below k —
+    * at k = 50 that's ~1 ulp (a double could round UP to k and
+    * misbin), at k = 40 it's ~180 ulps of slack. Dropping the middle
+    * 10 bits keeps both engines' floor(log2) exact over the whole
+    * domain. */
+  case class HllRegisters(
+      child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]] {
+
+    private def m: Int = 1 << p
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType != StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft hll_registers needs a string child, got ${child.dataType.sql}")
+      else if (p < 4 || p > 16)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft hll_registers needs 4 <= p <= 16, got $p")
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val md = hexDigest.get()
+        md.reset()
+        val digest = md.digest(
+          v.asInstanceOf[UTF8String].toString.getBytes("UTF-8"))
+        // first 15 hex chars = 60 bits (the MinHashSketch recipe)
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+        val bucket = (h >>> (60 - p)).toInt
+        val w = h & ((1L << 40) - 1)
+        val rank =
+          (if (w == 0) 41 else 41 - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+            .toByte
+        if (rank > buf(bucket)) buf(bucket) = rank
+      }
+      buf
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def eval(buf: Array[Byte]): Any =
+      new GenericArrayData(buf.map(_.toInt))
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(o: Int): HllRegisters =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllRegisters =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): HllRegisters =
+      copy(child = newChildren.head)
+  }
+
+  /** Column wrapper: `groupBy(...).agg(hllRegisters($"text", 10))`. */
+  def hllRegisters(col: Column, p: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      HllRegisters(
+        org.apache.spark.sql.GraftColumnBridge.expression(col), p)
+        .toAggregateExpression())
 }

@@ -687,13 +687,19 @@ object AnalyticsOps {
     * on BOTH sides: a negative purchase is a refund, not a
     * conversion, and attribution models credit conversions.
     *
-    * Scale shape: the touch×purchase pairing is a user-keyed
-    * equi-join with the window predicate inside it — both sides
-    * arrive on the same exchange key, and fan-out is per-user
-    * activity² within a week, the quantity the lookback bounds by
-    * design. A bot-grade hot user is the q73 salting lever. The
-    * credit-share count keys on the purchase id the pair stream
-    * already carries. */
+    * Scale shape (rewritten round 9 after the planted-skew sweep):
+    * JOINLESS. The r8 shape was a user-keyed purchase×touch
+    * equi-join — per-user activity² fan-out, and the adversarial
+    * replica (one user owning 1% of all events) measured the cliff
+    * at 15.9× (2.9 → 45.9 s at sf10). The credit formula only needs
+    * per-(purchase, channel) COUNTS, and a windowed count is a
+    * difference of two cumulative counts, so the pairing is now the
+    * q107/q119 as-of idiom: touch markers ∪ two probe rows per
+    * purchase, ONE (user, channel)-keyed running-count window,
+    * per-purchase prefix differences, purchase-keyed rollups.
+    * Linear in events regardless of per-user density — a bot-grade
+    * hot user costs one big (but n·log n, single-pass) window
+    * partition instead of an n² pair stream. */
   val q131MultiTouch: QueryDef = QueryDef.withOracle(
     """WITH t AS (
       |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us,
@@ -726,26 +732,64 @@ object AnalyticsOps {
       |  CAST(sum(rev_fp) AS DOUBLE) / 100000000 AS revenue
       |FROM credited GROUP BY 1""".stripMargin
   ) { (s, d) =>
+    // JOINLESS (round-9 skew fix): the user-keyed purchase×touch
+    // equi-join materializes every (purchase, touch-in-window) pair —
+    // quadratic in any one user's event density, and the planted-skew
+    // sweep measured the cliff (one user with 1% of all events:
+    // 2.9 s → 45.9 s at sf10). The credit formula only needs COUNTS
+    // per (purchase, channel), and counts over a time window are a
+    // difference of two cumulative counts — so this runs the q107/
+    // q119 as-of idiom instead: union per-channel touch markers with
+    // two probe rows per purchase (window start/end), one
+    // (user, channel)-keyed running count, then per-purchase
+    // differences. Cost is ONE window sort over events + purchase-
+    // keyed rollups: linear in events regardless of per-user density
+    // (hot-key ratio back to ~1, same hash). Tie discipline: probes
+    // at the window END sort AFTER coincident touches (inclusive
+    // upper bound), probes at the START sort BEFORE them (inclusive
+    // lower bound: cum_lo counts strictly-earlier touches).
     val ev = Tables.events(s, d)
     val touches = ev.filter(col("event_type").isin("click", "view"))
-      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
-        col("event_type").as("channel"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("t"), lit(1).as("rk"),
+        lit(1L).as("is_touch"), lit(null).cast("long").as("p_id"),
+        lit(null).cast("long").as("cents"))
     val purchases = ev
       .filter(col("event_type") === "purchase" && col("value") >= 0)
       .select(col("event_id").as("p_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    val pairs = purchases.join(touches,
-        purchases("user_id") === touches("user_id") &&
-          col("t_us") <= col("ts_us") &&
-          col("t_us") >= col("ts_us") - 604800000000L)
-      .select(col("p_id"), col("cents"), col("channel"))
-    val n = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("n_touch"))
-    val credited = pairs.join(n, Seq("p_id"))
+    val probes = purchases.select(col("user_id"), col("p_id"), col("cents"),
+        col("ts_us"),
+        explode(expr(
+          "array(named_struct('channel', 'click', 'rk', 0), " +
+            "named_struct('channel', 'click', 'rk', 2), " +
+            "named_struct('channel', 'view', 'rk', 0), " +
+            "named_struct('channel', 'view', 'rk', 2))")).as("pr"))
+      .select(col("user_id"), col("pr.channel").as("channel"),
+        when(col("pr.rk") === 0, col("ts_us") - 604800000000L)
+          .otherwise(col("ts_us")).as("t"),
+        col("pr.rk").as("rk"), lit(0L).as("is_touch"),
+        col("p_id"), col("cents"))
+    val cum = touches.unionByName(probes)
+      .withColumn("cum", sum(col("is_touch")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("channel"))
+          .orderBy(col("t"), col("rk"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+    val perChannel = cum.filter(col("rk") =!= 1)
+      .groupBy(col("p_id"), col("cents"), col("channel"))
+      .agg((max(when(col("rk") === 2, col("cum"))) -
+        max(when(col("rk") === 0, col("cum")))).as("c"))
+    val nt = perChannel.groupBy(col("p_id"), col("cents"))
+      .agg(sum(col("c")).as("n_touch"))
+    val credited = perChannel.filter(col("c") > 0)
+      .join(nt.select(col("p_id"), col("n_touch")), Seq("p_id"))
       .select(col("channel"),
-        expr("1000000 div n_touch").as("conv_fp"),
-        expr("(cents * 1000000) div n_touch").as("rev_fp"))
-      .unionByName(purchases.join(n, Seq("p_id"), "left_anti")
+        (col("c") * expr("1000000 div n_touch")).as("conv_fp"),
+        (col("c") * expr("(cents * 1000000) div n_touch")).as("rev_fp"))
+      .unionByName(nt.filter(col("n_touch") === 0)
         .select(lit("direct").as("channel"),
           lit(1000000L).as("conv_fp"),
           (col("cents") * 1000000L).as("rev_fp")))

@@ -1,0 +1,380 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 analytics tranche: mergeable-sketch distinct counting,
+  * behavioral transition/debounce/retention reports, distribution
+  * drift, and rank-migration — each chosen to exercise a scale
+  * primitive the 100 TB engine needs (HLL registers, user-keyed
+  * windows, token-keyed smoothed divergence, the N-measure two-phase
+  * prefix over a 2-value group).
+  *
+  * Cross-engine conventions throughout: cents-exact money, epoch-µs
+  * int64 time with floordiv-by-construction day math (the q143 pmod
+  * guard), quantize-then-sum for float folds (1e-9 fixed point), and
+  * explicit DOUBLE casts on every fractional SQL literal (DuckDB
+  * parses bare decimals as DECIMAL, not DOUBLE).
+  */
+object AnalyticsOps5 {
+
+  /** Sign-safe epoch-µs → day floordiv (oracle `//` floors, Spark
+    * `div` truncates; subtracting pmod first makes them agree on all
+    * epochs — the q143 convention). */
+  private def epochDay(ts: Column): Column =
+    expr(s"(unix_micros(${ts.toString}) - " +
+      s"pmod(unix_micros(${ts.toString}), 86400000000)) div 86400000000")
+
+  /** Per-source distinct-document estimate from the mergeable
+    * HyperLogLog register sketch (`SketchAggregates.HllRegisters`,
+    * p = 10 → 1024 registers) next to the exact distinct count and
+    * the relative error — the verification harness a sketch rollout
+    * ships with. The ESTIMATOR is column math over the register
+    * array, auditable and engine-neutral: S = Σ 2^−M_j is a sum of
+    * dyadic rationals whose partial sums all fit in 51 bits (exact in
+    * ANY summation order, both engines); the raw estimate is
+    * α·m²/S; the small-range regime (E ≤ 2.5m with empty registers)
+    * switches to linear counting m·ln(m/V), rounded at 1e-6 to
+    * absorb last-ulp libm disagreement (the q113 convention).
+    *
+    * Scale shape: ONE hash aggregate whose state is 1 KB per group
+    * regardless of group size — map-side update, elementwise-max
+    * merge; the estimator runs on the 20-row (source, registers)
+    * frame. The exact countDistinct beside it is the gate's truth
+    * column, not part of the sketch path. Oracle: DuckDB re-derives
+    * every register from the same md5 recipe (bucket = top 10 of 60
+    * bits, rank over the LOW 40 bits — floor(log2) is exact there,
+    * see HllRegisters' scaladoc) and applies the identical
+    * estimator. */
+  val q154HllDistinct: QueryDef = QueryDef.withOracle(
+    """WITH ex AS (
+      |  SELECT source, count(DISTINCT text) AS n_exact
+      |  FROM documents GROUP BY 1),
+      |h AS (
+      |  SELECT source, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, h >> 50 AS bucket,
+      |    max(CASE WHEN (h & ((1::BIGINT << 40) - 1)) = 0 THEN 41
+      |      ELSE 40 - CAST(floor(log2(h & ((1::BIGINT << 40) - 1)))
+      |        AS BIGINT) END) AS reg
+      |  FROM h GROUP BY 1, 2),
+      |g AS (
+      |  SELECT s.source, gs.bucket, coalesce(r.reg, 0) AS reg
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN (SELECT unnest(range(0, 1024)) AS bucket) gs
+      |  LEFT JOIN r ON r.source = s.source AND r.bucket = gs.bucket),
+      |a AS (
+      |  SELECT source,
+      |    sum(pow(CAST(2 AS DOUBLE), -reg)) AS s_inv,
+      |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM g GROUP BY 1),
+      |e AS (
+      |  SELECT ex.source, ex.n_exact, a.v_zero,
+      |    ((CAST(0.7213 AS DOUBLE) * 1048576) /
+      |     (CAST(1 AS DOUBLE) + (CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE))))
+      |      / a.s_inv AS e_raw
+      |  FROM ex JOIN a USING (source)),
+      |f AS (
+      |  SELECT source, n_exact, v_zero,
+      |    floor((CASE WHEN e_raw <= 2560 AND v_zero > 0
+      |      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / v_zero)
+      |      ELSE e_raw END) * 1000000 + 0.5) / 1000000 AS hll_est
+      |  FROM e)
+      |SELECT source, n_exact, v_zero, hll_est,
+      |  abs(hll_est - CAST(n_exact AS DOUBLE)) / n_exact AS rel_err
+      |FROM f""".stripMargin
+  ) { (s, d) =>
+    val agg = Tables.documents(s, d).groupBy(col("source"))
+      .agg(
+        graft.functions.SketchAggregates.hllRegisters(col("text"), 10)
+          .as("regs"),
+        countDistinct(col("text")).as("n_exact"))
+    val stats = agg.select(col("source"), col("n_exact"),
+      expr("aggregate(regs, CAST(0 AS DOUBLE), " +
+        "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))").as("s_inv"),
+      expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("v_zero"))
+    val alphaMm = (lit(0.7213) * lit(1048576.0)) /
+      (lit(1.0) + (lit(1.079) / lit(1024.0)))
+    stats
+      .withColumn("e_raw", alphaMm / col("s_inv"))
+      .withColumn("hll_est",
+        floor((when(col("e_raw") <= 2560 && col("v_zero") > 0,
+          lit(1024.0) * log(lit(1024.0) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw"))) * 1000000 + 0.5) / 1000000)
+      .select(col("source"), col("n_exact"), col("v_zero"), col("hll_est"),
+        (abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact")).as("rel_err"))
+  }
+
+  /** First-order Markov transition matrix of event types — the
+    * behavioral fingerprint report (which action follows which, and
+    * with what probability) that sits upstream of q114's top path
+    * strings. Transitions are (event, NEXT event by the same user in
+    * (ts, event_id) order); probability is row-normalized by the
+    * from-type margin.
+    *
+    * Scale shape: ONE user-keyed exchange for the lead window (user
+    * cardinality parallelism), then a partial+final rollup onto the
+    * ≤ |types|² = 25-key domain; the margin attach is a broadcast of
+    * the ≤5-row from-type frame. The probability is one IEEE division
+    * of exact int64 counts. */
+  val q155MarkovTransitions: QueryDef = QueryDef.withOracle(
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    count(*) AS n
+      |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM t GROUP BY 1)
+      |SELECT from_type, to_type, n, n_from,
+      |  CAST(n AS DOUBLE) / n_from AS p
+      |FROM t JOIN f USING (from_type)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))).as("next_type"))
+    val t = o.filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val f = t.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    t.join(broadcast(f), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+  }
+
+  /** Debounce report — how many events a 5-second same-(user, type)
+    * suppression window would drop, per type: the batch twin of the
+    * streaming dedup-within-watermark stage (ST5's cousin), and the
+    * number a pipeline owner reads before turning such a filter on.
+    * An event is suppressed when the PREVIOUS event of the same
+    * (user, type) is < 5 s older (lag-based — the one-window
+    * definition; a kept-state debounce would be iterative and is
+    * exactly what the streaming path's mapGroupsWithState does).
+    *
+    * Scale shape: ONE (user, type)-keyed exchange for the lag window,
+    * then a partial+final rollup onto the ≤5-row type domain. All
+    * arithmetic is int64 µs. */
+  val q156Debounce: QueryDef = QueryDef.withOracle(
+    """WITH o AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS prev_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN prev_us IS NOT NULL
+      |    AND ts_us - prev_us < 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_suppressed,
+      |  CAST(count(*) - sum(CASE WHEN prev_us IS NOT NULL
+      |    AND ts_us - prev_us < 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept
+      |FROM o GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      lag(unix_micros(col("ts")), 1).over(
+        Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))).as("prev_us"))
+    val supp = when(col("prev_us").isNotNull &&
+      col("ts_us") - col("prev_us") < 5000000L, 1L).otherwise(0L)
+    o.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"), sum(supp).as("n_suppressed"))
+      .select(col("event_type"), col("n_total"), col("n_suppressed"),
+        (col("n_total") - col("n_suppressed")).as("n_kept"))
+  }
+
+  /** Cohort retention triangle — users grouped by their FIRST active
+    * day, counted as retained in each subsequent week-index: the
+    * table every growth dashboard draws as the retention staircase
+    * (q106 reports daily churn states; this is the cohort-relative
+    * view).
+    *
+    * Scale shape: one (user, day) dedup aggregate (map-side
+    * pre-combine), one user-keyed min for the cohort, one user-keyed
+    * equi-join back, and a rollup onto the (cohort-days × weeks)
+    * domain — calendar-bounded, metadata-sized output. Day and week
+    * indexes are floordiv-by-construction int64. */
+  val q157RetentionTriangle: QueryDef = QueryDef.withOracle(
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM du GROUP BY 1)
+      |SELECT c.cohort AS cohort_day,
+      |  CAST((du.day - c.cohort) // 7 AS BIGINT) AS wk,
+      |  count(DISTINCT du.user_id) AS n_users
+      |FROM du JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(col("user_id"), epochDay(col("ts")).as("day"))
+      .distinct()
+    val c = du.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    du.join(c, Seq("user_id"))
+      .groupBy(col("cohort").as("cohort_day"),
+        // day - cohort >= 0 by construction, so div == floordiv here
+        expr("(day - cohort) div 7").as("wk"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Smoothed unigram KL divergence of each source's token
+    * distribution from the corpus distribution — the drift score
+    * curation uses to spot a source whose language shifted (q117's χ²
+    * is binned counts; this is the full-vocabulary divergence). Add-1
+    * smoothing over the corpus vocabulary, so absent tokens
+    * contribute their mass too (the dense |V|×|sources| term table —
+    * sources are a handful, the vocabulary is Heaps-bounded).
+    *
+    * Parity: p and q are ratios of EXACT int64 counts, the term
+    * p·ln(p/q) is the same IEEE sequence in both engines, each term
+    * quantizes to 1e-9 fixed point BEFORE summing (signed terms — KL
+    * is a sum of both signs that only totals nonnegative), and the
+    * per-source sum is int64 — order-free. The final kl is one IEEE
+    * division.
+    *
+    * Scale shape: token explode → (source, token) partial+final
+    * counts → corpus margin by token-keyed rollup of THAT frame (no
+    * second corpus scan) → vocab × sources dense frame via broadcast
+    * of the ≤20-row source margin; the term sum rides one
+    * source-keyed rollup. */
+  val q158UnigramKl: QueryDef = QueryDef.withOracle(
+    """WITH st AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |sc AS (
+      |  SELECT source, tok, count(*) AS c_s FROM st GROUP BY 1, 2),
+      |tc AS (
+      |  SELECT tok, CAST(sum(c_s) AS BIGINT) AS c FROM sc GROUP BY 1),
+      |sm AS (
+      |  SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+      |gl AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS v FROM tc),
+      |dense AS (
+      |  SELECT sm.source, tc.tok, sm.n_s, tc.c, gl.n, gl.v,
+      |    coalesce(sc.c_s, 0) AS c_s
+      |  FROM tc CROSS JOIN sm CROSS JOIN gl
+      |  LEFT JOIN sc ON sc.source = sm.source AND sc.tok = tc.tok),
+      |terms AS (
+      |  SELECT source, n_s,
+      |    CAST(floor(
+      |      (CAST(c_s + 1 AS DOUBLE) / (n_s + v)) *
+      |      ln((CAST(c_s + 1 AS DOUBLE) / (n_s + v)) /
+      |         (CAST(c + 1 AS DOUBLE) / (n + v)))
+      |      * 1000000000 + 0.5) AS BIGINT) AS term_fp
+      |  FROM dense)
+      |SELECT source, max(n_s) AS n_tokens,
+      |  CAST(sum(term_fp) AS BIGINT) AS kl_fp,
+      |  CAST(sum(term_fp) AS DOUBLE) / 1000000000 AS kl
+      |FROM terms GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+    val sc = st.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_s"))
+    val tc = sc.groupBy(col("tok")).agg(sum(col("c_s")).as("c"))
+    val sm = sc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val gl = tc.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val p = (col("c_s") + 1).cast("double") / (col("n_s") + col("v"))
+    val q = (col("c") + 1).cast("double") / (col("n") + col("v"))
+    tc.crossJoin(broadcast(sm)).crossJoin(broadcast(gl))
+      .join(sc, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c_s"))
+      .select(col("source"), col("n_s"),
+        floor(p * log(p / q) * 1000000000L + 0.5).cast("long").as("term_fp"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term_fp")).as("kl_fp"))
+      .select(col("source"), col("n_tokens"), col("kl_fp"),
+        (col("kl_fp").cast("double") / 1000000000L).as("kl"))
+  }
+
+  /** Customer spend-decile migration matrix between the early and
+    * late halves of the order history — who moved up, who churned
+    * down, the panel-analysis table behind "net revenue retention by
+    * segment". The period split is the exact midpoint of the epoch-µs
+    * date range (int floordiv, engine-neutral); deciles are exact
+    * integer cuts over each period's global spend rank.
+    *
+    * Scale shape: the per-period spend rollup is customer-keyed
+    * (partial+final); the per-period GLOBAL rank is the q132 class —
+    * `period` has exactly TWO values, so a Window.partitionBy(period)
+    * would sort both populations through two single reducers — and
+    * therefore runs the GROUPED two-phase range-partitioned prefix
+    * (groupedPrefixSum with period leading the range key, the tested
+    * N-measure helper); the early↔late pairing is one customer-keyed
+    * equi-join; the matrix rollup lands on the ≤100-cell domain. */
+  val q159DecileMigration: QueryDef = QueryDef.withOracle(
+    """WITH mid AS (
+      |  SELECT (min(CAST(epoch_us(o_orderdate) AS BIGINT)) +
+      |          max(CAST(epoch_us(o_orderdate) AS BIGINT))) // 2 AS m
+      |  FROM orders),
+      |pc AS (
+      |  SELECT CASE WHEN CAST(epoch_us(o_orderdate) AS BIGINT) < mid.m
+      |      THEN 'early' ELSE 'late' END AS period,
+      |    o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders CROSS JOIN mid GROUP BY 1, 2),
+      |r AS (
+      |  SELECT period, o_custkey, cents,
+      |    row_number() OVER (PARTITION BY period
+      |      ORDER BY cents, o_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY period) AS np
+      |  FROM pc),
+      |dd AS (
+      |  SELECT period, o_custkey,
+      |    CAST((rn - 1) * 10 // np AS BIGINT) AS dec FROM r)
+      |SELECT e.dec AS d_early, l.dec AS d_late,
+      |  count(*) AS n_customers
+      |FROM dd e JOIN dd l ON e.o_custkey = l.o_custkey
+      |WHERE e.period = 'early' AND l.period = 'late'
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate")).as("ts_us"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    // exact int64 midpoint (Spark's `/` is double division; div keeps
+    // the epoch math integral — positive epochs, so div == floordiv)
+    val mid = ord.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("m"))
+    val pc = ord.crossJoin(broadcast(mid))
+      .select(
+        when(col("ts_us") < col("m"), "early").otherwise("late").as("period"),
+        col("o_custkey"), col("cents"))
+      .groupBy(col("period"), col("o_custkey"))
+      .agg(sum(col("cents")).as("cents"))
+    // period has 2 values — the q132 skewed-key class; the grouped
+    // two-phase prefix keeps every partition parallel
+    val r = AnalyticsOps2.groupedPrefixSum(pc, Seq("period"),
+      Seq(col("cents"), col("o_custkey")), lit(1L), "rn", "np")
+    val dd = r.select(col("period"), col("o_custkey"),
+      expr("(rn - 1) * 10 div np").as("dec"))
+    dd.filter(col("period") === "early")
+      .select(col("o_custkey"), col("dec").as("d_early"))
+      .join(dd.filter(col("period") === "late")
+        .select(col("o_custkey"), col("dec").as("d_late")), Seq("o_custkey"))
+      .groupBy(col("d_early"), col("d_late"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val all: Map[String, QueryDef] = Map(
+    "q154_hll_distinct" -> q154HllDistinct,
+    "q155_markov_transitions" -> q155MarkovTransitions,
+    "q156_debounce" -> q156Debounce,
+    "q157_retention_triangle" -> q157RetentionTriangle,
+    "q158_unigram_kl" -> q158UnigramKl,
+    "q159_decile_migration" -> q159DecileMigration
+  )
+}

@@ -505,15 +505,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q131: multi-touch pairing is a user-keyed equi-join, never a loop join") {
+  test("q131: multi-touch credit is joinless prefix counts, never a pair join") {
     val p = plan("q131_multi_touch")
-    // the window predicate rides INSIDE the user-keyed hash join —
-    // the classic mistake (time-only theta join) would plan a
-    // BroadcastNestedLoopJoin over the full touch×purchase space
+    // round-9 skew fix: the only pairing machinery allowed is the
+    // as-of union + running-count window — a purchase×touch join
+    // (even a user-keyed equi-join) fans out per-user activity² and
+    // measured 15.9× under the planted hot user. The one remaining
+    // join attaches the per-purchase n_touch margin BY PURCHASE ID —
+    // keys are unique, no fan-out.
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
-      p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
   }
 
   test("q132: per-step latency ranks run the two-phase range pattern") {
@@ -639,6 +642,28 @@ class PlanSpec extends SparkSpec {
     // between sources anywhere
     assert(p.toLowerCase.contains("minhashsketch"), p)
     assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q154: hll registers plan partial+final — 1 KB state merge, not re-scan") {
+    val p = plan("q154_hll_distinct")
+    // the register sketch must pre-combine map-side and merge across
+    // the exchange, exactly like q149's MinHash sibling — per-group
+    // state is 1024 bytes regardless of group size
+    assert(p.toLowerCase.contains("hllregisters"), p)
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q159: per-period ranks run the grouped two-phase range pattern") {
+    val p = plan("q159_decile_migration")
+    // `period` has exactly TWO values — the q132 single-reducer class;
+    // the rank must come from range partitions with (pid, period)-
+    // local windows plus a broadcast offset attach
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("InMemoryTableScan"), p) // pinned partition stamp
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -60,4 +60,62 @@ class SketchAggregatesSpec extends SparkSpec {
     assert(out(("pdf", "txt")) == ((0L, 0.0)), out)
     assert(out(("txt", "web")) == ((0L, 0.0)), out)
   }
+
+  // ---- HllRegisters ----
+
+  /** Brute-force reference registers from the same md5 recipe. */
+  private def refRegisters(vals: Seq[String], p: Int): Seq[Int] = {
+    val m = 1 << p
+    val regs = new Array[Int](m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    vals.foreach { s =>
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val bucket = (h >>> (60 - p)).toInt
+      val w = h & ((1L << 40) - 1)
+      val rank = if (w == 0) 41 else 41 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > regs(bucket)) regs(bucket) = rank
+    }
+    regs.toSeq
+  }
+
+  test("hll registers equal the brute-force md5 reference") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => s"document body $i")
+    val got = vals.toDF("s").repartition(5)
+      .agg(SketchAggregates.hllRegisters(col("s"), 10))
+      .head().getSeq[Int](0)
+    assert(got == refRegisters(vals, 10))
+  }
+
+  test("hll merge is associative and idempotent: partitions and re-merge") {
+    import spark.implicits._
+    val vals = (1 to 300).map(i => s"v$i")
+    val one = vals.toDF("s").coalesce(1)
+      .agg(SketchAggregates.hllRegisters(col("s"), 10)).head().getSeq[Int](0)
+    val many = vals.toDF("s").repartition(7)
+      .agg(SketchAggregates.hllRegisters(col("s"), 10)).head().getSeq[Int](0)
+    // idempotence: the same elements twice must not move any register
+    val doubled = (vals ++ vals).toDF("s").repartition(3)
+      .agg(SketchAggregates.hllRegisters(col("s"), 10)).head().getSeq[Int](0)
+    assert(many == one)
+    assert(doubled == one)
+  }
+
+  test("q154 estimator lands within 10% of the exact distinct count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    (1 to 2000).map(i => (i.toLong, s"unique document text $i", "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.AnalyticsOps5.q154HllDistinct.fn(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val (exact, est, relErr) =
+      (r(0).getAs[Long]("n_exact"), r(0).getAs[Double]("hll_est"),
+        r(0).getAs[Double]("rel_err"))
+    assert(exact == 2000L)
+    assert(relErr < 0.10, s"estimate $est vs exact $exact (err $relErr)")
+  }
 }

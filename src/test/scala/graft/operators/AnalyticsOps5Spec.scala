@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Closed-form contracts for the round-9 analytics tranche (q155–
+  * q159; q154's estimator contract lives in SketchAggregatesSpec
+  * beside its aggregate). */
+class AnalyticsOps5Spec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def day(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
+
+  test("q155: transition counts and row-normalized probabilities") {
+    import spark.implicits._
+    val dir = tmp("graft-markov")
+    // user 1: A→B→A; user 2: A→B; user 3: A→A
+    // transitions: A→B ×2, B→A ×1, A→A ×1 → from A margin 3, from B 1
+    Seq((1L, 1L, "A", "2026-01-01 10:00:00"),
+      (2L, 1L, "B", "2026-01-01 10:01:00"),
+      (3L, 1L, "A", "2026-01-01 10:02:00"),
+      (4L, 2L, "A", "2026-01-01 11:00:00"),
+      (5L, 2L, "B", "2026-01-01 11:01:00"),
+      (6L, 3L, "A", "2026-01-01 12:00:00"),
+      (7L, 3L, "A", "2026-01-01 12:01:00"))
+      .toDF("event_id", "user_id", "event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps5.q155MarkovTransitions.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("A", "B") -> ((2L, 3L, 2.0 / 3.0)),
+      ("A", "A") -> ((1L, 3L, 1.0 / 3.0)),
+      ("B", "A") -> ((1L, 1L, 1.0))), out)
+  }
+
+  test("q156: 5-second same-(user,type) lag suppression counts") {
+    import spark.implicits._
+    val dir = tmp("graft-debounce")
+    // user 1 type X at 0s, 3s, 10s → the 3s event is within 5s of the
+    // previous (suppressed), the 10s one is 7s after (kept);
+    // user 2 type Y single event → kept
+    Seq((1L, 1L, "X", "2026-01-01 00:00:00"),
+      (2L, 1L, "X", "2026-01-01 00:00:03"),
+      (3L, 1L, "X", "2026-01-01 00:00:10"),
+      (4L, 2L, "Y", "2026-01-01 00:00:01"))
+      .toDF("event_id", "user_id", "event_type", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps5.q156Debounce.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      "X" -> ((3L, 1L, 2L)),
+      "Y" -> ((1L, 0L, 1L))), out)
+  }
+
+  test("q157: cohort triangle counts users by first-day and week index") {
+    import spark.implicits._
+    val dir = tmp("graft-retention")
+    // users 1,2 cohort Jan 1; user 1 returns on day 7 (week 1);
+    // user 3's cohort is Jan 9 (its own row at week 0)
+    Seq((1L, 1L, "2026-01-01 10:00:00"),
+      (2L, 1L, "2026-01-08 10:00:00"), // day 7 → wk 1
+      (3L, 2L, "2026-01-01 11:00:00"),
+      (4L, 3L, "2026-01-09 09:00:00"))
+      .toDF("event_id", "user_id", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps5.q157RetentionTriangle.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (day("2026-01-01"), 0L) -> 2L,
+      (day("2026-01-01"), 1L) -> 1L,
+      (day("2026-01-09"), 0L) -> 1L), out)
+  }
+
+  test("q158: smoothed KL matches the hand-rolled double reference") {
+    import spark.implicits._
+    val dir = tmp("graft-kl")
+    // corpus: a×3, b×2 → V=2, N=5; source w = "a a b" (n=3),
+    // source p = "a b" (n=2)
+    Seq((1L, "a a b", "w"), (2L, "a b", "p"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def term(cs: Long, ns: Long, c: Long, n: Long, v: Long): Long = {
+      val p = (cs + 1).toDouble / (ns + v)
+      val q = (c + 1).toDouble / (n + v)
+      math.floor(p * math.log(p / q) * 1000000000L + 0.5).toLong
+    }
+    val wantW = term(2, 3, 3, 5, 2) + term(1, 3, 2, 5, 2)
+    val wantP = term(1, 2, 3, 5, 2) + term(1, 2, 2, 5, 2)
+    val out = AnalyticsOps5.q158UnigramKl.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("w" -> ((3L, wantW)), "p" -> ((2L, wantP))), out)
+    // KL of a distribution against a mixture containing it is >= 0
+    assert(wantW >= 0 && wantP >= 0)
+  }
+
+  test("q159: decile migration pairs early and late ranks per customer") {
+    import spark.implicits._
+    val dir = tmp("graft-decile")
+    // early (Jan): c1 spends 1.00, c2 spends 2.00 → ranks 1,2 of 2 →
+    //   deciles 0 and 5; late (Mar): c2 spends 0.50, c1 spends 1.00 →
+    //   deciles 0 (c2) and 5 (c1) → matrix: c1 (0→5), c2 (5→0)
+    Seq((1L, 1L, 1.00, "2026-01-01 00:00:00"),
+      (2L, 2L, 2.00, "2026-01-02 00:00:00"),
+      (3L, 2L, 0.50, "2026-03-01 00:00:00"),
+      (4L, 1L, 1.00, "2026-03-02 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "tss")
+      .withColumn("o_orderdate", to_timestamp(col("tss"))).drop("tss")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = AnalyticsOps5.q159DecileMigration.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 5L) -> 1L, (5L, 0L) -> 1L), out)
+    graft.CacheHygiene.sweep(spark) // groupedPrefixSum pins a cache
+  }
+}
