@@ -596,8 +596,99 @@ object GraphOps {
         max(col("degree")).as("max_degree"))
   }
 
+  /** Sketch-based degree distribution — q148's documented escape
+    * hatch made real: the same capped-basket pair stream, but the
+    * per-item distinct-neighbor count comes from the q154 HyperLogLog
+    * register aggregate (p = 8 → 256 B of state per item) instead of
+    * exact countDistinct. q148's exact answer must shuffle each item's
+    * partially-deduped neighbor ids (state ∝ true degree — its 9.1×
+    * sf1→sf10 step IS that floor); here the exchange carries a
+    * constant 256 bytes per (item, partition) no matter how hot the
+    * item, which is the trade a 100 TB degree census actually takes
+    * (a log2 histogram does not need exact degrees).
+    *
+    * Estimator parity: identical to q154 (dyadic S is exact in any
+    * sum order; linear-counting ln rounded at 1e-6), with S computed
+    * WITHOUT densifying: S = Σ_{hit buckets} 2^−reg + (m − #hit)·1,
+    * since untouched registers contribute 2⁰ — the oracle uses the
+    * same identity, so no 256×items expansion anywhere. Estimated
+    * degree rounds half-up to int64 before the log2 bucketing (q148's
+    * bin() recipe). */
+  val q160DegreeSketch: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |qb AS (SELECT bp.o, bp.p FROM bp JOIN ok USING (o)),
+      |nbr AS (
+      |  SELECT DISTINCT a.p AS p, b.p AS q
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p <> b.p),
+      |h AS (
+      |  SELECT p,
+      |    ('0x' || substring(md5(CAST(q AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM nbr),
+      |r AS (
+      |  SELECT p, h >> 52 AS bucket,
+      |    max(CASE WHEN (h & ((1::BIGINT << 40) - 1)) = 0 THEN 41
+      |      ELSE 40 - CAST(floor(log2(h & ((1::BIGINT << 40) - 1)))
+      |        AS BIGINT) END) AS reg
+      |  FROM h GROUP BY 1, 2),
+      |a AS (
+      |  SELECT p,
+      |    sum(pow(CAST(2 AS DOUBLE), -reg)) + (256 - count(*)) AS s_inv,
+      |    CAST(256 - count(*) AS BIGINT) AS v_zero
+      |  FROM r GROUP BY 1),
+      |e AS (
+      |  SELECT p, v_zero,
+      |    ((CAST(0.7213 AS DOUBLE) * 65536) /
+      |     (CAST(1 AS DOUBLE) + (CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))))
+      |      / s_inv AS e_raw
+      |  FROM a),
+      |f AS (
+      |  SELECT p,
+      |    CAST(floor(floor((CASE WHEN e_raw <= 640 AND v_zero > 0
+      |      THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / v_zero)
+      |      ELSE e_raw END) * 1000000 + 0.5) / 1000000 + 0.5) AS BIGINT)
+      |      AS deg_est
+      |  FROM e)
+      |SELECT CAST(length(bin(deg_est)) - 1 AS BIGINT) AS log2_bucket,
+      |  count(*) AS n_parts,
+      |  CAST(min(deg_est) AS BIGINT) AS min_deg_est,
+      |  CAST(max(deg_est) AS BIGINT) AS max_deg_est
+      |FROM f GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val bp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val ok = bp.groupBy(col("o")).agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 1000)).select(col("o"))
+    val qb = bp.join(ok, Seq("o"))
+    val regs = qb.select(col("o"), col("p"))
+      .join(qb.select(col("o"), col("p").as("q")), Seq("o"))
+      .filter(col("p") =!= col("q"))
+      .groupBy(col("p"))
+      .agg(graft.functions.SketchAggregates
+        .hllRegisters(col("q").cast("string"), 8).as("regs"))
+    val alphaMm = (lit(0.7213) * lit(65536.0)) /
+      (lit(1.0) + (lit(1.079) / lit(256.0)))
+    regs.select(col("p"),
+        expr("aggregate(regs, CAST(0 AS DOUBLE), " +
+          "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))").as("s_inv"),
+        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("v_zero"))
+      .withColumn("e_raw", alphaMm / col("s_inv"))
+      .withColumn("deg_est",
+        floor(floor((when(col("e_raw") <= 640 && col("v_zero") > 0,
+          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw"))) * 1000000 + 0.5) / 1000000 + 0.5)
+          .cast("long"))
+      .groupBy((length(bin(col("deg_est"))) - 1).cast("long")
+        .as("log2_bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("deg_est")).as("min_deg_est"),
+        max(col("deg_est")).as("max_deg_est"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q148_degree_dist" -> q148DegreeDist,
+    "q160_degree_sketch" -> q160DegreeSketch,
     "q75_pagerank" -> q75Pagerank,
     "q126_recommend" -> q126Recommend,
     "q85_triangles" -> q85Triangles,

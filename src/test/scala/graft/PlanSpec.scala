@@ -667,6 +667,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q160: degree sketch pre-combines 256 B register state, not id sets") {
+    val p = plan("q160_degree_sketch")
+    // the escape-hatch trade q148's doc promises: the per-item
+    // neighbor aggregate must be the HLL register merge (constant
+    // state) planned partial+final — never exact countDistinct's
+    // expand/dedup machinery
+    assert(p.toLowerCase.contains("hllregisters"), p)
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    assert(!p.toLowerCase.contains("countdistinct") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("q150: both rank-1 picks stay WindowGroupLimit; candidates LSH-bounded") {
     val p = plan("q150_knn_confusion")
     assert(p.contains("WindowGroupLimit"), p) // top-5 and majority picks

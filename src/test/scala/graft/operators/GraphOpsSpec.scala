@@ -191,4 +191,37 @@ class GraphOpsSpec extends SparkSpec {
       0L -> ((2L, 1L, 1L)), // degree 1 → bin length 1 − 1 = bucket 0
       1L -> ((3L, 2L, 2L))), out) // degree 2 → "10" → bucket 1
   }
+
+  test("q160: sketched degrees land within the p=8 error band of exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-degsk").toString
+    // one hub part (id 0) co-purchased with 200 distinct partners —
+    // two partners per basket keeps every basket inside the cap
+    val rows = (1 to 100).flatMap { b =>
+      Seq((b.toLong, 0L), (b.toLong, (2 * b).toLong),
+        (b.toLong, (2 * b + 1).toLong))
+    }
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val est = GraphOps.q160DegreeSketch.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the 200 leaf parts have exact degree 2 (hub + one basket mate);
+    // linear counting estimates 2 when the two hashes land in distinct
+    // registers (V=254 → 2.008) and 1 on a register collision
+    // (V=255 → 1.002, ~1/256 chance per leaf) — so leaves fill
+    // buckets 0/1 and nothing else
+    val leafParts = est.collect {
+      case (b, (n, _, hi)) if b <= 1 => assert(hi <= 2, est); n
+    }.sum
+    assert(leafParts == 200L, est)
+    // the hub's 200-distinct estimate must land within ~3·RSD ≈ 20%
+    val hub = est.collect {
+      case (b, (n, lo, hi)) if b >= 6 => (b, n, lo, hi)
+    }
+    assert(hub.size == 1, est)
+    val hubEst = hub.head._3
+    assert(math.abs(hubEst - 200L) <= 40,
+      s"hub estimate $hubEst too far from 200")
+  }
 }
