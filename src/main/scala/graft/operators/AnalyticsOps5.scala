@@ -281,8 +281,12 @@ object AnalyticsOps5 {
   ) { (s, d) =>
     val st = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+    // ONE corpus pass: tc/sm/gl and the dense join all derive from
+    // this compact (source, tok, c_s) aggregate — uncached, each
+    // branch re-exploded the corpus (4 parquet scans in the plan)
     val sc = st.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c_s"))
+      .cache()
     val tc = sc.groupBy(col("tok")).agg(sum(col("c_s")).as("c"))
     val sm = sc.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
     val gl = tc.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
@@ -369,8 +373,89 @@ object AnalyticsOps5 {
       .agg(count(lit(1)).as("n_customers"))
   }
 
+  /** Per-label embedding centroid drift — cosine of each label's
+    * centroid against the global centroid, the vector-space twin of
+    * q158's token KL (is a label's region of embedding space moving
+    * away from the corpus?). The q144 exactness discipline end to
+    * end: float components widen to double (exact), quantize at 1e-9
+    * BEFORE any sum, per-(label, dim) sums are int64 (order-free),
+    * the global centroid is the SUM OF THE LABEL SUMS (no second
+    * data pass), centroid components are one IEEE division each, the
+    * three cosine accumulators re-quantize the products, and the
+    * final cosine is the same division/sqrt sequence in both engines,
+    * rounded at 1e-6 (q113 convention).
+    *
+    * Scale shape: ONE data pass (posexplode → (label, dim)
+    * partial+final aggregate, ≤ |labels|·64 rows out); everything
+    * downstream — the global rollup, the dim join, the cosine — runs
+    * on metadata-sized frames. */
+  val q161CentroidDrift: QueryDef = QueryDef.withOracle(
+    """WITH e AS (
+      |  SELECT label, u.dim AS dim,
+      |    CAST(emb[u.dim + 1] AS DOUBLE) AS x
+      |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+      |        FROM embeddings) t,
+      |    LATERAL (SELECT unnest(range(0, len(emb))) AS dim) u),
+      |lc AS (
+      |  SELECT label, dim,
+      |    CAST(sum(CAST(floor(x * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS s_fp,
+      |    count(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |gc AS (
+      |  SELECT dim, CAST(sum(s_fp) AS BIGINT) AS gs_fp,
+      |    CAST(sum(n) AS BIGINT) AS gn
+      |  FROM lc GROUP BY 1),
+      |j AS (
+      |  SELECT lc.label, lc.n,
+      |    (CAST(lc.s_fp AS DOUBLE) / 1000000000) / lc.n AS a,
+      |    (CAST(gc.gs_fp AS DOUBLE) / 1000000000) / gc.gn AS b
+      |  FROM lc JOIN gc USING (dim)),
+      |p AS (
+      |  SELECT label, max(n) AS n_vecs,
+      |    CAST(sum(CAST(floor(a * b * 1000000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS num_fp,
+      |    CAST(sum(CAST(floor(a * a * 1000000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS na_fp,
+      |    CAST(sum(CAST(floor(b * b * 1000000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS nb_fp
+      |  FROM j GROUP BY 1)
+      |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  floor(((CAST(num_fp AS DOUBLE) / sqrt(CAST(na_fp AS DOUBLE)))
+      |    / sqrt(CAST(nb_fp AS DOUBLE))) * 1000000 + 0.5) / 1000000
+      |    AS cos_global
+      |FROM p""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("label"), col("dim"), col("xf").cast("double").as("x"))
+    val lc = e.groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("x") * 1000000000L + 0.5).cast("long")).as("s_fp"),
+        count(lit(1)).as("n"))
+    val gc = lc.groupBy(col("dim"))
+      .agg(sum(col("s_fp")).as("gs_fp"), sum(col("n")).as("gn"))
+    val a = (col("s_fp").cast("double") / 1000000000L) / col("n")
+    val b = (col("gs_fp").cast("double") / 1000000000L) / col("gn")
+    val j = lc.join(broadcast(gc), Seq("dim"))
+      .select(col("label"), col("n"), a.as("a"), b.as("b"))
+    j.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(floor(col("a") * col("b") * 1000000000L + 0.5).cast("long"))
+          .as("num_fp"),
+        sum(floor(col("a") * col("a") * 1000000000L + 0.5).cast("long"))
+          .as("na_fp"),
+        sum(floor(col("b") * col("b") * 1000000000L + 0.5).cast("long"))
+          .as("nb_fp"))
+      .select(col("label"), col("n_vecs"),
+        (floor(((col("num_fp").cast("double") /
+          sqrt(col("na_fp").cast("double"))) /
+          sqrt(col("nb_fp").cast("double"))) * 1000000 + 0.5) / 1000000)
+          .as("cos_global"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q154_hll_distinct" -> q154HllDistinct,
+    "q161_centroid_drift" -> q161CentroidDrift,
     "q155_markov_transitions" -> q155MarkovTransitions,
     "q156_debounce" -> q156Debounce,
     "q157_retention_triangle" -> q157RetentionTriangle,

@@ -667,6 +667,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q158: all KL margins derive from ONE pinned token-count pass") {
+    val p = plan("q158_unigram_kl")
+    // tc/sm/gl and the dense left join must all read the cached
+    // (source, tok, c_s) aggregate — uncached, each branch re-explodes
+    // the corpus (4 parquet scans measured in the r9 plan audit)
+    assert(nodes(p, "InMemoryTableScan") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q160: degree sketch pre-combines 256 B register state, not id sets") {
     val p = plan("q160_degree_sketch")
     // the escape-hatch trade q148's doc promises: the per-item
