@@ -100,6 +100,32 @@ class AnalyticsOps5Spec extends SparkSpec {
     assert(wantW >= 0 && wantP >= 0)
   }
 
+  test("q161: centroid cosine matches the quantized-int reference") {
+    import spark.implicits._
+    val dir = tmp("graft-drift")
+    // label 1: two (1,0) vectors → centroid (1,0); label 2: one (0,1)
+    // → global centroid (2/3, 1/3); cosines computed through the SAME
+    // quantize-then-sum path the query defines
+    Seq((1L, Seq(1.0f, 0.0f), 1), (2L, Seq(1.0f, 0.0f), 1),
+      (3L, Seq(0.0f, 1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def fp(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    def cosRef(a: Seq[Double], b: Seq[Double]): Double = {
+      val num = a.zip(b).map { case (x, y) => fp(x * y) }.sum
+      val na = a.map(x => fp(x * x)).sum
+      val nb = b.map(x => fp(x * x)).sum
+      math.floor(((num.toDouble / math.sqrt(na.toDouble)) /
+        math.sqrt(nb.toDouble)) * 1e6 + 0.5) / 1e6
+    }
+    val g = Seq(2.0 / 3.0, 1.0 / 3.0)
+    val out = AnalyticsOps5.q161CentroidDrift.fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      1 -> ((2L, cosRef(Seq(1.0, 0.0), g))),
+      2 -> ((1L, cosRef(Seq(0.0, 1.0), g)))), out)
+  }
+
   test("q159: decile migration pairs early and late ranks per customer") {
     import spark.implicits._
     val dir = tmp("graft-decile")
