@@ -215,4 +215,135 @@ object SketchAggregates {
       HllRegisters(
         org.apache.spark.sql.GraftColumnBridge.expression(col), p)
         .toAggregateExpression())
+
+  /** Misra–Gries heavy-hitter sketch over a string column: at most
+    * `k` (item, count) counters with the classic decrement step on
+    * overflow; merge adds counts then re-truncates by subtracting the
+    * (k+1)-largest (the Agarwal et al. mergeable-summaries rule), so
+    * the deterministic guarantee survives ANY partitioning: every
+    * item with true count ≥ N/(k+1) is PRESENT in the final sketch
+    * (counts may be under-estimated by ≤ N/(k+1), and the retained
+    * SET may vary with merge order — which is why q162 never exposes
+    * the sketch directly: it is a CANDIDATE GENERATOR whose output
+    * feeds an exact verification count, the standard two-pass
+    * heavy-hitters production shape).
+    *
+    * State is ≤ k counters regardless of input size — the mergeable
+    * bound that replaces a full-cardinality shuffle with a
+    * constant-size one at 100 TB. */
+  case class MisraGries(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[
+        scala.collection.mutable.HashMap[String, Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType != StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft misra_gries needs a string child, got ${child.dataType.sql}")
+      else if (k < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft misra_gries needs k >= 1 counters, got $k")
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+    override def createAggregationBuffer()
+        : scala.collection.mutable.HashMap[String, Long] =
+      scala.collection.mutable.HashMap.empty
+
+    override def update(
+        buf: scala.collection.mutable.HashMap[String, Long],
+        input: InternalRow)
+        : scala.collection.mutable.HashMap[String, Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val s = v.asInstanceOf[UTF8String].toString
+        buf.update(s, buf.getOrElse(s, 0L) + 1L)
+        if (buf.size > k) {
+          // classic MG decrement, in place: O(k) per overflow round
+          // but each round destroys k+1 units of the n units of total
+          // mass — amortized O(1) per row
+          buf.mapValuesInPlace((_, c) => c - 1L)
+          buf.filterInPlace((_, c) => c > 0L)
+        }
+      }
+      buf
+    }
+
+    override def merge(
+        a: scala.collection.mutable.HashMap[String, Long],
+        b: scala.collection.mutable.HashMap[String, Long])
+        : scala.collection.mutable.HashMap[String, Long] = {
+      b.foreach { case (i, c) => a.update(i, a.getOrElse(i, 0L) + c) }
+      if (a.size > k) {
+        // mergeable-summaries truncation (Agarwal et al.): subtract
+        // the (k+1)-largest count from everyone, drop ≤ 0 — one
+        // O(k log k) pass per MERGE (merges are per-partition-rare,
+        // unlike per-row updates)
+        val counts = a.values.toArray
+        java.util.Arrays.sort(counts)
+        val cut = counts(a.size - k - 1)
+        a.mapValuesInPlace((_, c) => c - cut)
+        a.filterInPlace((_, c) => c > 0L)
+      }
+      a
+    }
+
+    /** Surviving candidate items, sorted for deterministic layout
+      * (estimates stay internal — see the class doc). */
+    override def eval(
+        buf: scala.collection.mutable.HashMap[String, Long]): Any =
+      new GenericArrayData(
+        buf.keysIterator.toArray.sorted.map(UTF8String.fromString(_)))
+
+    override def serialize(
+        buf: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { case (i, c) =>
+        val bytes = i.getBytes("UTF-8")
+        out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte])
+        : scala.collection.mutable.HashMap[String, Long] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        val arr = new Array[Byte](len)
+        in.readFully(arr)
+        buf.update(new String(arr, "UTF-8"), in.readLong())
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): MisraGries =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MisraGries =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): MisraGries =
+      copy(child = newChildren.head)
+  }
+
+  /** Column wrapper: `agg(misraGries($"tok", 2000))`. */
+  def misraGries(col: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MisraGries(
+        org.apache.spark.sql.GraftColumnBridge.expression(col), k)
+        .toAggregateExpression())
 }

@@ -453,9 +453,53 @@ object AnalyticsOps5 {
           .as("cos_global"))
   }
 
+  /** Corpus heavy hitters (tokens with ≥ 0.5% of all occurrences) via
+    * the two-pass sketch-then-verify shape every production
+    * heavy-hitters job uses: pass 1 runs the mergeable Misra–Gries
+    * aggregate (k = 1000 counters, constant state) fused with the
+    * total count — ANY token with true share ≥ 1/(k+1) is guaranteed
+    * in the candidate set regardless of partitioning/merge order, and
+    * 1/200 ≫ 1/1001, so candidates ⊇ the answer; pass 2 exactly
+    * counts ONLY the ≤ 1000 candidates (broadcast semi-join filter at
+    * the scan) and applies the integer threshold 200·cnt ≥ N. The
+    * gate output is therefore EXACT and deterministic — the sketch's
+    * order-dependent internals never reach it — while the
+    * full-cardinality token shuffle a naive GROUP BY + HAVING would
+    * pay is replaced by one constant-size sketch merge plus a
+    * candidate-only count.
+    *
+    * Oracle: the naive exact form (DuckDB doesn't need the scale
+    * path). */
+  val q162HeavyHitters: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |n AS (SELECT count(*) AS n FROM t),
+      |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+      |SELECT tok, cnt, CAST(cnt AS DOUBLE) / n.n AS share
+      |FROM c CROSS JOIN n WHERE 200 * cnt >= n.n""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+    // ONE fused pass: sketch + total count; the 1-row result is
+    // cached so the candidate and total branches don't re-scan
+    val pass1 = toks.agg(
+      graft.functions.SketchAggregates.misraGries(col("tok"), 1000)
+        .as("cands"),
+      count(lit(1)).as("n")).cache()
+    val candSet = pass1.select(explode(col("cands")).as("tok"))
+    val total = pass1.select(col("n"))
+    toks.join(broadcast(candSet), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(lit(200) * col("cnt") >= col("n"))
+      .select(col("tok"), col("cnt"),
+        (col("cnt").cast("double") / col("n")).as("share"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q154_hll_distinct" -> q154HllDistinct,
     "q161_centroid_drift" -> q161CentroidDrift,
+    "q162_heavy_hitters" -> q162HeavyHitters,
     "q155_markov_transitions" -> q155MarkovTransitions,
     "q156_debounce" -> q156Debounce,
     "q157_retention_triangle" -> q157RetentionTriangle,

@@ -676,6 +676,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q162: heavy hitters = sketch pass + candidate-only exact verify") {
+    val p = plan("q162_heavy_hitters")
+    // pass 1 must be the constant-state MG aggregate (partial+final);
+    // pass 2's exact count must be candidate-filtered via a broadcast
+    // semi-join — never a full-cardinality token GROUP BY
+    assert(p.toLowerCase.contains("misragries"), p)
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q160: degree sketch pre-combines 256 B register state, not id sets") {
     val p = plan("q160_degree_sketch")
     // the escape-hatch trade q148's doc promises: the per-item

@@ -103,6 +103,31 @@ class SketchAggregatesSpec extends SparkSpec {
     assert(doubled == one)
   }
 
+  test("misra-gries keeps every true heavy hitter under any partitioning") {
+    import spark.implicits._
+    // 10k rows: "hot" appears 600 times (6% ≫ 1/(k+1) with k=64),
+    // "warm" 200 (2%), the rest a long uniform tail. The guarantee:
+    // both must SURVIVE the sketch no matter how rows are partitioned
+    val rows = Seq.fill(600)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 9200).map(i => s"tail${i % 4000}")
+    for (parts <- Seq(1, 3, 13)) {
+      val cands = rows.toDF("s").repartition(parts)
+        .agg(SketchAggregates.misraGries(col("s"), 64))
+        .head().getSeq[String](0).toSet
+      assert(cands.contains("hot"), s"parts=$parts lost 'hot': $cands")
+      assert(cands.contains("warm"), s"parts=$parts lost 'warm': $cands")
+      assert(cands.size <= 64, s"parts=$parts overflowed k: ${cands.size}")
+    }
+  }
+
+  test("misra-gries serialize/deserialize roundtrips the counter map") {
+    val mg = SketchAggregates.MisraGries(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val buf = scala.collection.mutable.HashMap(
+      "alpha" -> 5L, "βeta" -> 3L, "" -> 1L)
+    assert(mg.deserialize(mg.serialize(buf)) == buf)
+  }
+
   test("q154 estimator lands within 10% of the exact distinct count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString

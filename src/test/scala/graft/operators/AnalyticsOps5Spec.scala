@@ -100,6 +100,25 @@ class AnalyticsOps5Spec extends SparkSpec {
     assert(wantW >= 0 && wantP >= 0)
   }
 
+  test("q162: output is the exact heavy-hitter set, sketch only proposes") {
+    import spark.implicits._
+    val dir = tmp("graft-hh")
+    // 1000 tokens: "the" ×10 (1.0% ≥ 0.5% threshold), "of" ×5
+    // (exactly at 200·5 = 1000 = N), "rare" ×4 (just below), filler
+    // unique tokens for the rest
+    val toks = Seq.fill(10)("the") ++ Seq.fill(5)("of") ++
+      Seq.fill(4)("rare") ++ (1 to 981).map(i => s"u$i")
+    Seq((1L, toks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOps5.q162HeavyHitters.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      "the" -> ((10L, 0.01)),
+      "of" -> ((5L, 0.005))), out)
+    graft.CacheHygiene.sweep(spark)
+  }
+
   test("q161: centroid cosine matches the quantized-int reference") {
     import spark.implicits._
     val dir = tmp("graft-drift")
