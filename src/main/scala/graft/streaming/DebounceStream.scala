@@ -26,7 +26,15 @@ import org.apache.spark.sql.streaming._
   * under in-order-per-key delivery — what a keyed Kafka topic
   * provides — this is exactly the batch semantics; genuinely late
   * stragglers get at-arrival decisions, the documented trade of any
-  * single-pass streaming filter. */
+  * single-pass streaming filter.
+  *
+  * State GC (semantics-preserving): an event-time timer clears a
+  * key's state once the watermark passes last + gap — any later
+  * in-order event necessarily has ts > last + gap and would be KEPT
+  * with or without the state, so the clear changes no decision while
+  * bounding state to currently-ACTIVE (user, type) keys instead of
+  * every key ever seen. One live timer per key (the DeviceWatchdog
+  * supersede discipline). */
 object DebounceStream {
 
   case class Ev(user_id: Long, event_type: String, event_id: Long,
@@ -48,7 +56,9 @@ object DebounceStream {
       // per-key micro-batch rows sorted by (ts, event_id) — the batch
       // query's window order — so the lag chain is deterministic
       val sorted = rows.toArray.sortBy(e => (e.event_ts.getTime, e.event_id))
-      var prev = if (lastUs.exists()) lastUs.get() else Long.MinValue
+      val had = lastUs.exists()
+      val before = if (had) lastUs.get() else Long.MinValue
+      var prev = before
       val out = sorted.iterator.map { e =>
         val tUs = e.event_ts.getTime * 1000L
         val suppressed = prev != Long.MinValue && tUs - prev < gapUs
@@ -57,8 +67,29 @@ object DebounceStream {
         if (tUs > prev) prev = tUs
         Decision(key._1, key._2, e.event_id, tUs, suppressed)
       }.toArray
-      if (prev != Long.MinValue) lastUs.update(prev)
+      if (prev != Long.MinValue && prev != before) {
+        // state GC: once the watermark passes last + gap, no future
+        // in-order event can be within the window of this one — the
+        // timer clears the key, bounding state to ACTIVE (user, type)
+        // keys instead of every key ever seen (the DeviceWatchdog
+        // supersede discipline: one live timer per key)
+        if (had) getHandle.deleteTimer(
+          (before + gapUs) / 1000L + 1L)
+        getHandle.registerTimer((prev + gapUs) / 1000L + 1L)
+        lastUs.update(prev)
+      }
       out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Long, String),
+        timers: TimerValues, timer: ExpiredTimerInfo): Iterator[Decision] = {
+      // guard against a timer that expired in the same batch its
+      // replacement was registered
+      val last = if (lastUs.exists()) lastUs.get() else Long.MinValue
+      if (last != Long.MinValue &&
+          timer.getExpiryTimeInMs() == (last + gapUs) / 1000L + 1L)
+        lastUs.clear()
+      Iterator.empty
     }
   }
 
