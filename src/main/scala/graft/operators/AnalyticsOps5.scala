@@ -496,10 +496,76 @@ object AnalyticsOps5 {
         (col("cnt").cast("double") / col("n")).as("share"))
   }
 
+  /** Count–min sketch as PURE declarative SQL — the counterpart to
+    * the custom-aggregate sketches (q149/q154/q162): CMS counters are
+    * plain SUMS over a tiny derived domain (d×w = 4×1024 cells), so
+    * Catalyst's ordinary partial+final hash aggregate IS the sketch
+    * build — map-side combine collapses every partition to ≤ 4096
+    * rows, no custom code needed, and sums are order-free so the
+    * sketch is bit-deterministic (unlike MG, whose survivor set is
+    * order-dependent — the reason q162 needed the verify pass and
+    * this query doesn't). The report: for the 20 most frequent
+    * tokens, true count vs CMS point estimate (min over the d row
+    * hashes) and the overestimate — always ≥ 0, the CMS guarantee —
+    * i.e. the calibration table a CMS rollout publishes.
+    *
+    * Hash family: the q149 "i:" md5 recipe mod w, so the oracle
+    * re-derives every cell. Scale shape: ONE token pass builds the
+    * 4096-cell counter frame (+ one pass for true counts of the
+    * top-20 — the truth column, not the sketch path); estimates are
+    * a 20×4-row explode joined to the broadcast counter frame. */
+  val q163CountMin: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cells AS (
+      |  SELECT r.r AS r,
+      |    ('0x' || substring(md5(r.r || ':' || tok), 1, 15))::BIGINT % 1024
+      |      AS j,
+      |    count(*) AS c
+      |  FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tok, count(*) AS true_cnt FROM t GROUP BY 1
+      |  ORDER BY true_cnt DESC, tok LIMIT 20),
+      |est AS (
+      |  SELECT top.tok, top.true_cnt,
+      |    CAST(min(cells.c) AS BIGINT) AS cms_est
+      |  FROM top
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS r) r
+      |  JOIN cells ON cells.r = r.r AND cells.j =
+      |    ('0x' || substring(md5(r.r || ':' || top.tok), 1, 15))::BIGINT
+      |      % 1024
+      |  GROUP BY 1, 2)
+      |SELECT tok, true_cnt, cms_est,
+      |  CAST(cms_est - true_cnt AS BIGINT) AS overcount
+      |FROM est""".stripMargin
+  ) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+    def cell(r: Column, tok: Column): Column =
+      expr(s"CAST(conv(substring(md5(concat(${r.toString}, ':', " +
+        s"${tok.toString})), 1, 15), 16, 10) AS BIGINT) % 1024")
+    val rs = explode(expr("array(0, 1, 2, 3)")).as("r")
+    val cells = toks.select(col("tok"), rs)
+      .select(col("r"), cell(col("r"), col("tok")).as("j"))
+      .groupBy(col("r"), col("j")).agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("tok")).limit(20)
+    top.select(col("tok"), col("true_cnt"), rs)
+      .select(col("tok"), col("true_cnt"), col("r"),
+        cell(col("r"), col("tok")).as("j"))
+      .join(broadcast(cells), Seq("r", "j"))
+      .groupBy(col("tok"), col("true_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("tok"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q154_hll_distinct" -> q154HllDistinct,
     "q161_centroid_drift" -> q161CentroidDrift,
     "q162_heavy_hitters" -> q162HeavyHitters,
+    "q163_count_min" -> q163CountMin,
     "q155_markov_transitions" -> q155MarkovTransitions,
     "q156_debounce" -> q156Debounce,
     "q157_retention_triangle" -> q157RetentionTriangle,

@@ -119,6 +119,25 @@ class AnalyticsOps5Spec extends SparkSpec {
     graft.CacheHygiene.sweep(spark)
   }
 
+  test("q163: CMS estimates are exact-or-over, true counts exact") {
+    import spark.implicits._
+    val dir = tmp("graft-cms")
+    val toks = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    Seq((1L, toks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOps5.q163CountMin.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set("alpha", "beta", "gamma"), out)
+    assert(out("alpha")._1 == 7L && out("beta")._1 == 3L &&
+      out("gamma")._1 == 1L, out)
+    // the CMS guarantee: never an undercount
+    out.values.foreach { case (t, e, over) =>
+      assert(e >= t && over == e - t, out)
+    }
+  }
+
   test("q161: centroid cosine matches the quantized-int reference") {
     import spark.implicits._
     val dir = tmp("graft-drift")
