@@ -15,6 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_lsh_sig(a, L, k)     hyperplane LSH buckets (L tables × k bits;
   *                              L and k must be foldable integers)
   *   graft_morton(a, b)         Z-order interleave of two bigints' low 31 bits
+  *   graft_minhash_sketch(s, k) mergeable k-permutation MinHash AGGREGATE
+  *   graft_hll_registers(s, p)  mergeable HyperLogLog register AGGREGATE
+  *   graft_misra_gries(s, k)    mergeable heavy-hitter candidate AGGREGATE
+  *                              (k/p must be foldable integer literals)
   *
   * Two registration paths:
   *   - `GraftExtensions` via `spark.sql.extensions` /
@@ -72,8 +76,41 @@ object GraftFunctions {
       }
       VectorExpressions.HyperplaneSignature(args(0),
         intLit(args(1), "table count"), intLit(args(2), "bit count"))
+    },
+    // the mergeable sketch AGGREGATES (q149/q154/q162's machinery):
+    // the registry accepts a bare AggregateFunction — the analyzer
+    // wraps it in an AggregateExpression like any built-in agg
+    "graft_minhash_sketch" -> { args =>
+      require(args.length == 2, "graft_minhash_sketch expects 2 arguments")
+      SketchAggregates.MinHashSketch(args(0),
+        foldableInt(args(1), "graft_minhash_sketch permutation count"))
+    },
+    "graft_hll_registers" -> { args =>
+      require(args.length == 2, "graft_hll_registers expects 2 arguments")
+      SketchAggregates.HllRegisters(args(0),
+        foldableInt(args(1), "graft_hll_registers precision"))
+    },
+    "graft_misra_gries" -> { args =>
+      require(args.length == 2, "graft_misra_gries expects 2 arguments")
+      SketchAggregates.MisraGries(args(0),
+        foldableInt(args(1), "graft_misra_gries counter budget"))
     }
   )
+
+  /** Integer-TYPED literal extraction shared by the parameterized
+    * builders (same discipline as graft_lsh_sig's intLit). */
+  private def foldableInt(e: Expression, what: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    e match {
+      case Literal(v: Byte, ByteType)   => v.toInt
+      case Literal(v: Short, ShortType) => v.toInt
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 
   /** Register on a live session. */
   def register(spark: SparkSession): Unit =

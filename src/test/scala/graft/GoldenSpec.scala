@@ -93,5 +93,23 @@ class GoldenSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("must be an integer literal")),
         s"$bad: ${e.getMessage}")
     }
+    // the sketch AGGREGATES through the SQL surface: the analyzer
+    // must wrap the bare AggregateFunction and plan partial+final
+    val mh = spark.sql(
+      """SELECT graft_minhash_sketch(s, 4) AS sk,
+        |       graft_hll_registers(s, 6) AS regs,
+        |       graft_misra_gries(s, 8) AS hh
+        |FROM VALUES ('a'), ('b'), ('a') AS t(s)""".stripMargin).head()
+    assert(mh.getSeq[Long](0).length == 4)
+    assert(mh.getSeq[Int](1).length == 64)
+    assert(mh.getSeq[String](2).toSet == Set("a", "b"))
+    // parameter hygiene matches graft_lsh_sig's discipline
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_hll_registers(s, '6') " +
+        "FROM VALUES ('a') AS t(s)").collect()
+    }
+    def msgs2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs2(t.getCause)
+    assert(msgs2(e2).exists(_.contains("must be an integer literal")), e2)
   }
 }
