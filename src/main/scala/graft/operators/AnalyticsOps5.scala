@@ -561,11 +561,119 @@ object AnalyticsOps5 {
         (col("cms_est") - col("true_cnt")).as("overcount"))
   }
 
+  /** Rolling 7-day distinct users per day from MERGED DAILY HLL
+    * sketches — the production reason the register sketch exists:
+    * daily sketches build once (one pass, 1 KB per day), and ANY
+    * trailing window's distinct count is an elementwise register max
+    * over the window's days — no re-touching events, no rolling
+    * dedup state. Here each (day, slot, reg) row fans out map-side to
+    * the ≤7 target days it serves (the explode-by-offset trick — all
+    * frames after the daily aggregate are calendar-bounded metadata),
+    * and the q154 estimator runs on the merged registers via the
+    * sparse-S identity (q160). The exact trailing distinct — computed
+    * with the same fan-out on the (day, user) dedup frame — rides
+    * along as the calibration column, q154-style.
+    *
+    * Scale shape: ONE event pass for the daily (day, user) dedup +
+    * daily sketches; everything rolling is days×1024-sized. The
+    * exact column is the report's truth baseline (a production run
+    * at 100 TB would publish sketch-only and spot-check). */
+  val q164RollingDistinct: QueryDef = QueryDef.withOracle(
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    user_id
+      |  FROM events),
+      |ex AS (
+      |  SELECT t.day + o.o AS day, count(DISTINCT t.user_id) AS n_exact
+      |  FROM du t CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+      |  WHERE t.day + o.o <= (SELECT max(day) FROM du)
+      |  GROUP BY 1),
+      |h AS (
+      |  SELECT day,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM du),
+      |r AS (
+      |  SELECT day, h >> 50 AS slot,
+      |    max(CASE WHEN (h & ((1::BIGINT << 40) - 1)) = 0 THEN 41
+      |      ELSE 40 - CAST(floor(log2(h & ((1::BIGINT << 40) - 1)))
+      |        AS BIGINT) END) AS reg
+      |  FROM h GROUP BY 1, 2),
+      |m AS (
+      |  SELECT r.day + o.o AS day, r.slot, max(r.reg) AS reg
+      |  FROM r CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+      |  WHERE r.day + o.o <= (SELECT max(day) FROM r)
+      |  GROUP BY 1, 2),
+      |a AS (
+      |  SELECT day,
+      |    sum(pow(CAST(2 AS DOUBLE), -reg)) + (1024 - count(*)) AS s_inv,
+      |    CAST(1024 - count(*) AS BIGINT) AS v_zero
+      |  FROM m GROUP BY 1),
+      |e AS (
+      |  SELECT day, v_zero,
+      |    ((CAST(0.7213 AS DOUBLE) * 1048576) /
+      |     (CAST(1 AS DOUBLE) + (CAST(1.079 AS DOUBLE) / CAST(1024 AS DOUBLE))))
+      |      / s_inv AS e_raw
+      |  FROM a),
+      |f AS (
+      |  SELECT day,
+      |    floor((CASE WHEN e_raw <= 2560 AND v_zero > 0
+      |      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / v_zero)
+      |      ELSE e_raw END) * 1000000 + 0.5) / 1000000 AS hll_est
+      |  FROM e)
+      |SELECT ex.day, ex.n_exact, f.hll_est,
+      |  abs(f.hll_est - CAST(ex.n_exact AS DOUBLE)) / ex.n_exact AS rel_err
+      |FROM ex JOIN f USING (day)""".stripMargin
+  ) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(epochDay(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .cache() // one event pass feeds both the exact and sketch paths
+    val offs = explode(expr("sequence(0, 6)")).as("o")
+    val maxDay = du.agg(max(col("day")).as("max_day"))
+    val ex = du.select(col("day"), col("user_id"), offs)
+      .select((col("day") + col("o")).as("day"), col("user_id"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val daily = du.groupBy(col("day"))
+      .agg(graft.functions.SketchAggregates
+        .hllRegisters(col("user_id").cast("string"), 10).as("regs"))
+    val merged = daily
+      .select(col("day"), posexplode(col("regs")).as(Seq("slot", "reg")))
+      // sparse like the oracle's register CTE: untouched slots are
+      // implicit (the estimator's (1024 − hit-count) term) — also
+      // 7× less fan-out, and v_zero would be wrong computed dense
+      .filter(col("reg") > 0)
+      .select(col("day"), col("slot"), col("reg"), offs)
+      .select((col("day") + col("o")).as("day"), col("slot"), col("reg"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day"), col("slot")).agg(max(col("reg")).as("reg"))
+    val alphaMm = (lit(0.7213) * lit(1048576.0)) /
+      (lit(1.0) + (lit(1.079) / lit(1024.0)))
+    val est = merged.groupBy(col("day"))
+      .agg((sum(expr("pow(CAST(2 AS DOUBLE), -reg)")) +
+          (lit(1024) - count(lit(1)))).as("s_inv"),
+        (lit(1024) - count(lit(1))).cast("long").as("v_zero"))
+      .withColumn("e_raw", alphaMm / col("s_inv"))
+      .withColumn("hll_est",
+        floor((when(col("e_raw") <= 2560 && col("v_zero") > 0,
+          lit(1024.0) * log(lit(1024.0) / col("v_zero").cast("double")))
+          .otherwise(col("e_raw"))) * 1000000 + 0.5) / 1000000)
+    ex.join(est.select(col("day"), col("hll_est")), Seq("day"))
+      .select(col("day"), col("n_exact"), col("hll_est"),
+        (abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact")).as("rel_err"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q154_hll_distinct" -> q154HllDistinct,
     "q161_centroid_drift" -> q161CentroidDrift,
     "q162_heavy_hitters" -> q162HeavyHitters,
     "q163_count_min" -> q163CountMin,
+    "q164_rolling_distinct" -> q164RollingDistinct,
     "q155_markov_transitions" -> q155MarkovTransitions,
     "q156_debounce" -> q156Debounce,
     "q157_retention_triangle" -> q157RetentionTriangle,

@@ -119,6 +119,30 @@ class AnalyticsOps5Spec extends SparkSpec {
     graft.CacheHygiene.sweep(spark)
   }
 
+  test("q164: rolling exact counts are the 7-day window; estimates track") {
+    import spark.implicits._
+    val dir = tmp("graft-rolling")
+    // day 0: users {1,2}; day 1: {2,3}; day 8: {9}
+    // trailing-7d exact: d0=2, d1=3, d2..d6=3 (both days in window),
+    // d7=2 (day 0 aged out), d8=1 (only day 8 in window)
+    Seq((1L, 1L, "2026-01-01 10:00:00"), (2L, 2L, "2026-01-01 11:00:00"),
+      (3L, 2L, "2026-01-02 10:00:00"), (4L, 3L, "2026-01-02 11:00:00"),
+      (5L, 9L, "2026-01-09 10:00:00"))
+      .toDF("event_id", "user_id", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d0 = day("2026-01-01")
+    val out = AnalyticsOps5.q164RollingDistinct.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val wantExact = Map(d0 -> 2L, (d0 + 1) -> 3L, (d0 + 2) -> 3L,
+      (d0 + 3) -> 3L, (d0 + 4) -> 3L, (d0 + 5) -> 3L, (d0 + 6) -> 3L,
+      (d0 + 7) -> 2L, (d0 + 8) -> 1L)
+    assert(out.view.mapValues(_._1).toMap == wantExact, out)
+    // linear-counting estimates at these cardinalities are near-exact
+    out.values.foreach { case (_, relErr) => assert(relErr < 0.05, out) }
+    graft.CacheHygiene.sweep(spark)
+  }
+
   test("q163: CMS estimates are exact-or-over, true counts exact") {
     import spark.implicits._
     val dir = tmp("graft-cms")
