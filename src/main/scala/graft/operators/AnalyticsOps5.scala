@@ -668,12 +668,87 @@ object AnalyticsOps5 {
           col("n_exact")).as("rel_err"))
   }
 
+  /** Per-source dataset card — the datasheet a corpus release ships:
+    * volume (docs, tokens, chars), exact-duplicate share (via the q40
+    * content-hash), and the majority language with its share, one row
+    * per source. Everything is exact integer arithmetic; the only
+    * doubles are three final divisions.
+    *
+    * Scale shape: one doc-level pass computes tokens/chars map-side
+    * and the md5 content hash; the dup share needs one
+    * (source, hash)-keyed aggregate (16-byte keys); the language
+    * margin is a (source, lang) rollup with the majority pick via
+    * max_by on the (count, lang) struct — deterministic tiebreak,
+    * no window. All post-scan frames are source- or
+    * source×lang-sized. */
+  val q165DatasetCard: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT source, lang, n_chars,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    md5(text) AS h
+      |  FROM documents),
+      |hash_groups AS (
+      |  SELECT source, h, count(*) AS n FROM d GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT source,
+      |    CAST(sum(n) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM hash_groups GROUP BY 1),
+      |vol AS (
+      |  SELECT source,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |  FROM d GROUP BY 1),
+      |lc AS (
+      |  SELECT source, lang, count(*) AS n FROM d GROUP BY 1, 2),
+      |ml AS (
+      |  SELECT source, lang AS top_lang, CAST(n AS BIGINT) AS top_lang_n
+      |  FROM (SELECT source, lang, n, row_number() OVER (
+      |          PARTITION BY source ORDER BY n DESC, lang DESC) AS rn
+      |        FROM lc)
+      |  WHERE rn = 1)
+      |SELECT dup.source, dup.n_docs, vol.n_tokens, vol.n_chars,
+      |  dup.n_dup,
+      |  CAST(dup.n_dup AS DOUBLE) / dup.n_docs AS dup_share,
+      |  CAST(vol.n_chars AS DOUBLE) / dup.n_docs AS mean_chars,
+      |  ml.top_lang,
+      |  CAST(ml.top_lang_n AS DOUBLE) / dup.n_docs AS top_lang_share
+      |FROM dup JOIN vol USING (source) JOIN ml USING (source)""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ", -1)).as("n_tok"),
+        md5(col("text")).as("h"))
+      .cache() // one doc pass feeds all three rollups
+    val hashGroups = base.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val dup = hashGroups.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup"))
+    val vol = base.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+    val ml = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(max_by(col("lang"), struct(col("n"), col("lang"))).as("top_lang"),
+        max_by(col("n"), struct(col("n"), col("lang"))).as("top_lang_n"))
+    dup.join(vol, Seq("source")).join(ml, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_dup"),
+        (col("n_dup").cast("double") / col("n_docs")).as("dup_share"),
+        (col("n_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        col("top_lang"),
+        (col("top_lang_n").cast("double") / col("n_docs"))
+          .as("top_lang_share"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q154_hll_distinct" -> q154HllDistinct,
     "q161_centroid_drift" -> q161CentroidDrift,
     "q162_heavy_hitters" -> q162HeavyHitters,
     "q163_count_min" -> q163CountMin,
     "q164_rolling_distinct" -> q164RollingDistinct,
+    "q165_dataset_card" -> q165DatasetCard,
     "q155_markov_transitions" -> q155MarkovTransitions,
     "q156_debounce" -> q156Debounce,
     "q157_retention_triangle" -> q157RetentionTriangle,

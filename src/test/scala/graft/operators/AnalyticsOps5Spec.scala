@@ -119,6 +119,25 @@ class AnalyticsOps5Spec extends SparkSpec {
     graft.CacheHygiene.sweep(spark)
   }
 
+  test("q165: dataset card rows carry exact volume/dup/lang stats") {
+    import spark.implicits._
+    val dir = tmp("graft-card")
+    Seq((1L, "x y", "en", "A", 3L), (2L, "x y", "en", "A", 3L),
+      (3L, "z", "de", "A", 1L), (4L, "solo doc", "fr", "B", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOps5.q165DatasetCard.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getString(7),
+        r.getDouble(8)))).toMap
+    // A: 3 docs, 5 tokens, 7 chars, 2 exact-dup rows, majority en (2/3)
+    assert(out("A") == ((3L, 5L, 7L, 2L, 2.0 / 3.0, 7.0 / 3.0,
+      "en", 2.0 / 3.0)), out)
+    // B: singleton — no dups, its own lang at share 1
+    assert(out("B") == ((1L, 2L, 8L, 0L, 0.0, 8.0, "fr", 1.0)), out)
+    graft.CacheHygiene.sweep(spark)
+  }
+
   test("q164: rolling exact counts are the 7-day window; estimates track") {
     import spark.implicits._
     val dir = tmp("graft-rolling")
