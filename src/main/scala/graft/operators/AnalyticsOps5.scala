@@ -742,6 +742,116 @@ object AnalyticsOps5 {
           .as("top_lang_share"))
   }
 
+  /** Per-event-type latency/value quantiles (p50/p95/p99) from a
+    * MERGEABLE log-linear histogram sketch — the HdrHistogram shape —
+    * with the exact rank-based quantile and the one-sided overshoot
+    * as calibration columns. Completes the sketch quartet (HLL
+    * distinct q154, MG heavy hitters q162, CMS counts q163): the
+    * quantile is the fourth statistic a 100 TB job cannot afford to
+    * sort for, and the histogram answer needs ONE pass + constant
+    * state where the exact answer needs a full range shuffle.
+    *
+    * Bucketing is PURE INTEGER math (the q163 argument applies:
+    * bucket counts are order-free SUMS over a tiny derived domain, so
+    * Catalyst's ordinary partial+final hash aggregate IS the sketch —
+    * mergeable across partitions/days/engines by construction, and
+    * bit-deterministic, no custom aggregate needed): cents v < 8 map
+    * to themselves; otherwise octave e = floor(log2(v)) (exact in
+    * double math for v < 2^40 — the HllRegisters rationale) with 8
+    * linear sub-buckets, idx = 8e + (v >> (e−3)) − 8. Estimate =
+    * bucket UPPER bound ((off+9)·2^(e−3) − 1), so est ≥ exact always
+    * (the CMS-style one-sided guarantee) and the relative overshoot
+    * is < 1/8 by construction — both asserted per row in the spec.
+    *
+    * Exact side: per-type rank selection rides the GROUPED two-phase
+    * prefix (event_type has ~5 values — exactly the skewed-group case
+    * groupedPrefixSums exists for; a partitionBy(event_type) window
+    * over the raw events would funnel the population through 5
+    * tasks). Rank r = ceil(pct·n/100) via integer (pct·n + 99) div
+    * 100 on both engines; the only windows outside the helper run on
+    * the ≤(types × ~140)-row histogram frame. Final rel_err is one
+    * IEEE division rounded at 1e-6 (q113 convention). */
+  val q166HistogramQuantiles: QueryDef = QueryDef.withOracle(
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN v < 8 THEN v
+      |      ELSE CAST(floor(log2(v)) AS BIGINT) * 8
+      |        + (v >> CAST(floor(log2(v)) - 3 AS INT)) - 8 END AS idx,
+      |    count(*) AS c
+      |  FROM v GROUP BY 1, 2),
+      |h AS (
+      |  SELECT event_type, idx, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM b),
+      |t AS (
+      |  SELECT event_type, n, CAST(pct AS BIGINT) AS pct,
+      |    (CAST(pct AS BIGINT) * n + 99) // 100 AS r
+      |  FROM (SELECT DISTINCT event_type, n FROM h)
+      |  CROSS JOIN (SELECT unnest([50, 95, 99]) AS pct)),
+      |est AS (
+      |  SELECT t.event_type, t.pct, t.n, t.r,
+      |    min(CASE WHEN h.idx < 8 THEN h.idx
+      |      ELSE ((h.idx % 8) + 9)
+      |        * (1::BIGINT << CAST((h.idx // 8) - 3 AS INT)) - 1 END)
+      |      AS est_cents
+      |  FROM t JOIN h ON h.event_type = t.event_type AND h.cum >= t.r
+      |  GROUP BY 1, 2, 3, 4),
+      |rk AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+      |      AS rn
+      |  FROM v)
+      |SELECT est.event_type, est.pct, est.n, rk.v AS exact_cents,
+      |  est.est_cents,
+      |  est.est_cents - rk.v AS overshoot_cents,
+      |  floor((CAST(est.est_cents - rk.v AS DOUBLE) / rk.v) * 1000000
+      |    + 0.5) / 1000000 AS rel_err
+      |FROM est
+      |JOIN rk ON rk.event_type = est.event_type AND rk.rn = est.r""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("v"), col("event_id"))
+    val idx = expr("CASE WHEN v < 8 THEN v " +
+      "ELSE CAST(floor(log2(v)) AS BIGINT) * 8 " +
+      "+ shiftright(v, CAST(floor(log2(v)) - 3 AS INT)) - 8 END")
+    val hist = ev.groupBy(col("event_type"), idx.as("idx"))
+      .agg(count(lit(1)).as("c"))
+      // sketch frame: ≤ |types| × ~140 rows from here down
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("idx"))))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+    val pcts = explode(expr("array(50L, 95L, 99L)")).as("pct")
+    val targets = hist.select(col("event_type"), col("n")).distinct()
+      .select(col("event_type"), col("n"), pcts)
+      .withColumn("r", expr("(pct * n + 99) div 100"))
+    val ub = expr("CASE WHEN idx < 8 THEN idx " +
+      "ELSE (pmod(idx, 8) + 9) " +
+      "* shiftleft(CAST(1 AS BIGINT), CAST((idx div 8) - 3 AS INT)) - 1 END")
+    val est = targets.join(hist.select(col("event_type"),
+        col("idx"), col("cum")), Seq("event_type"))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("event_type"), col("pct"), col("n"), col("r"))
+      .agg(min(ub).as("est_cents"))
+    val exact = AnalyticsOps2.groupedPrefixSums(ev, Seq("event_type"),
+        Seq(col("v"), col("event_id")), Seq((lit(1L), "rn", None)))
+      .join(broadcast(est.select(col("event_type"), col("pct"), col("r"))),
+        Seq("event_type"))
+      .filter(col("rn") === col("r"))
+      .select(col("event_type"), col("pct"), col("v").as("exact_cents"))
+    est.join(exact, Seq("event_type", "pct"))
+      .select(col("event_type"), col("pct"), col("n"), col("exact_cents"),
+        col("est_cents"),
+        (col("est_cents") - col("exact_cents")).as("overshoot_cents"),
+        (floor(((col("est_cents") - col("exact_cents")).cast("double") /
+          col("exact_cents")) * 1000000 + 0.5) / 1000000).as("rel_err"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q154_hll_distinct" -> q154HllDistinct,
     "q161_centroid_drift" -> q161CentroidDrift,
@@ -749,6 +859,7 @@ object AnalyticsOps5 {
     "q163_count_min" -> q163CountMin,
     "q164_rolling_distinct" -> q164RollingDistinct,
     "q165_dataset_card" -> q165DatasetCard,
+    "q166_histogram_quantiles" -> q166HistogramQuantiles,
     "q155_markov_transitions" -> q155MarkovTransitions,
     "q156_debounce" -> q156Debounce,
     "q157_retention_triangle" -> q157RetentionTriangle,

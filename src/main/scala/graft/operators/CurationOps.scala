@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators beyond TextOps' per-doc statistics: the
@@ -521,6 +522,131 @@ object CurationOps {
           .as("n_remaining_after"))
   }
 
+  /** Deterministic train/valid/test split assignment + cross-split
+    * contamination audit — the release gate a corpus split ships
+    * with. Split is a pure function of doc_id (the 60-bit md5 recipe
+    * mod 100 → 90/5/5), so the assignment is reproducible on any
+    * engine and stable under re-runs; leakage = a document whose
+    * EXACT content (md5(text)) also appears in a different split —
+    * the q40 dup class crossing the split boundary, which silently
+    * inflates eval scores.
+    *
+    * Scale shape: one doc pass computes split/content-hash/tokens
+    * map-side; ONE (content-hash, split)-keyed aggregate collapses
+    * dup groups (16-byte keys, ≤3 rows per hash); the cross-split
+    * flag is a count-over-hash window on THAT collapsed frame (one
+    * hash-keyed exchange, high-cardinality key); the report is a
+    * 3-row rollup. No join back to raw documents. */
+  val q167SplitLeakage: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT CASE
+      |      WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |        ::BIGINT % 100 < 90 THEN 'train'
+      |      WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |        ::BIGINT % 100 < 95 THEN 'valid'
+      |      ELSE 'test' END AS split,
+      |    md5(text) AS h,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |g AS (
+      |  SELECT h, split, count(*) AS nd, sum(n_tok) AS nt
+      |  FROM d GROUP BY 1, 2),
+      |f AS (
+      |  SELECT split, nd, nt,
+      |    count(*) OVER (PARTITION BY h) AS nsp
+      |  FROM g)
+      |SELECT split,
+      |  sum(nd) AS n_docs,
+      |  sum(nt) AS n_tokens,
+      |  sum(CASE WHEN nsp >= 2 THEN nd ELSE 0 END) AS n_leaked_docs,
+      |  floor((CAST(sum(CASE WHEN nsp >= 2 THEN nd ELSE 0 END) AS DOUBLE)
+      |    / sum(nd)) * 1000000 + 0.5) / 1000000 AS leaked_share
+      |FROM f GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val bucket = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+      "1, 15), 16, 10) AS BIGINT) % 100")
+    val docs = Tables.documents(s, d).select(
+      when(bucket < 90, lit("train"))
+        .when(bucket < 95, lit("valid"))
+        .otherwise(lit("test")).as("split"),
+      md5(col("text")).as("h"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    val grouped = docs.groupBy(col("h"), col("split"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+      .withColumn("nsp", count(lit(1)).over(
+        Window.partitionBy(col("h"))))
+    grouped.groupBy(col("split"))
+      .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(when(col("nsp") >= 2, col("nd")).otherwise(lit(0L)))
+          .as("n_leaked_docs"))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        col("n_leaked_docs"),
+        (floor((col("n_leaked_docs").cast("double") / col("n_docs"))
+          * 1000000 + 0.5) / 1000000).as("leaked_share"))
+  }
+
+  /** Concat-and-chunk sequence packing audit — the GPT-style "join
+    * the corpus in a deterministic shuffle order, cut every 2048
+    * tokens" packer, reported as the docs-per-chunk histogram (the
+    * fragmentation signature that decides whether a packing needs
+    * doc-boundary masking). Each document's global token offset is an
+    * EXACT prefix sum in (shuffle-hash, doc_id) order, so chunk
+    * membership is pure integer floordiv — any engine reproduces the
+    * identical packing.
+    *
+    * Scale shape: the offsets ride the ungrouped two-phase prefix
+    * (ONE range shuffle — never a single-task global window over
+    * documents); each doc then explodes to only the chunks it touches
+    * (≤ n_tok/2048 + 1 rows); the histogram is a chunk-keyed count
+    * rolled up to ≤ a-few-dozen rows. The total-chunks denominator is
+    * a broadcast scalar, not an unpartitioned window. */
+  val q168ChunkPacking: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hk,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY hk, doc_id) AS BIGINT) AS cum
+      |  FROM d),
+      |span AS (
+      |  SELECT (cum - n_tok) // 2048 AS first_c, (cum - 1) // 2048 AS last_c
+      |  FROM o WHERE n_tok > 0),
+      |pc AS (
+      |  SELECT unnest(range(first_c, last_c + 1)) AS chunk FROM span),
+      |per_chunk AS (
+      |  SELECT chunk, count(*) AS docs_in_chunk FROM pc GROUP BY 1),
+      |hist AS (
+      |  SELECT docs_in_chunk, count(*) AS n_chunks
+      |  FROM per_chunk GROUP BY 1)
+      |SELECT docs_in_chunk, n_chunks,
+      |  floor((CAST(n_chunks AS DOUBLE)
+      |    / (SELECT sum(n_chunks) FROM hist)) * 1000000 + 0.5) / 1000000
+      |    AS chunk_share
+      |FROM hist""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
+        "16, 10) AS BIGINT)").as("hk"),
+      size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    val offsets = AnalyticsOps2.groupedPrefixSums(docs, Seq.empty,
+      Seq(col("hk"), col("doc_id")), Seq((col("n_tok"), "cum", None)))
+    val perChunk = offsets.filter(col("n_tok") > 0)
+      .select(explode(sequence(
+        expr("(cum - n_tok) div 2048"), expr("(cum - 1) div 2048")))
+        .as("chunk"))
+      .groupBy(col("chunk")).agg(count(lit(1)).as("docs_in_chunk"))
+    val hist = perChunk.groupBy(col("docs_in_chunk"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val total = hist.agg(sum(col("n_chunks")).as("total_chunks"))
+    hist.crossJoin(broadcast(total))
+      .select(col("docs_in_chunk"), col("n_chunks"),
+        (floor((col("n_chunks").cast("double") / col("total_chunks"))
+          * 1000000 + 0.5) / 1000000).as("chunk_share"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q139_filter_cascade" -> q139FilterCascade,
     "q57_winnow" -> q57Winnow,
@@ -530,6 +656,8 @@ object CurationOps {
     "q68_pii_redact" -> q68PiiRedact,
     "q70_mixture_sample" -> q70MixtureSample,
     "q88_expectations" -> q88Expectations,
-    "q91_weighted_sample" -> q91WeightedSample
+    "q91_weighted_sample" -> q91WeightedSample,
+    "q167_split_leakage" -> q167SplitLeakage,
+    "q168_chunk_packing" -> q168ChunkPacking
   )
 }

@@ -737,6 +737,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q166: exact ranks ride the grouped two-phase prefix; sketch is one hash agg") {
+    val p = plan("q166_histogram_quantiles")
+    // the per-type rank must be the grouped range-partitioned prefix
+    // (event_type has ~5 values — a partitionBy(event_type) window
+    // over raw events would funnel the population through 5 tasks),
+    // and the histogram build must be an ordinary partial+final hash
+    // aggregate (the bucket counts ARE the mergeable sketch)
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q167: split audit is two aggregates + one hash-keyed window, no joins") {
+    val p = plan("q167_split_leakage")
+    // dup groups collapse in ONE (content-hash, split) aggregate and
+    // the cross-split flag runs on that collapsed frame — never a
+    // join back to raw documents
+    assert(!p.contains("Join"), p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(nodes(p, "Window") == 1, p)
+  }
+
+  test("q168: packing offsets ride the ungrouped two-phase prefix") {
+    val p = plan("q168_chunk_packing")
+    // the global token offset must be the range-partitioned prefix
+    // sum (never a single-task ORDER BY window over documents); the
+    // total-chunks denominator is a broadcast scalar
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -207,6 +207,37 @@ class AnalyticsOps5Spec extends SparkSpec {
       2 -> ((1L, cosRef(Seq(0.0, 1.0), g)))), out)
   }
 
+  test("q166: exact quantiles closed-form; histogram estimate one-sided < 1/8") {
+    import spark.implicits._
+    val dir = tmp("graft-histq")
+    // type A: cents 1..100 (value k/100) → p50 rank 50 → 50¢,
+    // p95 → 95¢, p99 → 99¢. Bucket math for 50¢: e=5, idx=8·5+(50>>2)−8
+    // =44, ub=(4+9)·4−1=51 — pins the log-linear sub-bucket formula.
+    // type B: cents 1..8 → all sub-8 buckets are EXACT (idx=v, ub=v).
+    val a = (1 to 100).map(k => (k.toLong, "A", k / 100.0))
+    val b = (1 to 8).map(k => (200L + k, "B", k / 100.0))
+    (a ++ b).toDF("event_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = AnalyticsOps5.q166HistogramQuantiles.fn(spark, dir).collect()
+    assert(rows.length == 6, rows.toSeq)
+    val m = rows.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(3), r.getLong(4)))).toMap // (exact, est)
+    assert(m(("A", 50L)) == ((50L, 51L)), m)
+    assert(m(("A", 95L)) == ((95L, 95L)), m)
+    assert(m(("A", 99L)) == ((99L, 103L)), m)
+    // sub-8 cents: the histogram IS exact
+    assert(m(("B", 50L))._1 == m(("B", 50L))._2, m)
+    assert(m(("B", 95L))._1 == m(("B", 95L))._2, m)
+    // the one-sided guarantee, every row: exact ≤ est < exact · 9/8
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(3), r.getLong(4))
+      assert(est >= exact && est.toDouble < exact * 1.125,
+        s"${r.getString(0)}/${r.getLong(1)}: exact=$exact est=$est")
+    }
+  }
+
   test("q159: decile migration pairs early and late ranks per customer") {
     import spark.implicits._
     val dir = tmp("graft-decile")

@@ -259,4 +259,70 @@ class CurationOpsSpec extends SparkSpec {
       3 -> (("uniqueness", 1L, 2L)),
       4 -> (("stopword_density", 1L, 1L))), out)
   }
+
+  test("q167: leaked docs are exactly the dup groups that straddle splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    // 40 unique docs + one duplicated text stamped on 30 doc_ids —
+    // with 30 independent 90/5/5 draws the dup group straddles splits
+    // with near-certainty, giving both leaked and clean mass per split
+    val docs = (1 to 40).map(i => (i.toLong, s"unique text number $i")) ++
+      (101 to 130).map(i => (i.toLong, "shared boilerplate body"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reference assignment: the same published recipe, evaluated
+    // row-at-a-time on the driver
+    val split = (id: Long) => {
+      val h = java.lang.Long.parseLong(org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(id.toString).substring(0, 15), 16)
+      val b = h % 100
+      if (b < 90) "train" else if (b < 95) "valid" else "test"
+    }
+    val bySplit = docs.groupBy { case (id, _) => split(id) }
+    val dupSplits = (101 to 130).map(i => split(i.toLong)).toSet
+    val out = CurationOps.q167SplitLeakage.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    bySplit.foreach { case (sp, ds) =>
+      val (nDocs, nLeaked) = out(sp)
+      assert(nDocs == ds.size, s"$sp docs: $out vs ${ds.size}")
+      // unique texts never leak; the shared text leaks iff its group
+      // spans ≥ 2 splits (then EVERY copy in this split is leaked)
+      val expLeaked = if (dupSplits.size >= 2 && dupSplits(sp))
+        ds.count(_._1 >= 101L) else 0
+      assert(nLeaked == expLeaked, s"$sp leaked: $out vs $expLeaked")
+    }
+    assert(dupSplits.size >= 2, "fixture must straddle splits")
+  }
+
+  test("q168: uniform 1024-token docs pack exactly two per 2048 chunk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    val body = Seq.fill(1024)("w").mkString(" ")
+    (1 to 8).map(i => (i.toLong, body)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // every offset is a multiple of 1024 regardless of the hash
+    // order, so no doc crosses a boundary and every chunk holds
+    // exactly 2 docs: hist = {2 → 4 chunks, share 1.0}
+    val out = CurationOps.q168ChunkPacking.fn(spark, dir).collect()
+    assert(out.length == 1, out.toSeq)
+    assert(out(0).getLong(0) == 2L && out(0).getLong(1) == 4L &&
+      out(0).getDouble(2) == 1.0, out.toSeq)
+  }
+
+  test("q168: chunk count and doc-span mass are conserved on the gate corpus") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ", -1)).cast("long").as("n_tok"))
+    val totTok = docs.agg(fsum("n_tok")).head.getLong(0)
+    val nDocs = docs.count()
+    val hist = CurationOps.q168ChunkPacking.fn(spark, sfDir).collect()
+    val nChunks = hist.map(_.getLong(1)).sum
+    assert(nChunks == (totTok + 2047) / 2048, s"$nChunks vs $totTok")
+    // Σ docs_in_chunk·n_chunks counts each doc once per chunk it
+    // touches: ≥ one per doc, < one per doc + one per chunk boundary
+    val mass = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(mass >= nDocs && mass < nDocs + nChunks, s"$mass $nDocs $nChunks")
+  }
 }
