@@ -34,6 +34,8 @@ object SparkEntry {
     operators.AnalyticsOps3.all,
     operators.AnalyticsOps4.all,
     operators.AnalyticsOps5.all,
+    operators.LayoutOps.all,
+    operators.AnalyticsOps6.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

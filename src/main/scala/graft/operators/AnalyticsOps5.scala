@@ -852,6 +852,165 @@ object AnalyticsOps5 {
           col("exact_cents")) * 1000000 + 0.5) / 1000000).as("rel_err"))
   }
 
+  /** Shared HLL estimator tail (the q154 recipe): raw α·m²/S with the
+    * linear-counting small-range switch, rounded at 1e-6 to absorb
+    * last-ulp libm disagreement. `sInv` = Σ 2^−reg (exact in any
+    * order — dyadic rationals), `vZero` = count of empty registers. */
+  private def hllEstimate(sInv: Column, vZero: Column): Column = {
+    val alphaMm = (lit(0.7213) * lit(1048576.0)) /
+      (lit(1.0) + (lit(1.079) / lit(1024.0)))
+    val eRaw = alphaMm / sInv
+    floor((when(eRaw <= 2560 && vZero > 0,
+      lit(1024.0) * log(lit(1024.0) / vZero.cast("double")))
+      .otherwise(eRaw)) * 1000000 + 0.5) / 1000000
+  }
+
+  /** Pairwise audience overlap between event types from HLL sketch
+    * ALGEBRA — |A∩B| estimated by inclusion–exclusion over mergeable
+    * register arrays (est_a + est_b − est_union, where the union
+    * sketch is the elementwise register max, NO re-scan of the
+    * data), with the exact intersection beside it. This is the
+    * operation sketch infrastructure exists for at 100 TB: the
+    * overlap matrix of N audiences needs ONE pass + N kilobyte
+    * sketches, not N² distinct-count scans.
+    *
+    * Exact side rides a bitmask trick, not a self-join: each type
+    * gets a dense alphabetical index (derived on the 5-row DISTINCT
+    * frame — engine-neutral, data-independent); one user-keyed
+    * bit_or collapses each user to a ≤31-value type-set mask; exact
+    * |A∩B| for every pair is then a sum over the ≤31-row mask-count
+    * frame. Two data passes total (sketch build, mask build), both
+    * ordinary partial+final aggregates; everything downstream is
+    * pairs × masks metadata.
+    *
+    * est_inter can legitimately go ≤ 0 when true overlap is tiny
+    * relative to sketch error — reported raw (the calibration IS the
+    * point); rel_err is anchored on the exact count. */
+  val q171HllOverlap: QueryDef = QueryDef.withOracle(
+    """WITH t AS (SELECT DISTINCT event_type FROM events),
+      |ti AS (
+      |  SELECT event_type,
+      |    row_number() OVER (ORDER BY event_type) - 1 AS idx
+      |  FROM t),
+      |h AS (
+      |  SELECT event_type,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM events),
+      |r0 AS (
+      |  SELECT event_type, h >> 50 AS bucket,
+      |    max(CASE WHEN (h & ((1::BIGINT << 40) - 1)) = 0 THEN 41
+      |      ELSE 40 - CAST(floor(log2(h & ((1::BIGINT << 40) - 1)))
+      |        AS BIGINT) END) AS reg
+      |  FROM h GROUP BY 1, 2),
+      |r AS (
+      |  SELECT t.event_type, gs.bucket, coalesce(r0.reg, 0) AS reg
+      |  FROM t CROSS JOIN (SELECT unnest(range(0, 1024)) AS bucket) gs
+      |  LEFT JOIN r0 ON r0.event_type = t.event_type
+      |    AND r0.bucket = gs.bucket),
+      |sa AS (
+      |  SELECT event_type, sum(pow(CAST(2 AS DOUBLE), -reg)) AS s_inv,
+      |    CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0
+      |  FROM r GROUP BY 1),
+      |se AS (
+      |  SELECT event_type,
+      |    floor((CASE WHEN ((CAST(0.7213 AS DOUBLE) * 1048576) /
+      |        (CAST(1 AS DOUBLE) + (CAST(1.079 AS DOUBLE)
+      |          / CAST(1024 AS DOUBLE)))) / s_inv <= 2560 AND v0 > 0
+      |      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / v0)
+      |      ELSE ((CAST(0.7213 AS DOUBLE) * 1048576) /
+      |        (CAST(1 AS DOUBLE) + (CAST(1.079 AS DOUBLE)
+      |          / CAST(1024 AS DOUBLE)))) / s_inv END) * 1000000 + 0.5)
+      |      / 1000000 AS est
+      |  FROM sa),
+      |pu AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    sum(pow(CAST(2 AS DOUBLE), -greatest(a.reg, b.reg))) AS s_inv,
+      |    CAST(sum(CASE WHEN greatest(a.reg, b.reg) = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v0
+      |  FROM r a JOIN r b ON a.bucket = b.bucket
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |ue AS (
+      |  SELECT ta, tb,
+      |    floor((CASE WHEN ((CAST(0.7213 AS DOUBLE) * 1048576) /
+      |        (CAST(1 AS DOUBLE) + (CAST(1.079 AS DOUBLE)
+      |          / CAST(1024 AS DOUBLE)))) / s_inv <= 2560 AND v0 > 0
+      |      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / v0)
+      |      ELSE ((CAST(0.7213 AS DOUBLE) * 1048576) /
+      |        (CAST(1 AS DOUBLE) + (CAST(1.079 AS DOUBLE)
+      |          / CAST(1024 AS DOUBLE)))) / s_inv END) * 1000000 + 0.5)
+      |      / 1000000 AS est_union
+      |  FROM pu),
+      |m AS (
+      |  SELECT e.user_id, bit_or(1::BIGINT << ti.idx) AS mask
+      |  FROM events e JOIN ti USING (event_type) GROUP BY 1),
+      |mc AS (SELECT mask, count(*) AS n FROM m GROUP BY 1),
+      |px AS (
+      |  SELECT a.event_type AS ta, a.idx AS ia,
+      |    b.event_type AS tb, b.idx AS ib
+      |  FROM ti a JOIN ti b ON a.event_type < b.event_type),
+      |xc AS (
+      |  SELECT ta, tb,
+      |    sum(CASE WHEN ((mask >> ia) & 1) = 1
+      |      AND ((mask >> ib) & 1) = 1 THEN n ELSE 0 END) AS n_exact
+      |  FROM px CROSS JOIN mc GROUP BY 1, 2)
+      |SELECT xc.ta AS type_a, xc.tb AS type_b, xc.n_exact,
+      |  ea.est AS est_a, eb.est AS est_b, ue.est_union,
+      |  (ea.est + eb.est) - ue.est_union AS est_inter,
+      |  floor((abs((ea.est + eb.est) - ue.est_union
+      |    - CAST(xc.n_exact AS DOUBLE)) / xc.n_exact) * 1000000 + 0.5)
+      |    / 1000000 AS rel_err
+      |FROM xc
+      |JOIN se ea ON ea.event_type = xc.ta
+      |JOIN se eb ON eb.event_type = xc.tb
+      |JOIN ue ON ue.ta = xc.ta AND ue.tb = xc.tb""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val regs = ev.groupBy(col("event_type"))
+      .agg(graft.functions.SketchAggregates
+        .hllRegisters(col("user_id").cast("string"), 10).as("regs"))
+    def est(regsCol: String, out: String)(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn(out, hllEstimate(
+        expr(s"aggregate($regsCol, CAST(0 AS DOUBLE), " +
+          "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))"),
+        expr(s"CAST(size(filter($regsCol, r -> r = 0)) AS BIGINT)")))
+    val singles = est("regs", "est")(regs)
+      .select(col("event_type"), col("est"))
+    val pairs = regs.toDF("ta", "ra")
+      .join(broadcast(regs.toDF("tb", "rb")), col("ta") < col("tb"))
+      .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+    val unions = est("ru", "est_union")(pairs)
+      .select(col("ta"), col("tb"), col("est_union"))
+    val ti = ev.select(col("event_type")).distinct()
+      .withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_type"))).cast("long") - 1)
+    val masks = ev.join(broadcast(ti), Seq("event_type"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(idx AS INT)))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    val px = ti.toDF("ta", "ia")
+      .join(broadcast(ti.toDF("tb", "ib")), col("ta") < col("tb"))
+    val exact = px.crossJoin(broadcast(masks))
+      .groupBy(col("ta"), col("tb"))
+      .agg(sum(when(
+        expr("((mask >> CAST(ia AS INT)) & 1) = 1 " +
+          "AND ((mask >> CAST(ib AS INT)) & 1) = 1"),
+        col("n")).otherwise(lit(0L))).as("n_exact"))
+    exact
+      .join(broadcast(singles.toDF("ta", "est_a")), Seq("ta"))
+      .join(broadcast(singles.toDF("tb", "est_b")), Seq("tb"))
+      .join(broadcast(unions), Seq("ta", "tb"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_exact"), col("est_a"), col("est_b"), col("est_union"),
+        ((col("est_a") + col("est_b")) - col("est_union")).as("est_inter"),
+        (floor((abs((col("est_a") + col("est_b")) - col("est_union") -
+          col("n_exact").cast("double")) / col("n_exact")) * 1000000
+          + 0.5) / 1000000).as("rel_err"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q154_hll_distinct" -> q154HllDistinct,
     "q161_centroid_drift" -> q161CentroidDrift,
@@ -860,6 +1019,7 @@ object AnalyticsOps5 {
     "q164_rolling_distinct" -> q164RollingDistinct,
     "q165_dataset_card" -> q165DatasetCard,
     "q166_histogram_quantiles" -> q166HistogramQuantiles,
+    "q171_hll_overlap" -> q171HllOverlap,
     "q155_markov_transitions" -> q155MarkovTransitions,
     "q156_debounce" -> q156Debounce,
     "q157_retention_triangle" -> q157RetentionTriangle,

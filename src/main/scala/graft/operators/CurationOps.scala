@@ -647,6 +647,83 @@ object CurationOps {
           * 1000000 + 0.5) / 1000000).as("chunk_share"))
   }
 
+  /** Exact 13-gram eval-set decontamination audit — the GPT-3-style
+    * "remove any training document sharing a 13-gram with the
+    * benchmark" check, run here between this corpus's own train and
+    * test splits (q167's deterministic hash split, so the benchmark
+    * side needs no external fixture). Complements q58's bloom-filter
+    * decontamination (probabilistic, membership-only) with the exact
+    * join the final release gate runs, and q167's exact-dup leakage
+    * (whole-document) with the sub-document overlap class.
+    *
+    * Scale shape: both sides emit (gram-hash, doc) pairs by a
+    * codegen'd transform/explode over the token array — ~|tokens|
+    * rows, the same budget as one tokenization pass; the test side
+    * collapses to DISTINCT gram hashes (at 100 TB the eval split is
+    * the small side by construction — 5% of docs — and its distinct
+    * gram set is what the leftsemi equi-join shuffles against);
+    * contaminated train docs collapse by doc before the source
+    * rollup, so output is source-sized. No join touches raw text —
+    * only 16-byte md5 gram keys. The one doc re-read (train doc
+    * counts) is a second pruned scan of (doc_id, source), cheaper
+    * than caching the tokenized frame.
+    *
+    * Determinism: grams are md5 of the space-rejoined 13-token
+    * window — byte-identical in both engines; doc/source counts are
+    * exact. */
+  val q170NgramDecontam: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 AS b,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |teg AS (
+      |  SELECT DISTINCT md5(array_to_string(toks[i:i+12], ' ')) AS g
+      |  FROM (SELECT toks, unnest(range(1, len(toks) - 11)) AS i
+      |        FROM d WHERE b >= 95 AND len(toks) >= 13)),
+      |trg AS (
+      |  SELECT doc_id, source, md5(array_to_string(toks[i:i+12], ' ')) AS g
+      |  FROM (SELECT doc_id, source, toks,
+      |          unnest(range(1, len(toks) - 11)) AS i
+      |        FROM d WHERE b < 90 AND len(toks) >= 13)),
+      |hit AS (
+      |  SELECT DISTINCT trg.doc_id, trg.source
+      |  FROM trg JOIN teg USING (g)),
+      |tr AS (
+      |  SELECT source, count(*) AS n_train FROM d WHERE b < 90 GROUP BY 1),
+      |ct AS (
+      |  SELECT source, count(*) AS n_contaminated FROM hit GROUP BY 1)
+      |SELECT tr.source, tr.n_train,
+      |  coalesce(ct.n_contaminated, 0) AS n_contaminated,
+      |  floor((CAST(coalesce(ct.n_contaminated, 0) AS DOUBLE) / tr.n_train)
+      |    * 1000000 + 0.5) / 1000000 AS contam_share
+      |FROM tr LEFT JOIN ct USING (source)""".stripMargin
+  ) { (s, d) =>
+    val bucket = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+      "1, 15), 16, 10) AS BIGINT) % 100")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      bucket.as("b"), split(col("text"), " ", -1).as("toks"))
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.filter(size(col("toks")) >= 13)
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(1, size(toks) - 12), " +
+            "i -> md5(array_join(slice(toks, i, 13), ' ')))")).as("g"))
+    val testGrams = grams(base.filter(col("b") >= 95))
+      .select(col("g")).distinct()
+    val hits = grams(base.filter(col("b") < 90))
+      .join(testGrams, Seq("g"), "leftsemi")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+    base.filter(col("b") < 90)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      .join(hits, Seq("source"), "left")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (floor((coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_train")) * 1000000 + 0.5) / 1000000).as("contam_share"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q139_filter_cascade" -> q139FilterCascade,
     "q57_winnow" -> q57Winnow,
@@ -658,6 +735,7 @@ object CurationOps {
     "q88_expectations" -> q88Expectations,
     "q91_weighted_sample" -> q91WeightedSample,
     "q167_split_leakage" -> q167SplitLeakage,
-    "q168_chunk_packing" -> q168ChunkPacking
+    "q168_chunk_packing" -> q168ChunkPacking,
+    "q170_ngram_decontam" -> q170NgramDecontam
   )
 }

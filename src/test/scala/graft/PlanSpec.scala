@@ -773,6 +773,60 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q169: both layout ranks ride the two-phase prefix; probes broadcast") {
+    val p = plan("q169_zorder_layout")
+    // each layout's file assignment is a range-partitioned global
+    // rank (never a single-task ORDER BY over events), the row-count
+    // denominator and the probe grid are broadcast metadata
+    assert(nodes(p, "RangePartitioning") >= 2 ||
+      p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q170: gram containment is an equi semi-join on hash keys") {
+    val p = plan("q170_ngram_decontam")
+    // the only data-sized join is LeftSemi on the 16-byte gram hash —
+    // never a nested-loop or cartesian over text
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q171: sketch build is partial+final register merge; masks one pass") {
+    val p = plan("q171_hll_overlap")
+    // the register sketch pre-combines map-side (q154's contract) and
+    // the exact side is ONE user-keyed bit_or aggregate — everything
+    // after either pass is pairs-x-masks metadata
+    assert(p.toLowerCase.contains("hllregisters"), p)
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    assert(p.toLowerCase.contains("bit_or"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q172: CUPED is one user aggregate + moment algebra, no windows") {
+    val p = plan("q172_cuped")
+    // per-user (x, y) builds in ONE partial+final hash aggregate; the
+    // pooled moment frame is a broadcast scalar; no window, no sort,
+    // no second data pass
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 2-row x 1-row
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q173: CUSUM windows run on the cached daily metadata frame only") {
+    val p = plan("q173_cusum_changepoint")
+    // the one data pass is the (type, day) count; every window sits
+    // above the cached <= |types|*|days| frame
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -256,4 +256,34 @@ class AnalyticsOps5Spec extends SparkSpec {
     assert(out == Map((0L, 5L) -> 1L, (5L, 0L) -> 1L), out)
     graft.CacheHygiene.sweep(spark) // groupedPrefixSum pins a cache
   }
+
+  test("q171: exact intersection is closed-form; sketch algebra is consistent") {
+    import spark.implicits._
+    val dir = tmp("graft-hllov")
+    // users 1..100 fire both types; 101..150 only type 'a':
+    // exact |a ∩ b| = 100, |a| = 150, |b| = 100
+    val evs =
+      (1 to 150).map(u => (u.toLong * 2, u.toLong, "a")) ++
+      (1 to 100).map(u => (u.toLong * 2 + 1, u.toLong, "b"))
+    evs.toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(lit("2024-01-05 00:00:00")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = AnalyticsOps5.q171HllOverlap.fn(spark, dir).collect()
+    assert(rows.length == 1, rows.toSeq)
+    val r = rows.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b", r)
+    assert(r.getLong(2) == 100L, r) // exact intersection
+    val (estA, estB, estU, estI) =
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    // inclusion-exclusion identity holds exactly as computed
+    assert(estI == (estA + estB) - estU, r)
+    // union of a superset: est_union must equal est_a (same register
+    // array — b's members are all in a)
+    assert(estU == estA, r)
+    // p=10 sketch on 100-150 distinct runs in the linear-counting
+    // regime: estimates land within a few percent of truth
+    assert(math.abs(estA - 150.0) / 150.0 < 0.10, r)
+    assert(math.abs(estI - 100.0) / 100.0 < 0.15, r)
+  }
 }

@@ -325,4 +325,40 @@ class CurationOpsSpec extends SparkSpec {
     val mass = hist.map(r => r.getLong(0) * r.getLong(1)).sum
     assert(mass >= nDocs && mass < nDocs + nChunks, s"$mass $nDocs $nChunks")
   }
+
+  test("q170: 13-gram overlap flags train docs; 12-token overlap does not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    // reference split assignment: the published recipe, row-at-a-time
+    val split = (id: Long) => {
+      val h = java.lang.Long.parseLong(org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(id.toString).substring(0, 15), 16)
+      val b = h % 100
+      if (b < 90) "train" else if (b < 95) "valid" else "test"
+    }
+    val ids = (1L to 400L)
+    val testId = ids.find(split(_) == "test").get
+    val trainIds = ids.filter(split(_) == "train").take(3)
+    val bench = (1 to 20).map(i => s"b$i") // 20 benchmark tokens
+    val docs = Seq(
+      // the benchmark doc itself (test split)
+      (testId, bench.mkString(" "), "src1"),
+      // train doc sharing a 13-token run (tokens 5..17) -> contaminated
+      (trainIds(0),
+        (Seq("pre") ++ bench.slice(4, 17) ++ Seq("post")).mkString(" "),
+        "src1"),
+      // train doc sharing only a 12-token run (tokens 5..16) -> clean
+      (trainIds(1),
+        (Seq("pre") ++ bench.slice(4, 16) ++ Seq("tail", "x")).mkString(" "),
+        "src2"),
+      // train doc with no overlap at all -> clean
+      (trainIds(2), (1 to 15).map(i => s"u$i").mkString(" "), "src2"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q170NgramDecontam.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("src1") == ((1L, 1L)), out) // 1 train doc, contaminated
+    assert(out("src2") == ((2L, 0L)), out) // 12-gram run is NOT enough
+  }
 }
