@@ -194,8 +194,161 @@ object AnalyticsOps6 {
           .as("cusum_norm"))
   }
 
+  /** Top-20 burstiest users by the inter-arrival burstiness index
+    * B = (σ−μ)/(σ+μ) of their event gaps (Goh & Barabási's
+    * point-process statistic: −1 = metronome, 0 = Poisson, → 1 =
+    * extreme bursts) — the behavioral screen that separates bots and
+    * scripted traffic (B near −1 or with near-zero gaps) from human
+    * sessions (bursty, B > 0).
+    *
+    * Scale shape: gaps are ONE user-keyed lag window (user
+    * cardinality parallelism — the q155 posture); per-user moments
+    * are exact integers (Σg in int64; Σg² crosses 2⁶³ for month-long
+    * µs gaps, so it accumulates in decimal(38,0)/int128 — both
+    * engines then cast the SAME integer to double for the one σ
+    * computation; IEEE sqrt is exactly rounded, so σ is
+    * deterministic). The top-20 pick is TakeOrdered on (B desc,
+    * user_id) — never a global sort. Users need ≥ 3 events (2 gaps)
+    * for a defined σ. */
+  val q175Burstiness: QueryDef = QueryDef.withOracle(
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      AS gap
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, count(*) AS m, sum(gap) AS sg,
+      |    sum(CAST(gap AS HUGEINT) * gap) AS sgg
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+      |b AS (
+      |  SELECT user_id, m AS n_gaps,
+      |    floor((CAST(sg AS DOUBLE) / m) * 1000000 + 0.5) / 1000000
+      |      AS mean_gap_us,
+      |    floor(((sqrt(CAST(m * sgg - CAST(sg AS HUGEINT) * sg AS DOUBLE))
+      |        / m - CAST(sg AS DOUBLE) / m)
+      |      / (sqrt(CAST(m * sgg - CAST(sg AS HUGEINT) * sg AS DOUBLE))
+      |        / m + CAST(sg AS DOUBLE) / m)) * 1000000 + 0.5) / 1000000
+      |      AS b_index
+      |  FROM m)
+      |SELECT user_id, n_gaps, mean_gap_us, b_index
+      |FROM b ORDER BY b_index DESC, user_id LIMIT 20""".stripMargin
+  ) { (s, d) =>
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("event_id"))))
+      .filter(col("gap").isNotNull)
+    val m = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("m"), sum(col("gap")).as("sg"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sgg"))
+      .filter(col("m") >= 2)
+    // σ·m = sqrt(m·Σg² − (Σg)²) exactly once; μ = Σg/m — identical
+    // expression trees on both engines, sqrt is IEEE-exact
+    val varNum = (col("m").cast("decimal(38,0)") * col("sgg") -
+      col("sg").cast("decimal(38,0)") * col("sg").cast("decimal(38,0)"))
+      .cast("double")
+    val sigmaOverM = sqrt(varNum) / col("m")
+    val mu = col("sg").cast("double") / col("m")
+    m.select(col("user_id"), col("m").as("n_gaps"),
+        (floor((col("sg").cast("double") / col("m")) * 1000000 + 0.5)
+          / 1000000).as("mean_gap_us"),
+        (floor(((sigmaOverM - mu) / (sigmaOverM + mu)) * 1000000 + 0.5)
+          / 1000000).as("b_index"))
+      .orderBy(col("b_index").desc, col("user_id")).limit(20)
+  }
+
+  /** Split-conformal prediction intervals on event value per type —
+    * the distribution-free uncertainty layer a model-scoring pipeline
+    * ships with: calibration half (pre-period) sets the 90% residual
+    * quantile around the calibration mean; the eval half reports the
+    * achieved coverage (guaranteed ≥ 90% in expectation by
+    * exchangeability, no distributional assumption).
+    *
+    * Exactness: everything is INTEGER until the last two divisions —
+    * residuals are scaled through the calibration count
+    * (r = |n·y − S| avoids the mean division), the conformal rank is
+    * k = ⌈0.9(n+1)⌉ via integer ceil-div, and the eval-side coverage
+    * test compares the same scaled integers. The k-th smallest
+    * residual rides the GROUPED two-phase prefix (event_type is the
+    * ~5-value skewed-group case — a partitionBy(type) window over
+    * raw events would funnel the population through 5 tasks), with
+    * (r, event_id) as the total sort order. */
+  val q176ConformalInterval: QueryDef = QueryDef.withOracle(
+    s"""WITH e AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS t,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |cal AS (SELECT * FROM e WHERE t < $PreEnd),
+      |cs AS (
+      |  SELECT event_type, count(*) AS n, sum(cents) AS s,
+      |    (9 * (count(*) + 1) + 9) // 10 AS k
+      |  FROM cal GROUP BY 1),
+      |cr AS (
+      |  SELECT cal.event_type,
+      |    abs(cs.n * cal.cents - cs.s) AS r, cal.event_id,
+      |    row_number() OVER (PARTITION BY cal.event_type
+      |      ORDER BY abs(cs.n * cal.cents - cs.s), cal.event_id) AS rn
+      |  FROM cal JOIN cs USING (event_type)),
+      |qh AS (
+      |  SELECT cr.event_type, cr.r AS qhat
+      |  FROM cr JOIN cs ON cs.event_type = cr.event_type
+      |    AND cr.rn = cs.k),
+      |ev AS (
+      |  SELECT e.event_type, count(*) AS n_eval,
+      |    sum(CASE WHEN abs(cs.n * e.cents - cs.s) <= qh.qhat
+      |      THEN 1 ELSE 0 END) AS covered
+      |  FROM e JOIN cs USING (event_type) JOIN qh USING (event_type)
+      |  WHERE e.t >= $PreEnd GROUP BY 1)
+      |SELECT ev.event_type, cs.n AS n_cal, ev.n_eval,
+      |  floor((CAST(qh.qhat AS DOUBLE) / cs.n) * 1000000 + 0.5) / 1000000
+      |    AS qhat_cents,
+      |  floor((CAST(ev.covered AS DOUBLE) / ev.n_eval) * 1000000 + 0.5)
+      |    / 1000000 AS coverage
+      |FROM ev JOIN cs USING (event_type) JOIN qh USING (event_type)""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("t"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val cal = e.filter(col("t") < PreEnd)
+    val cs = cal.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .withColumn("k", expr("(9 * (n + 1) + 9) div 10"))
+    val scored = cal.join(broadcast(cs), Seq("event_type"))
+      .select(col("event_type"), col("event_id"),
+        abs(col("n") * col("cents") - col("s")).as("r"))
+    val ranked = AnalyticsOps2.groupedPrefixSums(scored,
+      Seq("event_type"), Seq(col("r"), col("event_id")),
+      Seq((lit(1L), "rn", None)))
+    val qh = ranked.join(broadcast(cs.select(col("event_type"), col("k"))),
+        Seq("event_type"))
+      .filter(col("rn") === col("k"))
+      .select(col("event_type"), col("r").as("qhat"))
+    val evd = e.filter(col("t") >= PreEnd)
+      .join(broadcast(cs.select(col("event_type"), col("n"), col("s"))),
+        Seq("event_type"))
+      .join(broadcast(qh), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(abs(col("n") * col("cents") - col("s")) <= col("qhat"),
+          1L).otherwise(0L)).as("covered"))
+    evd.join(broadcast(cs.select(col("event_type"), col("n"))),
+        Seq("event_type"))
+      .join(broadcast(qh), Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_cal"), col("n_eval"),
+        (floor((col("qhat").cast("double") / col("n")) * 1000000 + 0.5)
+          / 1000000).as("qhat_cents"),
+        (floor((col("covered").cast("double") / col("n_eval")) * 1000000
+          + 0.5) / 1000000).as("coverage"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q172_cuped" -> q172Cuped,
-    "q173_cusum_changepoint" -> q173CusumChangepoint
+    "q173_cusum_changepoint" -> q173CusumChangepoint,
+    "q175_burstiness" -> q175Burstiness,
+    "q176_conformal_interval" -> q176ConformalInterval
   )
 }

@@ -724,6 +724,52 @@ object CurationOps {
           col("n_train")) * 1000000 + 0.5) / 1000000).as("contam_share"))
   }
 
+  /** k-anonymity audit over the documents' quasi-identifier tuple
+    * (lang, source, n_chars rounded to a 100-char band) — the
+    * privacy-release screen that sits beside q68's direct-identifier
+    * redaction: PII scrubbing removes names and emails, but a row
+    * whose QI combination is UNIQUE in the release is re-identifiable
+    * anyway. Reports the equivalence-class size distribution in the
+    * standard risk bands (k=1 singletons, 2–4, 5–19, 20+) with the
+    * row share at risk.
+    *
+    * Scale shape: ONE (QI)-keyed partial+final count collapses the
+    * corpus to its equivalence classes (map-side combine; QI
+    * cardinality bounds the exchange, never row count), then the band
+    * rollup runs on the class-sized frame. No joins, no windows. */
+  val q178KAnonymity: QueryDef = QueryDef.withOracle(
+    """WITH q AS (
+      |  SELECT lang, source, (n_chars - n_chars % 100) // 100 AS len_band,
+      |    count(*) AS k
+      |  FROM documents GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT CASE WHEN k = 1 THEN '1 (unique)'
+      |    WHEN k < 5 THEN '2-4' WHEN k < 20 THEN '5-19'
+      |    ELSE '20+' END AS band, count(*) AS n_classes, sum(k) AS n_rows
+      |  FROM q GROUP BY 1),
+      |t AS (SELECT sum(n_rows) AS tot FROM b)
+      |SELECT band, n_classes, n_rows,
+      |  floor((CAST(n_rows AS DOUBLE) / tot) * 1000000 + 0.5) / 1000000
+      |    AS row_share
+      |FROM b CROSS JOIN t""".stripMargin
+  ) { (s, d) =>
+    val classes = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("(n_chars - n_chars % 100) div 100").as("len_band"))
+      .agg(count(lit(1)).as("k"))
+    val bands = classes
+      .groupBy(when(col("k") === 1, "1 (unique)")
+        .when(col("k") < 5, "2-4")
+        .when(col("k") < 20, "5-19")
+        .otherwise("20+").as("band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+    val tot = bands.agg(sum(col("n_rows")).as("tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_classes"), col("n_rows"),
+        (floor((col("n_rows").cast("double") / col("tot")) * 1000000
+          + 0.5) / 1000000).as("row_share"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q139_filter_cascade" -> q139FilterCascade,
     "q57_winnow" -> q57Winnow,
@@ -736,6 +782,7 @@ object CurationOps {
     "q91_weighted_sample" -> q91WeightedSample,
     "q167_split_leakage" -> q167SplitLeakage,
     "q168_chunk_packing" -> q168ChunkPacking,
-    "q170_ngram_decontam" -> q170NgramDecontam
+    "q170_ngram_decontam" -> q170NgramDecontam,
+    "q178_k_anonymity" -> q178KAnonymity
   )
 }

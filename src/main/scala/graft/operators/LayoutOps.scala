@@ -27,15 +27,6 @@ object LayoutOps {
     expr(s"(${tsMicros.toString} - " +
       s"pmod(${tsMicros.toString}, 86400000000)) div 86400000000")
 
-  /** 8-bit Morton spread: interleave zeros between the bits of an
-    * 8-bit value (classic shift-or-mask ladder, 3 steps). Pure int64
-    * bit math — identical in any engine with `&`/`|`/shifts. */
-  private[operators] def spread8(c: Column): Column = {
-    val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(3855L)) // 0x0F0F
-    val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(13107L)) // 0x3333
-    b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(21845L)) // 0x5555
-  }
-
   /** Z-order vs time-linear layout audit: lay the events table out in
     * 64 equal row-count files two ways — `linear` (the default
     * append order, `(ts, event_id)`) and `zorder` (Morton interleave
@@ -115,8 +106,11 @@ object LayoutOps {
       unix_micros(col("ts")).as("t"),
       pmod(col("user_id"), lit(256L)).as("x"))
       .withColumn("y", pmod(epochDay(col("t")) - 19723, lit(256L)))
-      .withColumn("morton", spread8(col("x"))
-        .bitwiseOR(shiftleft(spread8(col("y")), 1)))
+      // the native codegen'd interleave (q84's expression): for 8-bit
+      // inputs the 31-bit ladder and the oracle's 8-bit ladder agree
+      // bit for bit (high input bits are zero)
+      .withColumn("morton",
+        graft.functions.LayoutExpressions.morton(col("x"), col("y")))
     val n = base.agg(count(lit(1)).as("n"))
     def layoutFiles(name: String, sortCols: Seq[Column]) =
       AnalyticsOps2.globalRowNumber(base, sortCols, "rn")
@@ -146,7 +140,206 @@ object LayoutOps {
           + 0.5) / 1000000).as("scan_share"))
   }
 
+  /** Per-file bloom-filter index vs min/max zone map for POINT
+    * lookups — q169's sibling audit for the other data-skipping
+    * decision: a time-linear layout leaves every file's user_id
+    * min/max spanning nearly the whole domain (zone maps prune ~
+    * nothing for `user_id = ?`), while a small per-file bloom prunes
+    * to the files that actually contain the user plus a bounded
+    * false-positive tail. Reports, for 20 deterministic probe users:
+    * files truly containing the user, files a zone map would scan,
+    * files a 4096-bit k=3 bloom would scan, and the bloom's
+    * false-positive count.
+    *
+    * Scale shape: the bloom index IS an aggregate — positions are 3
+    * 12-bit slices of the shared 60-bit md5 hash, and the per-(file,
+    * word) `bit_or` of position bits is an ordinary mergeable
+    * partial+final aggregate (the q163 argument: the index build
+    * costs one map-side pass, the serialized index is ≤ 64 files ×
+    * 66 words). Words are 63 bits wide — shift counts stay ≤ 62,
+    * inside the checked range of DuckDB's `<<` (Spark's shiftleft
+    * would wrap at 63; 63-bit words keep both engines in the
+    * defined-behavior zone). File assignment rides the same two-phase global rank
+    * as q169. Probes, zones, and bloom words are all broadcast
+    * metadata; the only data-sized work is the rank pass, the two
+    * aggregates, and one broadcast semi-filter for ground truth.
+    *
+    * Bloom has NO false negatives by construction (every element's
+    * bits are OR'd in), so files_bloom_pass ≥ files_true always —
+    * asserted per row in the spec. */
+  val q174BloomIndex: QueryDef = QueryDef.withOracle(
+    """WITH base AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, h,
+      |    row_number() OVER (ORDER BY t, event_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM base),
+      |fl AS (SELECT user_id, h, ((rn - 1) * 64) // n AS f FROM r),
+      |pos AS (
+      |  SELECT f, user_id, (h >> (12 * j)) & 4095 AS p
+      |  FROM fl, (SELECT unnest(range(0, 3)) AS j)),
+      |bloom AS (
+      |  SELECT f, p // 63 AS w, bit_or(1::BIGINT << (p % 63)) AS bits
+      |  FROM pos GROUP BY 1, 2),
+      |zone AS (
+      |  SELECT f, min(user_id) AS mn, max(user_id) AS mx
+      |  FROM fl GROUP BY 1),
+      |probe AS (
+      |  SELECT user_id, h FROM (
+      |    SELECT DISTINCT user_id, h FROM base)
+      |  ORDER BY h, user_id LIMIT 20),
+      |ppos AS (
+      |  SELECT user_id, (h >> (12 * j)) & 4095 AS p
+      |  FROM probe, (SELECT unnest(range(0, 3)) AS j)),
+      |bp AS (
+      |  SELECT pp.user_id, b.f
+      |  FROM ppos pp JOIN bloom b ON b.w = (pp.p // 63)
+      |  GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN ((b.bits >> (pp.p % 63)) & 1) = 1
+      |    THEN 1 ELSE 0 END) = 3),
+      |bpc AS (SELECT user_id, count(*) AS files_bloom_pass FROM bp GROUP BY 1),
+      |zpc AS (
+      |  SELECT p.user_id, count(*) AS files_zone_pass
+      |  FROM probe p JOIN zone z ON p.user_id >= z.mn AND p.user_id <= z.mx
+      |  GROUP BY 1),
+      |tc AS (
+      |  SELECT user_id, count(DISTINCT f) AS files_true
+      |  FROM fl WHERE user_id IN (SELECT user_id FROM probe)
+      |  GROUP BY 1)
+      |SELECT tc.user_id, tc.files_true, zpc.files_zone_pass,
+      |  bpc.files_bloom_pass,
+      |  bpc.files_bloom_pass - tc.files_true AS bloom_fp
+      |FROM tc JOIN zpc USING (user_id) JOIN bpc USING (user_id)""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t"),
+      expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), " +
+        "16, 10) AS BIGINT)").as("h"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val fl = AnalyticsOps2.globalRowNumber(base,
+        Seq(col("t"), col("event_id")), "rn")
+      .crossJoin(broadcast(n))
+      .select(col("user_id"), col("h"), expr("((rn - 1) * 64) div n").as("f"))
+    val js = explode(sequence(lit(0), lit(2))).as("j")
+    val bloom = fl.select(col("f"), col("h"), js)
+      .select(col("f"), expr("(h >> (12 * j)) & 4095").as("p"))
+      .groupBy(col("f"), expr("p div 63").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+        "CAST(p % 63 AS INT)))").as("bits"))
+    val zone = fl.groupBy(col("f"))
+      .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+    val probe = base.select(col("user_id"), col("h")).distinct()
+      .orderBy(col("h"), col("user_id")).limit(20)
+    val ppos = probe.select(col("user_id"), col("h"), js)
+      .select(col("user_id"), expr("(h >> (12 * j)) & 4095").as("p"))
+    val bloomPass = bloom.join(broadcast(ppos),
+        expr("w = (p div 63)"))
+      .groupBy(col("user_id"), col("f"))
+      .agg(sum(when(expr("((bits >> (p % 63)) & 1) = 1"), 1L)
+        .otherwise(0L)).as("hits"))
+      .filter(col("hits") === 3)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("files_bloom_pass"))
+    val zonePass = zone.join(broadcast(probe),
+        col("user_id") >= col("mn") && col("user_id") <= col("mx"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("files_zone_pass"))
+    val truth = fl.join(broadcast(probe.select(col("user_id"))),
+        Seq("user_id"), "leftsemi")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("f")).as("files_true"))
+    truth.join(broadcast(zonePass), Seq("user_id"))
+      .join(broadcast(bloomPass), Seq("user_id"))
+      .select(col("user_id"), col("files_true"), col("files_zone_pass"),
+        col("files_bloom_pass"),
+        (col("files_bloom_pass") - col("files_true")).as("bloom_fp"))
+  }
+
+  /** Per-column encoding-choice profile of the events table — the
+    * write-path decision q169/q174 are the read-path siblings of:
+    * for each column, exact row count, exact distinct count, the
+    * estimated PLAIN size (8 B per numeric, byte length per string)
+    * and DICTIONARY size (distinct values + n·⌈log₂ d⌉ bits of
+    * indices), and which encoding wins. At 100 TB the wrong pick on
+    * one wide column is petabyte-years of storage; this is the audit
+    * a compaction job consults per file-group.
+    *
+    * Scale shape: one `stack` explodes each row to 5 (column, value)
+    * pairs — map-side, codegen'd — and ONE (column, value)-keyed
+    * partial+final aggregate collapses them to the distinct-value
+    * frame with multiplicities (map-side combine bounds the exchange
+    * by Σ per-column cardinalities, not row count); the per-column
+    * rollup and all byte math run on that frame. ⌈log₂ d⌉ uses
+    * floor(log₂(d−1))+1 — exact in double below 2⁴⁰ (the
+    * HllRegisters rationale). */
+  val q179EncodingProfile: QueryDef = QueryDef.withOracle(
+    """WITH kv AS (
+      |  SELECT 'event_type' AS c, event_type AS v, 1 AS is_str FROM events
+      |  UNION ALL SELECT 'props', props, 1 FROM events
+      |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR), 0 FROM events
+      |  UNION ALL SELECT 'value_cents',
+      |    CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 0
+      |    FROM events
+      |  UNION ALL SELECT 'day', CAST((epoch_us(ts) - epoch_us(ts)
+      |    % 86400000000) // 86400000000 AS VARCHAR), 0 FROM events),
+      |dv AS (
+      |  SELECT c, is_str, v, count(*) AS cnt, len(v) AS w
+      |  FROM kv GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT c, is_str, sum(cnt) AS n, count(*) AS d,
+      |    sum(w * cnt) AS val_bytes, sum(w) AS dict_val_bytes
+      |  FROM dv GROUP BY 1, 2),
+      |sz AS (
+      |  SELECT c, n, d,
+      |    CASE WHEN is_str = 1 THEN val_bytes ELSE 8 * n END AS plain_bytes,
+      |    (CASE WHEN is_str = 1 THEN dict_val_bytes ELSE 8 * d END)
+      |      + (n * (CASE WHEN d <= 1 THEN 0
+      |          ELSE CAST(floor(log2(d - 1)) AS BIGINT) + 1 END) + 7) // 8
+      |      AS dict_bytes
+      |  FROM agg)
+      |SELECT c AS col_name, n, d AS n_distinct, plain_bytes, dict_bytes,
+      |  CASE WHEN dict_bytes < plain_bytes THEN 'dict' ELSE 'plain' END
+      |    AS encoding
+      |FROM sz""".stripMargin
+  ) { (s, d) =>
+    val kv = Tables.events(s, d).select(expr(
+      "stack(5, " +
+        "'event_type', event_type, 1, " +
+        "'props', props, 1, " +
+        "'user_id', CAST(user_id AS STRING), 0, " +
+        "'value_cents', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) " +
+          "AS STRING), 0, " +
+        "'day', CAST((unix_micros(ts) - pmod(unix_micros(ts), " +
+          "86400000000)) div 86400000000 AS STRING), 0" +
+      ") AS (c, v, is_str)"))
+    val agg = kv
+      .groupBy(col("c"), col("is_str"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w", length(col("v")).cast("long"))
+      .groupBy(col("c"), col("is_str"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"),
+        sum(col("w") * col("cnt")).as("val_bytes"),
+        sum(col("w")).as("dict_val_bytes"))
+    agg
+      .select(col("c"), col("n"), col("d"), col("is_str"),
+        when(col("is_str") === 1, col("val_bytes"))
+          .otherwise(col("n") * 8).as("plain_bytes"),
+        (when(col("is_str") === 1, col("dict_val_bytes"))
+          .otherwise(col("d") * 8) +
+          expr("(n * (CASE WHEN d <= 1 THEN 0 " +
+            "ELSE CAST(floor(log2(d - 1)) AS BIGINT) + 1 END) + 7) div 8"))
+          .as("dict_bytes"))
+      .select(col("c").as("col_name"), col("n"), col("d").as("n_distinct"),
+        col("plain_bytes"), col("dict_bytes"),
+        when(col("dict_bytes") < col("plain_bytes"), "dict")
+          .otherwise("plain").as("encoding"))
+  }
+
   val all: Map[String, QueryDef] = Map(
-    "q169_zorder_layout" -> q169ZorderLayout
+    "q169_zorder_layout" -> q169ZorderLayout,
+    "q174_bloom_index" -> q174BloomIndex,
+    "q179_encoding_profile" -> q179EncodingProfile
   )
 }

@@ -862,6 +862,99 @@ object TextOps {
         - lit(15.59)) * 10000 + 0.5) / 10000).as("fk_grade"))
   }
 
+  /** Per-language precision/recall/F1 of the q34 stopword lang-id
+    * against the labeled `lang` column — the classifier EVAL the
+    * curation pipeline reads before trusting q34's predictions in a
+    * mixing decision (q150 reports raw kNN confusion cells; this is
+    * the per-class metrics layer). Labeled-but-never-predicted
+    * classes (fr, zh — outside the classifier's stopword lists)
+    * surface as recall 0 rather than vanishing.
+    *
+    * Exactness: tp/n_true/n_pred are exact counts off ONE
+    * (labeled, predicted) cell aggregate (≤ |langs|² cells — the
+    * data-sized work is the same single tokenization pass q34 runs);
+    * precision and recall are one rounded division each, and F1 uses
+    * the margin identity F1 = 2·tp/(n_true + n_pred) — ONE division,
+    * not a compound of two rounded ratios. */
+  val q177LangidEval: QueryDef = QueryDef.withOracle(
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT lang,
+      |    len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS sc_en,
+      |    len(list_filter(toks, x -> x IN ('la', 'el', 'de'))) AS sc_es,
+      |    len(list_filter(toks, x -> x IN ('der', 'die', 'das'))) AS sc_de
+      |  FROM t),
+      |p AS (
+      |  SELECT lang AS labeled,
+      |    CASE WHEN sc_en >= sc_es AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
+      |         WHEN sc_es > sc_en AND sc_es >= sc_de THEN 'es'
+      |         WHEN sc_de > sc_en AND sc_de > sc_es THEN 'de'
+      |         ELSE 'und' END AS predicted
+      |  FROM s),
+      |cells AS (
+      |  SELECT labeled, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l.lang,
+      |    coalesce((SELECT sum(n) FROM cells WHERE labeled = l.lang), 0)
+      |      AS n_true,
+      |    coalesce((SELECT sum(n) FROM cells WHERE predicted = l.lang), 0)
+      |      AS n_pred,
+      |    coalesce((SELECT sum(n) FROM cells
+      |      WHERE labeled = l.lang AND predicted = l.lang), 0) AS tp
+      |  FROM (SELECT DISTINCT labeled AS lang FROM cells) l)
+      |SELECT lang, n_true, n_pred, tp,
+      |  CASE WHEN n_pred = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST(tp AS DOUBLE) / n_pred) * 1000000 + 0.5)
+      |      / 1000000 END AS precision,
+      |  floor((CAST(tp AS DOUBLE) / n_true) * 1000000 + 0.5) / 1000000
+      |    AS recall,
+      |  floor((CAST(2 * tp AS DOUBLE) / (n_true + n_pred)) * 1000000 + 0.5)
+      |    / 1000000 AS f1
+      |FROM m""".stripMargin
+  ) { (s, d) =>
+    val toks = split(col("text"), " ", -1)
+    val scEn = size(filter(toks, x => x.isin("the", "a", "of")))
+    val scEs = size(filter(toks, x => x.isin("la", "el", "de")))
+    val scDe = size(filter(toks, x => x.isin("der", "die", "das")))
+    val cells = Tables.documents(s, d)
+      .select(col("lang").as("labeled"), scEn.as("sc_en"),
+        scEs.as("sc_es"), scDe.as("sc_de"))
+      .select(col("labeled"),
+        when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_de") &&
+          col("sc_en") > 0, "en")
+          .when(col("sc_es") > col("sc_en") && col("sc_es") >= col("sc_de"), "es")
+          .when(col("sc_de") > col("sc_en") && col("sc_de") > col("sc_es"), "de")
+          .otherwise("und").as("predicted"))
+      .groupBy(col("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // ≤ |langs|² cells — metadata from here down
+    val langs = cells.select(col("labeled").as("lang")).distinct()
+    val nTrue = cells.groupBy(col("labeled").as("lang"))
+      .agg(sum(col("n")).as("n_true"))
+    val nPred = cells.groupBy(col("predicted").as("lang"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = cells.filter(col("labeled") === col("predicted"))
+      .select(col("labeled").as("lang"), col("n").as("tp"))
+    langs
+      .join(broadcast(nTrue), Seq("lang"), "left")
+      .join(broadcast(nPred), Seq("lang"), "left")
+      .join(broadcast(tp), Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") === 0, lit(0.0))
+          .otherwise(floor((col("tp").cast("double") / col("n_pred"))
+            * 1000000 + 0.5) / 1000000).as("precision"),
+        (floor((col("tp").cast("double") / col("n_true")) * 1000000 + 0.5)
+          / 1000000).as("recall"),
+        (floor(((col("tp") * 2).cast("double") /
+          (col("n_true") + col("n_pred"))) * 1000000 + 0.5) / 1000000)
+          .as("f1"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q147_readability" -> q147Readability,
     "q109_pmi_collocations" -> q109PmiCollocations,
@@ -882,6 +975,7 @@ object TextOps {
     "q45_decontaminate" -> q45Decontaminate,
     "q46_doc_pack" -> q46DocPack,
     "q47_repetition" -> q47Repetition,
-    "q48_stratified_sample" -> q48StratifiedSample
+    "q48_stratified_sample" -> q48StratifiedSample,
+    "q177_langid_eval" -> q177LangidEval
   )
 }

@@ -827,6 +827,72 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q174: bloom build is a mergeable bit_or aggregate over ranked files") {
+    val p = plan("q174_bloom_index")
+    // file assignment rides the two-phase prefix; the bloom index is
+    // an ordinary partial+final bit_or aggregate; probe checks are
+    // broadcast equi-joins on the word key
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.toLowerCase.contains("bit_or"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q175: burstiness is one user-keyed window + TakeOrdered top-k") {
+    val p = plan("q175_burstiness")
+    // the only data-sized shuffle is the user-keyed lag window; the
+    // top-20 pick must be TakeOrderedAndProject, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(nodes(p, "Window") == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
+  test("q176: conformal rank rides the grouped two-phase prefix") {
+    val p = plan("q176_conformal_interval")
+    // the k-th-residual pick is the grouped range-partitioned prefix
+    // (event_type is the ~5-value skewed-group case); per-type stats
+    // and qhat attach by broadcast only
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q177: metrics run on one cached cell aggregate, broadcast-joined") {
+    val p = plan("q177_langid_eval")
+    // the only data-sized pass is q34's tokenization feeding ONE
+    // (labeled, predicted) aggregate; margins/tp join by broadcast
+    // over the cached ≤|langs|² cell frame
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q178: k-anonymity is two aggregates, no joins beyond the scalar") {
+    val p = plan("q178_k_anonymity")
+    // one QI-keyed partial+final count + the band rollup; the total
+    // is a broadcast scalar
+    assert(nodes(p, "HashAggregate") >= 4, p) // two partial+final pairs
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q179: encoding profile is stack -> one keyed aggregate -> metadata") {
+    val p = plan("q179_encoding_profile")
+    // the stack generator runs map-side; the (column, value) dedup
+    // aggregate pre-combines before its exchange; no joins or windows
+    assert(p.contains("Generate"), p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -64,4 +64,61 @@ class AnalyticsOps6Spec extends SparkSpec {
     assert(r.getLong(4) == 50L, r)          // max_abs_cusum (scaled)
     assert(r.getDouble(5) == 0.25, r)       // cusum_norm
   }
+
+  test("q175: metronome user scores B = -1; bursty user matches closed form") {
+    val dir = tmp("graft-burst")
+    val base = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    def ev(id: Long, u: Long, s: Long) = (id,
+      java.sql.Timestamp.from(base.plusSeconds(s)), u)
+    // user 1: gaps 10,10,10 s -> sigma=0 -> B = -1 exactly
+    // user 2: gaps 1,1,28 s -> closed-form B recomputed below
+    // user 3: ONE gap -> filtered (needs >= 2 gaps for a sigma)
+    val evs = Seq(ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 20), ev(4, 1, 30),
+      ev(10, 2, 0), ev(11, 2, 1), ev(12, 2, 2), ev(13, 2, 30),
+      ev(20, 3, 0), ev(21, 3, 5))
+    evs.toDF("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps6.q175Burstiness.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L), out)
+    assert(out(1L) == ((3L, -1.0)), out)
+    // recompute user 2 with the same double math: m=3, sg=30e6,
+    // sgg=1e12+1e12+784e12
+    val (m, sg, sgg) = (3.0, 30e6, 786e12)
+    val som = math.sqrt(m * sgg - sg * sg) / m
+    val mu = sg / m
+    val want = math.floor(((som - mu) / (som + mu)) * 1000000 + 0.5) / 1000000
+    assert(out(2L)._2 == want, s"${out(2L)} vs $want")
+  }
+
+  test("q176: conformal quantile and coverage are closed-form") {
+    val dir = tmp("graft-conf")
+    // cal (pre): cents 1..10 -> n=10, S=55; scaled residuals
+    // |10y - 55| sorted: 5,5,15,15,25,25,35,35,45,45; k =
+    // ceil(0.9 * 11) = 10 -> qhat = 45 -> qhat_cents = 4.5
+    // eval (post): cents 1, 5, 10, 11 -> residuals 45, 5, 45, 55 ->
+    // covered 3 of 4
+    val evs =
+      (1 to 10).map(k => (k.toLong, "2024-01-05 00:00:00", k / 100.0)) ++
+      Seq((101L, "2024-01-20 00:00:00", 0.01),
+        (102L, "2024-01-20 00:00:00", 0.05),
+        (103L, "2024-01-20 00:00:00", 0.10),
+        (104L, "2024-01-20 00:00:00", 0.11))
+    evs.toDF("event_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("a"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps6.q176ConformalInterval.fn(spark, dir).collect()
+    assert(out.length == 1, out.toSeq)
+    val r = out.head
+    assert(r.getLong(1) == 10L, r)        // n_cal
+    assert(r.getLong(2) == 4L, r)         // n_eval
+    assert(r.getDouble(3) == 4.5, r)      // qhat_cents
+    assert(r.getDouble(4) == 0.75, r)     // coverage
+    graft.CacheHygiene.sweep(spark)       // groupedPrefixSums pins a cache
+  }
 }

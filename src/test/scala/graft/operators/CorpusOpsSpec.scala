@@ -178,4 +178,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L) == ((5L, 2L, 5L, -2.815)), out)
     assert(out(2L) == ((2L, 1L, 0L, -14.81)), out)
   }
+
+  test("q177: per-class metrics are closed-form on a 5-doc fixture") {
+    import spark.implicits._
+    val fx = java.nio.file.Files.createTempDirectory("graft-lid").toString
+    // en: "the cat of war" -> en (tp); "xyz abc" -> und (recall 1/2)
+    // es: "la fiesta de verano" -> es (tp)
+    // fr: "bonjour le monde" -> und (tp 0, recall 0)
+    // de: "la der" -> sc_es=1 >= sc_de=1 -> es (a FALSE es positive:
+    //     es precision 1/2; de recall 0)
+    val rows = Seq(
+      (1L, "the cat of war", "en"), (2L, "xyz abc", "en"),
+      (3L, "la fiesta de verano", "es"), (4L, "bonjour le monde", "fr"),
+      (5L, "la der", "de"))
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$fx/documents.parquet")
+    val out = TextOps.q177LangidEval.fn(spark, fx).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val f23 = math.floor((2.0 / 3.0) * 1000000 + 0.5) / 1000000
+    assert(out.keySet == Set("en", "es", "fr", "de"), out)
+    assert(out("en") == ((2L, 1L, 1L, 1.0, 0.5, f23)), out)
+    assert(out("es") == ((1L, 2L, 1L, 0.5, 1.0, f23)), out)
+    assert(out("fr") == ((1L, 0L, 0L, 0.0, 0.0, 0.0)), out)
+    assert(out("de") == ((1L, 0L, 0L, 0.0, 0.0, 0.0)), out)
+  }
 }

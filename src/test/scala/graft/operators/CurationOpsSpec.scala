@@ -361,4 +361,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("src1") == ((1L, 1L)), out) // 1 train doc, contaminated
     assert(out("src2") == ((2L, 0L)), out) // 12-gram run is NOT enough
   }
+
+  test("q178: class sizes land in the right k-anonymity risk bands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    // four QI classes of sizes 1 / 3 / 6 / 25 (n_chars 50 vs 150
+    // split the 100-char bands); every band gets exactly one class
+    def docs(src: String, nChars: Long, n: Int, base: Int) =
+      (0 until n).map(i => ((base + i).toLong, "t", "en", src, nChars))
+    val all = docs("s1", 50L, 1, 0) ++ docs("s2", 50L, 3, 100) ++
+      docs("s3", 150L, 6, 200) ++ docs("s4", 50L, 25, 300)
+    all.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q178KAnonymity.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def share(n: Long) = math.floor((n / 35.0) * 1000000 + 0.5) / 1000000
+    assert(out == Map(
+      "1 (unique)" -> ((1L, 1L, share(1))),
+      "2-4" -> ((1L, 3L, share(3))),
+      "5-19" -> ((1L, 6L, share(6))),
+      "20+" -> ((1L, 25L, share(25)))), out)
+  }
 }
