@@ -238,13 +238,22 @@ object Multimodal {
     * the RGBQUAD palette that follows the 40-byte header inside strf
     * (biClrUsed entries, 256 when 0); RLE8 encodes (count, index)
     * runs with escapes 0=EOL, 1=end, 2=delta, n≥3=literal (word-
-    * aligned) — pixels a sparse RLE stream never paints default to
-    * palette index 0, the conventional reading of the format's
-    * "undefined" cells. Row order doesn't matter for the histogram,
-    * but the row STRIDE does (padding bytes must not be read as
-    * pixels). */
-  private def decodeDibFrame(frame: Array[Byte], strf: Array[Byte])
-      : Option[(Int, Int, String, Array[Float])] = {
+    * aligned). Row order doesn't matter for the histogram, but the
+    * row STRIDE does (padding bytes must not be read as pixels).
+    *
+    * INTER-FRAME: `prev` is the previous frame's palette-index canvas
+    * — RLE8's escapes are a TEMPORAL-delta mechanism (a non-key frame
+    * encodes only changed runs; skipped/unpainted cells mean "keep
+    * the previous frame's pixel"), so painting over the carried
+    * canvas is the codec's real inter-frame decode, not an
+    * approximation. With no usable prev (first frame, size change)
+    * unpainted cells default to palette index 0, the conventional
+    * reading of a keyframe's undefined cells. Returns the updated
+    * canvas for the next frame (empty for truecolor, which is always
+    * self-contained). */
+  private def decodeDibFrame(frame: Array[Byte], strf: Array[Byte],
+      prev: Option[Array[Byte]] = None)
+      : Option[(Int, Int, String, Array[Float], Array[Byte])] = {
     def le32(b: Array[Byte], i: Int): Int =
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
         ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
@@ -276,10 +285,17 @@ object Multimodal {
           }
           y += 1
         }
+        val n = (w.toLong * h).toFloat
+        return Some((w, h, "dib", bins.map(_ / n), Array.emptyByteArray))
       } else if (bits == 8 && (comp == 0 || comp == 1)) { // paletted
         val nColors = { val c = le32(strf, 32); if (c == 0) 256 else c }
         if (strf.length < 40 + 4 * nColors) return None
-        val idx = new Array[Byte](w * h) // defaults to palette index 0
+        // temporal prediction: start from the previous frame's canvas
+        // when it matches this frame's geometry
+        val idx = prev match {
+          case Some(p) if p.length == w * h => p.clone()
+          case _ => new Array[Byte](w * h) // keyframe: palette index 0
+        }
         if (comp == 0) { // uncompressed 8-bit, bottom-up, 4-aligned rows
           val stride = (w + 3) & ~3
           if (frame.length < stride.toLong * h) return None
@@ -301,7 +317,7 @@ object Multimodal {
             } else value match { // escape
               case 0 => x = 0; y += 1 // end of line
               case 1 => done = true // end of bitmap
-              case 2 => // delta (skipped cells stay index 0)
+              case 2 => // delta: skipped cells KEEP the carried canvas
                 if (i + 1 < frame.length) { x += frame(i) & 0xff
                   y += frame(i + 1) & 0xff; i += 2 }
                 else done = true
@@ -322,9 +338,9 @@ object Multimodal {
             addLum(strf(o + 2) & 0xff, strf(o + 1) & 0xff, strf(o) & 0xff)
           p += 1
         }
-      } else return None
-      val n = (w.toLong * h).toFloat
-      Some((w, h, if (comp == 1) "rle8" else "dib", bins.map(_ / n)))
+        val n = (w.toLong * h).toFloat
+        Some((w, h, if (comp == 1) "rle8" else "dib", bins.map(_ / n), idx))
+      } else None
     } catch {
       case scala.util.control.NonFatal(_) => None
     }
@@ -335,9 +351,12 @@ object Multimodal {
     * families decode for real, all pure-JVM: Motion-JPEG (every frame
     * a standalone JPEG the JDK's imageio reads), uncompressed DIB
     * (BI_RGB 8/24/32-bit), and RLE8 (BI_RLE8) — the latter two via
-    * [[decodeDibFrame]] using the video stream's strf header. Only
-    * inter-frame-coded containers (mp4/webm) remain outside pure-JVM
-    * reach. Frame count from the `##dc`/`##db` movi chunks (ground
+    * [[decodeDibFrame]] using the video stream's strf header, with
+    * the palette canvas CARRIED BETWEEN FRAMES so RLE8's delta/skip
+    * temporal prediction decodes for real (inter-frame, not
+    * frame-independent). Only transform-coded containers (mp4/webm)
+    * remain outside pure-JVM reach.
+    * Frame count from the `##dc`/`##db` movi chunks (ground
     * truth — the avih header's dwTotalFrames is advisory and often
     * wrong in the wild), per-frame interval from avih's
     * dwMicroSecPerFrame, dims + the 8-bin luminance histogram from
@@ -358,7 +377,10 @@ object Multimodal {
       else {
         var usPerFrame = 0L
         var nFrames = 0
-        var first: Option[(Int, Int, String, Array[Float])] = None
+        var dims: Option[(Int, Int)] = None
+        var decoded = 0
+        val histSum = new Array[Float](8)
+        var canvas: Option[Array[Byte]] = None // inter-frame state
         var lastStrhVids = false // the strf that follows belongs to 'vids'
         var vidStrf: Option[Array[Byte]] = None
         // iterative walk with an explicit range stack (decodeWav's
@@ -390,23 +412,41 @@ object Multimodal {
             } else if (id.charAt(0).isDigit && id.charAt(1).isDigit &&
                 (id.endsWith("dc") || id.endsWith("db"))) {
               nFrames += 1
-              if (first.isEmpty && size > 0 && body + size <= content.length) {
+              if (size > 0 && body + size <= content.length) {
                 val frame = java.util.Arrays.copyOfRange(
                   content, body.toInt, (body + size).toInt)
-                // self-contained JPEG (MJPG) first; else a raw
+                // EVERY frame decodes (the feature is the clip's mean
+                // histogram): self-contained JPEG (MJPG) first; else a
                 // DIB/RLE8 frame interpreted through the stream header
-                first = decodeImage(frame)
-                  .orElse(vidStrf.flatMap(decodeDibFrame(frame, _)))
+                // with the previous frame's canvas carried in —
+                // RLE8's delta/skip escapes are temporal prediction,
+                // so chaining the canvas IS the inter-frame decode
+                decodeImage(frame) match {
+                  case Some((w, h, _, hist)) =>
+                    if (dims.isEmpty) dims = Some((w, h))
+                    var b = 0
+                    while (b < 8) { histSum(b) += hist(b); b += 1 }
+                    decoded += 1
+                  case None =>
+                    vidStrf.flatMap(decodeDibFrame(frame, _, canvas))
+                      .foreach { case (w, h, _, hist, cv) =>
+                        if (dims.isEmpty) dims = Some((w, h))
+                        canvas = Some(cv)
+                        var b = 0
+                        while (b < 8) { histSum(b) += hist(b); b += 1 }
+                        decoded += 1
+                      }
+                }
               }
             }
             off = body + size + (size & 1) // chunks are word-aligned
           }
         }
-        first.collect { case (w, h, _, feature) if nFrames > 0 =>
+        dims.collect { case (w, h) if nFrames > 0 && decoded > 0 =>
           // clamp: a garbage dwMicroSecPerFrame (up to 2^32−1) times a
           // large frame count overflows Int when let through raw
           (w, h, math.min(nFrames * usPerFrame / 1000L,
-            Int.MaxValue.toLong).toInt, feature)
+            Int.MaxValue.toLong).toInt, histSum.map(_ / decoded))
         }
       }
     } catch {
@@ -555,9 +595,18 @@ object Multimodal {
     * but with EXACT pixels (no JPEG ringing), so the decoded
     * histogram is precisely [0.5, 0, 0, 0, 0, 0, 0, 0.5]. The RLE8
     * variant encodes each row as two runs + EOL with a final
-    * end-of-bitmap escape, over a 2-entry palette. */
+    * end-of-bitmap escape, over a 2-entry palette.
+    *
+    * `deltaTail = true` (RLE8 only) makes every frame after the first
+    * a TRUE inter-frame: a delta-escape (0x00 0x02 dx dy) skips to
+    * (2, 1) and paints a 2-cell black run — every other cell's value
+    * comes from the previous frame via the carried canvas, so the
+    * decoded clip-mean histogram proves temporal prediction ran
+    * (a from-zero decode of that frame would read the skipped cells
+    * as palette index 0 and land on a different mean). */
   def syntheticAviDib(rle8: Boolean = false, nFrames: Int = 2,
-      w: Int = 4, h: Int = 2, usPerFrame: Int = 100000): Array[Byte] = {
+      w: Int = 4, h: Int = 2, usPerFrame: Int = 100000,
+      deltaTail: Boolean = false): Array[Byte] = {
     val frames: Seq[Array[Byte]] =
       if (!rle8) {
         val stride = (w * 3 + 3) & ~3
@@ -570,12 +619,19 @@ object Multimodal {
           }
           b
         }
-      } else (0 until nFrames).map { _ =>
+      } else (0 until nFrames).map { f =>
         val bos = new java.io.ByteArrayOutputStream()
-        for (_ <- 0 until h) {
-          bos.write(w / 2); bos.write(0) // encoded run: black
-          bos.write(w - w / 2); bos.write(1) // encoded run: white
-          bos.write(0); bos.write(0) // escape: end of line
+        if (deltaTail && f > 0) {
+          // inter-frame: delta-skip to (2, 1), repaint 2 cells black;
+          // everything else persists from the previous frame
+          bos.write(0); bos.write(2); bos.write(2); bos.write(1)
+          bos.write(2); bos.write(0)
+        } else {
+          for (_ <- 0 until h) {
+            bos.write(w / 2); bos.write(0) // encoded run: black
+            bos.write(w - w / 2); bos.write(1) // encoded run: white
+            bos.write(0); bos.write(0) // escape: end of line
+          }
         }
         bos.write(0); bos.write(1) // escape: end of bitmap
         bos.toByteArray
@@ -624,14 +680,16 @@ object Multimodal {
   /** Deterministic media fixture derived from the documents table:
     * text bytes as payload, kind cycling image/audio/video — plus one
     * REAL clip per JVM-decodable video codec (media_ids −1 MJPEG,
-    * −2 uncompressed DIB, −3 RLE8 — all below the doc_id range) so
-    * the q66 pipeline exercises every real video decoder end-to-end,
-    * not just the fake seam. */
+    * −2 uncompressed DIB, −3 RLE8, −4 RLE8 with true temporal-delta
+    * inter-frames — all below the doc_id range) so the q66 pipeline
+    * exercises every real video decoder end-to-end, not just the
+    * fake seam. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame = {
     val clips = Seq(
       -1L -> syntheticAviMjpeg(),
       -2L -> syntheticAviDib(rle8 = false),
-      -3L -> syntheticAviDib(rle8 = true))
+      -3L -> syntheticAviDib(rle8 = true),
+      -4L -> syntheticAviDib(rle8 = true, deltaTail = true))
     val aviRow = clips.map { case (id, avi) =>
       spark.range(1).select(
         lit(id).as("media_id"), lit("video").as("kind"),

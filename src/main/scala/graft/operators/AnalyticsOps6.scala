@@ -345,10 +345,50 @@ object AnalyticsOps6 {
           + 0.5) / 1000000).as("coverage"))
   }
 
+  /** Self-join fan-out audit on events.user_id — the "why did my join
+    * explode" diagnostic a 100 TB pipeline runs BEFORE a user-keyed
+    * self-join (sessions × sessions, interactions × interactions):
+    * each key's output contribution is n², so one hot key owns the
+    * job. Reports the top-10 keys by output rows with their share of
+    * the total — exactly the numbers that decide whether to salt
+    * (q73's lever) or cap. On the adversarial-skew replica the
+    * planted 1%-of-events user shows up owning ~99% of the would-be
+    * output; on benign data shares are ~uniform.
+    *
+    * Scale shape: ONE user-keyed count (map-side partial) collapses
+    * the events to per-key cardinalities; n² and the Σn² total are
+    * exact integer algebra on that frame (the total accumulates in
+    * decimal(38,0)/int128 — n² terms near 2⁶² must not wrap the
+    * sum); top-10 is TakeOrdered. The join itself is never run. */
+  val q180JoinSkewAudit: QueryDef = QueryDef.withOracle(
+    """WITH k AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |o AS (SELECT user_id, n, n * n AS out_rows FROM k),
+      |t AS (SELECT sum(CAST(n AS HUGEINT) * n) AS total FROM k)
+      |SELECT user_id, n, out_rows,
+      |  floor((CAST(out_rows AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000
+      |    + 0.5) / 1000000 AS out_share
+      |FROM o CROSS JOIN t
+      |ORDER BY out_rows DESC, user_id LIMIT 10""".stripMargin
+  ) { (s, d) =>
+    val k = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val t = k.agg(sum(col("n").cast("decimal(38,0)") * col("n"))
+      .as("total"))
+    k.select(col("user_id"), col("n"), (col("n") * col("n")).as("out_rows"))
+      .crossJoin(broadcast(t))
+      .select(col("user_id"), col("n"), col("out_rows"),
+        (floor((col("out_rows").cast("double") /
+          col("total").cast("double")) * 1000000 + 0.5) / 1000000)
+          .as("out_share"))
+      .orderBy(col("out_rows").desc, col("user_id")).limit(10)
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q172_cuped" -> q172Cuped,
     "q173_cusum_changepoint" -> q173CusumChangepoint,
     "q175_burstiness" -> q175Burstiness,
-    "q176_conformal_interval" -> q176ConformalInterval
+    "q176_conformal_interval" -> q176ConformalInterval,
+    "q180_join_skew_audit" -> q180JoinSkewAudit
   )
 }

@@ -770,6 +770,88 @@ object CurationOps {
           + 0.5) / 1000000).as("row_share"))
   }
 
+  /** Cross-table referential-integrity audit — every declared foreign
+    * key in the lake checked in one report: child row count, NULL
+    * keys, orphans (non-null keys with no parent), and the orphan
+    * share. q88's expectation suite checks single-table invariants;
+    * this is the RELATIONSHIP layer a medallion promotion gate runs
+    * before allowing a join-dependent gold build (an orphan key
+    * silently drops rows from every inner join downstream).
+    *
+    * Scale shape: each FK is one leftanti join — parent DIMENSIONS
+    * broadcast (region/nation/customer/supplier/part/orders at dim
+    * scale); the two fact-to-fact checks (lineitem→orders,
+    * embeddings→documents) shuffle on the key like any big join.
+    * Counts are partial+final aggregates; the report is 8 one-row
+    * frames unioned. */
+  val q181FkIntegrity: QueryDef = QueryDef.withOracle {
+    def blk(name: String, child: String, ckey: String, parent: String,
+        pkey: String) =
+      s"""SELECT '$name' AS fk_name,
+        |  (SELECT count(*) FROM $child) AS n_child,
+        |  (SELECT count(*) FROM $child WHERE $ckey IS NULL) AS n_null,
+        |  (SELECT count(*) FROM $child WHERE $ckey IS NOT NULL
+        |    AND $ckey NOT IN (SELECT $pkey FROM $parent)) AS n_orphans,
+        |  floor((CAST((SELECT count(*) FROM $child WHERE $ckey IS NOT NULL
+        |    AND $ckey NOT IN (SELECT $pkey FROM $parent)) AS DOUBLE)
+        |    / (SELECT count(*) FROM $child)) * 1000000 + 0.5) / 1000000
+        |    AS orphan_share""".stripMargin
+    Seq(
+      blk("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      blk("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      blk("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      blk("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      blk("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      blk("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      blk("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      blk("embeddings.vec_id->documents", "embeddings", "vec_id",
+        "documents", "doc_id")
+    ).mkString("\nUNION ALL\n")
+  } { (s, d) =>
+    def fk(name: String, child: DataFrame, ckey: String,
+        parent: DataFrame, pkey: String, bcastParent: Boolean): DataFrame = {
+      val c = child.select(col(ckey).as("k"))
+      val p = parent.select(col(pkey).as("k"))
+      val pSide = if (bcastParent) broadcast(p) else p
+      val stats = c.agg(count(lit(1)).as("n_child"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+      val orph = c.filter(col("k").isNotNull)
+        .join(pSide, Seq("k"), "leftanti")
+        .agg(count(lit(1)).as("n_orphans"))
+      stats.crossJoin(broadcast(orph))
+        .select(lit(name).as("fk_name"), col("n_child"), col("n_null"),
+          col("n_orphans"),
+          (floor((col("n_orphans").cast("double") / col("n_child"))
+            * 1000000 + 0.5) / 1000000).as("orphan_share"))
+    }
+    def t(n: String) = Tables.load(s, d, n)
+    Seq(
+      fk("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey", bcastParent = false),
+      fk("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey", bcastParent = true),
+      fk("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey", bcastParent = true),
+      fk("orders.o_custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey", bcastParent = true),
+      fk("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey", bcastParent = true),
+      fk("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey", bcastParent = true),
+      fk("nation.n_regionkey->region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey", bcastParent = true),
+      fk("embeddings.vec_id->documents", t("embeddings"), "vec_id",
+        t("documents"), "doc_id", bcastParent = false)
+    ).reduce(_ unionByName _)
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q139_filter_cascade" -> q139FilterCascade,
     "q57_winnow" -> q57Winnow,
@@ -783,6 +865,7 @@ object CurationOps {
     "q167_split_leakage" -> q167SplitLeakage,
     "q168_chunk_packing" -> q168ChunkPacking,
     "q170_ngram_decontam" -> q170NgramDecontam,
-    "q178_k_anonymity" -> q178KAnonymity
+    "q178_k_anonymity" -> q178KAnonymity,
+    "q181_fk_integrity" -> q181FkIntegrity
   )
 }

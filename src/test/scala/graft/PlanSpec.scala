@@ -893,6 +893,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q180: fan-out audit never runs the join — one count + TakeOrdered") {
+    val p = plan("q180_join_skew_audit")
+    // the diagnostic is per-key cardinality algebra, not the join
+    // itself: one user-keyed partial+final count, a broadcast scalar
+    // total, and a TakeOrdered top-10
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q181: FK checks are anti-joins; dimension parents broadcast") {
+    val p = plan("q181_fk_integrity")
+    assert(p.contains("LeftAnti"), p)
+    // the six dim-parent checks must broadcast their parent side
+    assert(nodes(p, "BroadcastHashJoin") >= 6, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

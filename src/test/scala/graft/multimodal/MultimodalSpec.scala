@@ -211,6 +211,32 @@ class MultimodalSpec extends SparkSpec {
       decoded.mkString(";"))
   }
 
+  test("RLE8 temporal-delta inter-frames decode against the carried canvas") {
+    import spark.implicits._
+    // frame 1 (key): BBWW / BBWW -> hist [0.5, .., 0.5]
+    // frame 2 (delta): skip to (2,1), paint 2 black; the OTHER 6 cells
+    // persist from frame 1 -> BBWW / BBBB -> hist [0.75, .., 0.25]
+    // clip mean: [0.625, 0, .., 0, 0.375]. A frame-independent decode
+    // would read frame 2's skipped cells as palette index 0 (all
+    // black, hist [1, .., 0]) and land on mean [0.75, .., 0.25] —
+    // the exact values below only hold if temporal prediction ran.
+    val clip = Multimodal.syntheticAviDib(rle8 = true, nFrames = 2,
+      w = 4, h = 2, usPerFrame = 100000, deltaTail = true)
+    val row = Multimodal.decode(
+      Seq((1L, "video", clip)).toDF("media_id", "kind", "content")).head()
+    assert(row.getInt(2) == 4 && row.getInt(3) == 2, row)
+    assert(row.getString(4) == "avi" && row.getInt(5) == 200, row)
+    val hist = row.getSeq[Float](6)
+    assert(hist.head == 0.625f && hist.last == 0.375f, hist)
+    assert(hist.slice(1, 7).forall(_ == 0f), hist)
+
+    // and the q66 fixture carries the inter-frame clip end-to-end
+    val fx = Multimodal.mediaFromDocuments(spark,
+      Tables.documents(spark, sf("sf0.001")))
+    val d = Multimodal.decode(fx.filter(col("media_id") === -4L)).head()
+    assert(d.getString(4) == "avi" && d.getInt(5) == 200, d)
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)

@@ -121,4 +121,23 @@ class AnalyticsOps6Spec extends SparkSpec {
     assert(r.getDouble(4) == 0.75, r)     // coverage
     graft.CacheHygiene.sweep(spark)       // groupedPrefixSums pins a cache
   }
+
+  test("q180: fan-out ranks keys by n^2 with exact output shares") {
+    val dir = tmp("graft-fanout")
+    // users with 4 / 2 / 1 events -> out rows 16 / 4 / 1, total 21
+    val evs = (1 to 4).map(i => (i.toLong, 1L)) ++
+      (5 to 6).map(i => (i.toLong, 2L)) ++ Seq((7L, 3L))
+    evs.toDF("event_id", "user_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-05 00:00:00")))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps6.q180JoinSkewAudit.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def share(o: Long) = math.floor((o / 21.0) * 1000000 + 0.5) / 1000000
+    assert(out.toSeq == Seq(
+      (1L, 4L, 16L, share(16)),
+      (2L, 2L, 4L, share(4)),
+      (3L, 1L, 1L, share(1))), out.toSeq)
+  }
 }

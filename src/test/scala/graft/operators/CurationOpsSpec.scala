@@ -382,4 +382,32 @@ class CurationOpsSpec extends SparkSpec {
       "5-19" -> ((1L, 6L, share(6))),
       "20+" -> ((1L, 25L, share(25)))), out)
   }
+
+  test("q181: a planted orphan FK row is counted; clean FKs report zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fk").toString
+    // clone the sf0.001 lake, then plant ONE nation row pointing at a
+    // region that doesn't exist — every other relationship stays clean
+    // (adding a nation is harmless to customer/supplier -> nation)
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      graft.Tables.load(spark, sfDir, t)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val nat = graft.Tables.load(spark, sfDir, "nation")
+    nat.unionByName(nat.limit(1).select(
+        lit(9999L).as("n_nationkey"), lit("atlantis").as("n_name"),
+        lit(777L).as("n_regionkey")))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val out = CurationOps.q181FkIntegrity.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out.size == 8, out)
+    val nNation = nat.count() + 1
+    assert(out("nation.n_regionkey->region") == ((nNation, 0L, 1L)), out)
+    out.filter(_._1 != "nation.n_regionkey->region").foreach {
+      case (fk, (_, nNull, nOrph)) =>
+        assert(nNull == 0L && nOrph == 0L, s"$fk: ${out(fk)}")
+    }
+  }
 }
