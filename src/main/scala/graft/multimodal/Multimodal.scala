@@ -454,14 +454,95 @@ object Multimodal {
     }
   }
 
+  /** ISO-BMFF (MP4) container METADATA parse — a pure-JVM box walk
+    * (the same public chunk grammar family as RIFF): dims from the
+    * first video `tkhd` (16.16 fixed point), duration from `mvhd`
+    * (timescale units → ms), both version 0 and version 1 layouts.
+    * MP4's PIXELS are transform-coded (H.264/H.265/VP9) — outside
+    * pure-JVM reach — so this parses everything a container carries
+    * and leaves exactly the pixel decode to the documented seam.
+    * Iterative walk with an explicit range stack (the decodeAviMjpeg
+    * DoS discipline); malformed sizes end the current range rather
+    * than throwing. */
+  private def decodeMp4Meta(content: Array[Byte])
+      : Option[(Int, Int, Int)] = {
+    def be32(o: Long): Long = {
+      val i = o.toInt
+      ((content(i) & 0xffL) << 24) | ((content(i + 1) & 0xffL) << 16) |
+        ((content(i + 2) & 0xffL) << 8) | (content(i + 3) & 0xffL)
+    }
+    def be64(o: Long): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Long): String = new String(content, o.toInt, 4, "US-ASCII")
+    try {
+      if (content.length < 16 || tag(4) != "ftyp") return None
+      var timescale = 0L; var duration = -1L; var w = 0; var h = 0
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      val ranges = scala.collection.mutable.Stack(
+        (0L, content.length.toLong))
+      while (ranges.nonEmpty) {
+        var (off, end) = ranges.pop()
+        var descend = false
+        while (!descend && off + 8 <= end) {
+          val size0 = be32(off)
+          val typ = tag(off + 4)
+          val (hdr, size) =
+            if (size0 == 1L && off + 16 <= end) (16L, be64(off + 8))
+            else if (size0 == 0L) (8L, end - off) // box runs to range end
+            else (8L, size0)
+          if (size < hdr || off + size > end) { off = end } // malformed
+          else {
+            val body = off + hdr
+            if (containers(typ)) {
+              ranges.push((off + size, end))
+              ranges.push((body, off + size))
+              descend = true
+            } else if (typ == "mvhd" && body + 4 <= end) {
+              val v = content(body.toInt) & 0xff
+              if (v == 1 && body + 32 <= end) {
+                timescale = be32(body + 20); duration = be64(body + 24)
+              } else if (v == 0 && body + 20 <= end) {
+                timescale = be32(body + 12); duration = be32(body + 16)
+              }
+            } else if (typ == "tkhd" && w == 0 && body + 4 <= end) {
+              val v = content(body.toInt) & 0xff
+              val wOff = if (v == 1) body + 88 else body + 76
+              if (wOff + 8 <= end) {
+                val tw = (be32(wOff) >> 16).toInt
+                val th = (be32(wOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            }
+            if (!descend) off += size
+          }
+        }
+      }
+      if (w > 0 && h > 0 && timescale > 0 && duration >= 0)
+        Some((w, h, math.min(duration * 1000L / timescale,
+          Int.MaxValue.toLong).toInt))
+      else None
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** The deterministic payload-derived fake feature vector — the ONE
+    * remaining stub output (a real build computes it by decoding
+    * pixels via an external codec per batch). */
+  private def fakeFeature(content: Array[Byte]): Array[Float] = {
+    val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    Array.tabulate(8)(i => (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
+  }
+
   /** Batch decode: the image path is REAL (javax.imageio), so is
-    * PCM-WAV audio (decodeWav), animated-GIF video (decodeGif) and
-    * MJPEG-in-AVI video (decodeAviMjpeg); only inter-frame-coded
-    * video containers fall through to a deterministic fake —
-    * the single seam where a real build would call e.g. ffmpeg per
-    * batch; everything around it (batching, schema, null handling) is
-    * production plumbing. The fake is deterministic in the payload
-    * bytes so tests can assert exact outputs. */
+    * PCM-WAV audio (decodeWav), animated-GIF video (decodeGif),
+    * MJPEG/DIB/RLE8-in-AVI video with temporal-delta inter-frames
+    * (decodeAviMjpeg), and MP4 CONTAINER metadata (decodeMp4Meta —
+    * real dims + duration, transform-coded pixels remain the seam, so
+    * an mp4's feature vector is the deterministic fake). Unparseable
+    * payloads fall through to a fully-fake row — everything around
+    * the seam (batching, schema, null handling) is production
+    * plumbing, and the fake is deterministic in the payload bytes so
+    * tests can assert exact outputs. */
   private def decodeBatch(batch: Seq[Row]): Seq[Row] = batch.map { r =>
     val id = r.getLong(0)
     val kind = r.getString(1)
@@ -478,6 +559,9 @@ object Multimodal {
       }.orElse(decodeAviMjpeg(content).map {
         case (w, h, durMs, feature) =>
           Row(id, kind, w, h, "avi", durMs, feature)
+      }).orElse(decodeMp4Meta(content).map {
+        case (w, h, durMs) => // container facts real; pixels = seam
+          Row(id, kind, w, h, "mp4", durMs, fakeFeature(content))
       }) else None
     real.getOrElse {
       // deterministic fake derived from the payload bytes
@@ -490,9 +574,7 @@ object Multimodal {
         case _ => "mp4"
       }
       val dur = if (kind == "image") 0 else 1000 + math.floorMod(h >> 20, 60000).toInt
-      val feature = Array.tabulate(8)(i =>
-        (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
-      Row(id, kind, w, ht, fmt, dur, feature)
+      Row(id, kind, w, ht, fmt, dur, fakeFeature(content))
     }
   }
 
@@ -677,19 +759,56 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Minimal deterministic MP4: ftyp + moov(mvhd v0 + trak(tkhd v0))
+    * + a small mdat of payload bytes. Carries real container facts
+    * (w × h in tkhd's 16.16 fields, duration/timescale in mvhd) over
+    * a transform-coded-pixel body the decoder cannot (and does not
+    * pretend to) read. */
+  def syntheticMp4(w: Int = 640, h: Int = 360,
+      durationMs: Int = 2500): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write((v & 0xff).toInt) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    be32(20); tag("ftyp"); tag("isom"); be32(0); tag("isom")
+    be32(216); tag("moov")
+    be32(108); tag("mvhd"); be32(0) // v0 + flags
+    be32(0); be32(0) // ctime, mtime
+    be32(1000); be32(durationMs.toLong) // timescale 1000 -> dur in ms
+    be32(0x00010000L); be16(0x0100); be16(0); be32(0); be32(0) // rate/vol/res
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      .foreach(be32) // unity matrix
+    (0 until 6).foreach(_ => be32(0)) // pre_defined
+    be32(2) // next_track_id
+    be32(100); tag("trak")
+    be32(92); tag("tkhd"); be32(0x00000007L) // v0 + enabled flags
+    be32(0); be32(0); be32(1); be32(0) // ctime, mtime, track, reserved
+    be32(durationMs.toLong); be32(0); be32(0) // duration, reserved x2
+    be16(0); be16(0); be16(0); be16(0) // layer, altgroup, volume, res
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      .foreach(be32)
+    be32(w.toLong << 16); be32(h.toLong << 16) // 16.16 fixed
+    be32(24); tag("mdat")
+    (0 until 16).foreach(i => out.write(i * 7 & 0xff)) // opaque payload
+    out.toByteArray
+  }
+
   /** Deterministic media fixture derived from the documents table:
     * text bytes as payload, kind cycling image/audio/video — plus one
     * REAL clip per JVM-decodable video codec (media_ids −1 MJPEG,
     * −2 uncompressed DIB, −3 RLE8, −4 RLE8 with true temporal-delta
-    * inter-frames — all below the doc_id range) so the q66 pipeline
-    * exercises every real video decoder end-to-end, not just the
-    * fake seam. */
+    * inter-frames, −5 an MP4 whose container metadata parses for
+    * real — all below the doc_id range) so the q66 pipeline exercises
+    * every real video decoder end-to-end, not just the fake seam. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame = {
     val clips = Seq(
       -1L -> syntheticAviMjpeg(),
       -2L -> syntheticAviDib(rle8 = false),
       -3L -> syntheticAviDib(rle8 = true),
-      -4L -> syntheticAviDib(rle8 = true, deltaTail = true))
+      -4L -> syntheticAviDib(rle8 = true, deltaTail = true),
+      -5L -> syntheticMp4())
     val aviRow = clips.map { case (id, avi) =>
       spark.range(1).select(
         lit(id).as("media_id"), lit("video").as("kind"),

@@ -384,11 +384,192 @@ object AnalyticsOps6 {
       .orderBy(col("out_rows").desc, col("user_id")).limit(10)
   }
 
+  /** Kaplan–Meier survival curve for time-to-first-purchase after
+    * first signup — the right-censored statistic behind every
+    * "conversion by day N" readout (q93's retention counts users who
+    * DID convert; KM also credits the ones still at risk, which is
+    * the unbiased read when the observation window cuts cohorts
+    * short). Censoring time is the data's own horizon (global max
+    * event day).
+    *
+    * Exactness discipline: risk sets and event counts are exact
+    * integers on a ≤ |days|-row frame (suffix sums over the
+    * metadata-sized day dimension); the survival product folds as
+    * fixed-point ln terms (each ln(1 − d/n) quantized at 1e-9,
+    * summed as int64 — the parity convention for float folds), and
+    * the final exp is rounded at 1e-6.
+    *
+    * Scale shape: TWO user-keyed aggregates fused into one pass
+    * (min signup ts, min eligible purchase ts via conditional min),
+    * then everything runs on the day-offset rollup. */
+  val q183KmSurvival: QueryDef = QueryDef.withOracle(
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s,
+      |    max(epoch_us(ts)) AS last_seen
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS p
+      |  FROM events e JOIN u ON u.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= u.s
+      |  GROUP BY 1),
+      |hz AS (SELECT max(epoch_us(ts)) AS horizon FROM events),
+      |c AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN p.p IS NOT NULL
+      |      THEN (p.p - p.p % 86400000000) // 86400000000
+      |        - (u.s - u.s % 86400000000) // 86400000000 END AS d,
+      |    (hz.horizon - hz.horizon % 86400000000) // 86400000000
+      |      - (u.s - u.s % 86400000000) // 86400000000 AS cens
+      |  FROM u CROSS JOIN hz LEFT JOIN p ON p.user_id = u.user_id
+      |  WHERE u.s IS NOT NULL),
+      |days AS (
+      |  SELECT d AS t, count(*) AS n_events FROM c
+      |  WHERE d IS NOT NULL GROUP BY 1),
+      |risk AS (
+      |  SELECT days.t, days.n_events,
+      |    (SELECT count(*) FROM c WHERE (c.d IS NOT NULL AND c.d >= days.t)
+      |      OR (c.d IS NULL AND c.cens >= days.t)) AS n_risk
+      |  FROM days),
+      |km AS (
+      |  SELECT t, n_events, n_risk,
+      |    sum(CASE WHEN n_events < n_risk
+      |      THEN CAST(floor(ln(CAST(1 AS DOUBLE)
+      |        - CAST(n_events AS DOUBLE) / n_risk) * 1000000000 + 0.5)
+      |        AS BIGINT) ELSE 0 END) OVER (ORDER BY t) AS lsum_fp,
+      |    max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY t) AS hit_zero
+      |  FROM risk)
+      |SELECT t AS day_offset, n_risk, n_events,
+      |  CASE WHEN hit_zero = 1 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor(exp(CAST(lsum_fp AS DOUBLE) / 1000000000) * 1000000
+      |      + 0.5) / 1000000 END AS survival
+      |FROM km""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("t"))
+    val day = (c: Column) =>
+      expr(s"(${c.toString} - pmod(${c.toString}, 86400000000)) " +
+        "div 86400000000")
+    val u = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("t"))).as("s"))
+      .filter(col("s").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(u, Seq("user_id"))
+      .filter(col("t") >= col("s"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("p"))
+    val hz = ev.agg(max(col("t")).as("horizon"))
+    val c = u.join(p, Seq("user_id"), "left").crossJoin(broadcast(hz))
+      .select((day(col("p")) - day(col("s"))).as("d"),
+        (day(col("horizon")) - day(col("s"))).as("cens"))
+      .cache() // one row per signup user; consumed by days + risk
+    val days = c.filter(col("d").isNotNull)
+      .groupBy(col("d").as("t")).agg(count(lit(1)).as("n_events"))
+    // risk set via a broadcast inequality join on the <= |days|-row
+    // day dimension (metadata x users, then one aggregate)
+    val risk = c.crossJoin(broadcast(days))
+      .filter((col("d").isNotNull && col("d") >= col("t")) ||
+        (col("d").isNull && col("cens") >= col("t")))
+      .groupBy(col("t"), col("n_events"))
+      .agg(count(lit(1)).as("n_risk"))
+    val byT = Window.orderBy(col("t")) // <= |days| rows: metadata
+    risk
+      .withColumn("lsum_fp", sum(when(col("n_events") < col("n_risk"),
+        floor(log(lit(1.0) - col("n_events").cast("double") /
+          col("n_risk")) * 1000000000 + 0.5).cast("long"))
+        .otherwise(0L)).over(byT))
+      .withColumn("hit_zero", max(when(col("n_events") === col("n_risk"),
+        1).otherwise(0)).over(byT))
+      .select(col("t").as("day_offset"), col("n_risk"), col("n_events"),
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(floor(exp(col("lsum_fp").cast("double") / 1000000000)
+            * 1000000 + 0.5) / 1000000).as("survival"))
+  }
+
+  /** Mutual information between event_type and hour-of-day — the
+    * feature-relevance screen (does WHEN depend on WHAT?) computed
+    * exactly from one contingency rollup: MI and both entropies in
+    * nats, plus the normalized coefficient MI / min(H_x, H_y).
+    *
+    * Scale shape: ONE (type, hour) partial+final count (≤ |types|·24
+    * cells); margins, entropies, and the MI fold all run on that
+    * metadata frame. Float discipline: each cell's ln term quantizes
+    * at 1e-9 fixed point before the int64 sum (order-free), finals
+    * round at 1e-6. */
+  val q184MutualInfo: QueryDef = QueryDef.withOracle(
+    """WITH cell AS (
+      |  SELECT event_type AS x,
+      |    (epoch_us(ts) % 86400000000) // 3600000000 AS y, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |mx AS (SELECT x, sum(n) AS nx FROM cell GROUP BY 1),
+      |my AS (SELECT y, sum(n) AS ny FROM cell GROUP BY 1),
+      |tot AS (SELECT sum(n) AS nn FROM cell),
+      |mi AS (
+      |  SELECT sum(CAST(floor((CAST(cell.n AS DOUBLE) / nn)
+      |    * ln((CAST(cell.n AS DOUBLE) * nn)
+      |      / (CAST(mx.nx AS DOUBLE) * my.ny)) * 1000000000 + 0.5)
+      |    AS BIGINT)) AS mi_fp
+      |  FROM cell JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+      |hx AS (
+      |  SELECT sum(CAST(floor(-(CAST(nx AS DOUBLE) / nn)
+      |    * ln(CAST(nx AS DOUBLE) / nn) * 1000000000 + 0.5) AS BIGINT))
+      |    AS hx_fp
+      |  FROM mx CROSS JOIN tot),
+      |hy AS (
+      |  SELECT sum(CAST(floor(-(CAST(ny AS DOUBLE) / nn)
+      |    * ln(CAST(ny AS DOUBLE) / nn) * 1000000000 + 0.5) AS BIGINT))
+      |    AS hy_fp
+      |  FROM my CROSS JOIN tot)
+      |SELECT
+      |  floor(CAST(mi_fp AS DOUBLE) / 1000 + 0.5) / 1000000 AS mi_nats,
+      |  floor(CAST(hx_fp AS DOUBLE) / 1000 + 0.5) / 1000000 AS h_type,
+      |  floor(CAST(hy_fp AS DOUBLE) / 1000 + 0.5) / 1000000 AS h_hour,
+      |  floor((CAST(mi_fp AS DOUBLE) / least(hx_fp, hy_fp)) * 1000000
+      |    + 0.5) / 1000000 AS nmi
+      |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
+  ) { (s, d) =>
+    val cell = Tables.events(s, d)
+      .select(col("event_type").as("x"),
+        expr("pmod(unix_micros(ts), 86400000000) div 3600000000").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .cache() // <= |types| * 24 cells
+    val mx = cell.groupBy(col("x")).agg(sum(col("n")).as("nx"))
+    val my = cell.groupBy(col("y")).agg(sum(col("n")).as("ny"))
+    val tot = cell.agg(sum(col("n")).as("nn"))
+    val mi = cell.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(floor((col("n").cast("double") / col("nn")) *
+        log((col("n").cast("double") * col("nn")) /
+          (col("nx").cast("double") * col("ny"))) * 1000000000 + 0.5)
+        .cast("long")).as("mi_fp"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .agg(sum(floor(-(col("nx").cast("double") / col("nn")) *
+        log(col("nx").cast("double") / col("nn")) * 1000000000 + 0.5)
+        .cast("long")).as("hx_fp"))
+    val hy = my.crossJoin(broadcast(tot))
+      .agg(sum(floor(-(col("ny").cast("double") / col("nn")) *
+        log(col("ny").cast("double") / col("nn")) * 1000000000 + 0.5)
+        .cast("long")).as("hy_fp"))
+    mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(
+        (floor(col("mi_fp").cast("double") / 1000 + 0.5) / 1000000)
+          .as("mi_nats"),
+        (floor(col("hx_fp").cast("double") / 1000 + 0.5) / 1000000)
+          .as("h_type"),
+        (floor(col("hy_fp").cast("double") / 1000 + 0.5) / 1000000)
+          .as("h_hour"),
+        (floor((col("mi_fp").cast("double") /
+          least(col("hx_fp"), col("hy_fp"))) * 1000000 + 0.5) / 1000000)
+          .as("nmi"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q172_cuped" -> q172Cuped,
     "q173_cusum_changepoint" -> q173CusumChangepoint,
     "q175_burstiness" -> q175Burstiness,
     "q176_conformal_interval" -> q176ConformalInterval,
-    "q180_join_skew_audit" -> q180JoinSkewAudit
+    "q180_join_skew_audit" -> q180JoinSkewAudit,
+    "q183_km_survival" -> q183KmSurvival,
+    "q184_mutual_info" -> q184MutualInfo
   )
 }

@@ -778,12 +778,15 @@ object CurationOps {
     * before allowing a join-dependent gold build (an orphan key
     * silently drops rows from every inner join downstream).
     *
-    * Scale shape: each FK is one leftanti join — parent DIMENSIONS
-    * broadcast (region/nation/customer/supplier/part/orders at dim
-    * scale); the two fact-to-fact checks (lineitem→orders,
-    * embeddings→documents) shuffle on the key like any big join.
-    * Counts are partial+final aggregates; the report is 8 one-row
-    * frames unioned. */
+    * Scale shape: each FK is one leftanti join with the broadcast
+    * decision LEFT TO THE OPTIMIZER — dim parents (region, nation)
+    * broadcast under any threshold, mid-size parents (part, customer,
+    * supplier, orders) broadcast exactly while they fit and degrade
+    * to shuffled anti-joins beyond (a forced broadcast hint here
+    * OOM'd the first sf100 smoke: "dimension" is a size class, not a
+    * table name, and 100× growth moves tables across it). Counts are
+    * partial+final aggregates; the report is 8 one-row frames
+    * unioned. */
   val q181FkIntegrity: QueryDef = QueryDef.withOracle {
     def blk(name: String, child: String, ckey: String, parent: String,
         pkey: String) =
@@ -816,14 +819,13 @@ object CurationOps {
     ).mkString("\nUNION ALL\n")
   } { (s, d) =>
     def fk(name: String, child: DataFrame, ckey: String,
-        parent: DataFrame, pkey: String, bcastParent: Boolean): DataFrame = {
+        parent: DataFrame, pkey: String): DataFrame = {
       val c = child.select(col(ckey).as("k"))
       val p = parent.select(col(pkey).as("k"))
-      val pSide = if (bcastParent) broadcast(p) else p
       val stats = c.agg(count(lit(1)).as("n_child"),
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
       val orph = c.filter(col("k").isNotNull)
-        .join(pSide, Seq("k"), "leftanti")
+        .join(p, Seq("k"), "leftanti")
         .agg(count(lit(1)).as("n_orphans"))
       stats.crossJoin(broadcast(orph))
         .select(lit(name).as("fk_name"), col("n_child"), col("n_null"),
@@ -834,21 +836,21 @@ object CurationOps {
     def t(n: String) = Tables.load(s, d, n)
     Seq(
       fk("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
-        t("orders"), "o_orderkey", bcastParent = false),
+        t("orders"), "o_orderkey"),
       fk("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
-        t("part"), "p_partkey", bcastParent = true),
+        t("part"), "p_partkey"),
       fk("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
-        t("supplier"), "s_suppkey", bcastParent = true),
+        t("supplier"), "s_suppkey"),
       fk("orders.o_custkey->customer", t("orders"), "o_custkey",
-        t("customer"), "c_custkey", bcastParent = true),
+        t("customer"), "c_custkey"),
       fk("customer.c_nationkey->nation", t("customer"), "c_nationkey",
-        t("nation"), "n_nationkey", bcastParent = true),
+        t("nation"), "n_nationkey"),
       fk("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
-        t("nation"), "n_nationkey", bcastParent = true),
+        t("nation"), "n_nationkey"),
       fk("nation.n_regionkey->region", t("nation"), "n_regionkey",
-        t("region"), "r_regionkey", bcastParent = true),
+        t("region"), "r_regionkey"),
       fk("embeddings.vec_id->documents", t("embeddings"), "vec_id",
-        t("documents"), "doc_id", bcastParent = false)
+        t("documents"), "doc_id")
     ).reduce(_ unionByName _)
   }
 

@@ -686,11 +686,138 @@ object GraphOps {
         max(col("deg_est")).as("max_deg_est"))
   }
 
+  /** Temporal-holdout evaluation of the item-CF recommender — the
+    * metric layer that decides whether q126's recommendations are any
+    * good: neighbor lists train ONLY on pre-2000 baskets (q102's
+    * exact recipe — cap, support ≥ 2, cosine, top-3) and are scored
+    * on post-2000 baskets by leave-one-item-out hit rate: for each
+    * (test basket, item), a hit means some OTHER item of that basket
+    * appears in the item's trained neighbor list. Reports both the
+    * overall rate (cold-start items count as misses — the honest
+    * number) and the warm rate over items that have neighbors.
+    *
+    * Scale shape: the train side is q102's capped pair stream on a
+    * filtered basket set; the eval side is two equi-joins on item
+    * keys (candidates, then the same-basket containment check as a
+    * leftsemi) with DISTINCT collapses before counting; the report
+    * row is five broadcast scalars. The date split carries through
+    * ONE cached (order, part, is_train) frame, so orders⋈lineitem
+    * replays once, not per branch. */
+  val q182RecoHoldout: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
+      |    o2.o_orderdate < TIMESTAMP '2000-01-01' AS is_train
+      |  FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey),
+      |tr AS (SELECT o, p FROM bp WHERE is_train),
+      |ok AS (SELECT o FROM tr GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |qb AS (SELECT tr.o, tr.p FROM tr JOIN ok USING (o)),
+      |cnt AS (SELECT p, count(*) AS n FROM qb GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa, pb, nab FROM pairs WHERE nab >= 2),
+      |dir AS (SELECT pa AS item, pb AS nbr, nab FROM e
+      |        UNION ALL SELECT pb, pa, nab FROM e),
+      |sim AS (
+      |  SELECT d.item, d.nbr,
+      |    CAST(d.nab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS sim
+      |  FROM dir d JOIN cnt ca ON ca.p = d.item JOIN cnt cb ON cb.p = d.nbr),
+      |nbrs AS (
+      |  SELECT item, nbr FROM (
+      |    SELECT *, rank() OVER
+      |      (PARTITION BY item ORDER BY sim DESC, nbr) AS rnk
+      |    FROM sim) WHERE rnk <= 3),
+      |te AS (SELECT o, p FROM bp WHERE NOT is_train),
+      |tok AS (SELECT o FROM te GROUP BY o HAVING count(*) >= 2),
+      |ti AS (SELECT te.o, te.p FROM te JOIN tok USING (o)),
+      |cand AS (
+      |  SELECT DISTINCT ti.o, ti.p, n.nbr
+      |  FROM ti JOIN nbrs n ON n.item = ti.p),
+      |warm AS (SELECT DISTINCT o, p FROM cand),
+      |hit AS (
+      |  SELECT DISTINCT c.o, c.p FROM cand c
+      |  JOIN ti j ON j.o = c.o AND j.p = c.nbr)
+      |SELECT
+      |  (SELECT count(*) FROM tok) AS n_test_baskets,
+      |  (SELECT count(*) FROM ti) AS n_items,
+      |  (SELECT count(*) FROM warm) AS n_items_warm,
+      |  (SELECT count(*) FROM hit) AS n_hits,
+      |  floor((CAST((SELECT count(*) FROM hit) AS DOUBLE)
+      |    / (SELECT count(*) FROM ti)) * 1000000 + 0.5) / 1000000
+      |    AS hitrate,
+      |  CASE WHEN (SELECT count(*) FROM warm) = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST((SELECT count(*) FROM hit) AS DOUBLE)
+      |      / (SELECT count(*) FROM warm)) * 1000000 + 0.5) / 1000000
+      |    END AS hitrate_warm""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val Cut = 946684800000000L // 2000-01-01 00:00 UTC epoch-µs
+    val bp = Tables.orders(s, d)
+      .select(col("o_orderkey").as("o"),
+        (unix_micros(col("o_orderdate")) < Cut).as("is_train"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        Seq("o"))
+      .select(col("o"), col("p"), col("is_train")).distinct()
+      .cache() // one orders⋈lineitem replay for train + test branches
+    val tr = bp.filter(col("is_train")).select(col("o"), col("p"))
+    val ok = tr.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
+    val qb = tr.join(ok, Seq("o"))
+    val cnt = qb.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = qb.toDF("o", "pa").join(qb.toDF("o", "pb"), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 2)
+    val dir = e.select(explode(array(
+        struct(col("pa").as("item"), col("pb").as("nbr"), col("nab")),
+        struct(col("pb").as("item"), col("pa").as("nbr"), col("nab"))))
+        .as("x"))
+      .select(col("x.item").as("item"), col("x.nbr").as("nbr"),
+        col("x.nab").as("nab"))
+    val sim = dir
+      .join(cnt.select(col("p").as("item"), col("n").as("na")), "item")
+      .join(cnt.select(col("p").as("nbr"), col("n").as("nb")), "nbr")
+      .select(col("item"), col("nbr"), (col("nab").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+    val nbrs = sim.withColumn("rnk", rank().over(
+        Window.partitionBy(col("item"))
+          .orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rnk") <= 3).select(col("item"), col("nbr"))
+    val te = bp.filter(!col("is_train")).select(col("o"), col("p"))
+    val tok = te.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2).select(col("o"))
+    val ti = te.join(tok, Seq("o")).cache() // consumed 3×: cand, hit, count
+    val cand = ti.join(nbrs, col("p") === col("item"))
+      .select(col("o"), col("p"), col("nbr")).distinct()
+    val warm = cand.select(col("o"), col("p")).distinct()
+    val hit = cand
+      .join(ti.select(col("o"), col("p").as("nbr")), Seq("o", "nbr"),
+        "leftsemi")
+      .select(col("o"), col("p")).distinct()
+    val nb = tok.agg(count(lit(1)).as("n_test_baskets"))
+    val ni = ti.agg(count(lit(1)).as("n_items"))
+    val nw = warm.agg(count(lit(1)).as("n_items_warm"))
+    val nh = hit.agg(count(lit(1)).as("n_hits"))
+    nb.crossJoin(broadcast(ni)).crossJoin(broadcast(nw))
+      .crossJoin(broadcast(nh))
+      .select(col("n_test_baskets"), col("n_items"), col("n_items_warm"),
+        col("n_hits"),
+        (floor((col("n_hits").cast("double") / col("n_items")) * 1000000
+          + 0.5) / 1000000).as("hitrate"),
+        when(col("n_items_warm") === 0, lit(0.0))
+          .otherwise(floor((col("n_hits").cast("double") /
+            col("n_items_warm")) * 1000000 + 0.5) / 1000000)
+          .as("hitrate_warm"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q148_degree_dist" -> q148DegreeDist,
     "q160_degree_sketch" -> q160DegreeSketch,
     "q75_pagerank" -> q75Pagerank,
     "q126_recommend" -> q126Recommend,
+    "q182_reco_holdout" -> q182RecoHoldout,
     "q85_triangles" -> q85Triangles,
     "q86_copurchase" -> q86Copurchase,
     "q101_khop" -> q101Khop,

@@ -913,6 +913,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q182: one cached basket frame feeds both split branches") {
+    val p = plan("q182_reco_holdout")
+    // the (order, part, is_train) frame materializes once; the train
+    // pair stream and the test eval both read the InMemoryRelation
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q183: KM statistics run on the cached per-user cohort frame") {
+    val p = plan("q183_km_survival")
+    // the user cohort frame caches once (days + risk both read it);
+    // the day dimension broadcasts; the only unpartitioned window is
+    // the <= |days|-row KM fold
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q184: MI is one cell aggregate + metadata joins, no data windows") {
+    val p = plan("q184_mutual_info")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -237,6 +237,29 @@ class MultimodalSpec extends SparkSpec {
     assert(d.getString(4) == "avi" && d.getInt(5) == 200, d)
   }
 
+  test("MP4 container metadata parses for real; pixels stay the fake seam") {
+    import spark.implicits._
+    val clip = Multimodal.syntheticMp4(w = 640, h = 360, durationMs = 2500)
+    val row = Multimodal.decode(
+      Seq((1L, "video", clip)).toDF("media_id", "kind", "content")).head()
+    // dims and duration come from the tkhd/mvhd boxes — REAL facts
+    assert(row.getInt(2) == 640 && row.getInt(3) == 360, row)
+    assert(row.getString(4) == "mp4" && row.getInt(5) == 2500, row)
+    // the feature vector is the documented deterministic fake (the
+    // transform-coded pixel decode is the one remaining seam)
+    val h = clip.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    val want = Array.tabulate(8)(i =>
+      (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
+    assert(row.getSeq[Float](6) == want.toSeq, row)
+
+    // and the q66 fixture carries the mp4 clip end-to-end
+    val fx = Multimodal.mediaFromDocuments(spark,
+      graft.Tables.documents(spark, sf("sf0.001")))
+    val d = Multimodal.decode(fx.filter(col("media_id") === -5L)).head()
+    assert(d.getString(4) == "mp4" && d.getInt(2) == 640 &&
+      d.getInt(5) == 2500, d)
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)

@@ -140,4 +140,57 @@ class AnalyticsOps6Spec extends SparkSpec {
       (2L, 2L, 4L, share(4)),
       (3L, 1L, 1L, share(1))), out.toSeq)
   }
+
+  test("q183: KM credits censored users and ignores pre-signup purchases") {
+    val dir = tmp("graft-km")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ev(id: Long, u: Long, tpe: String, day: Int, hour: Int = 0) =
+      (id, java.sql.Timestamp.from(
+        base.plusSeconds(86400L * day + 3600L * hour)), u, tpe)
+    // u1 converts day 0; u2 day 2; u3 censored at horizon (day 4, set
+    // by its view); u4 signs up day 2, censored (cens 2); u5 has no
+    // signup -> excluded; u6's purchase PRECEDES its signup -> the
+    // purchase must not count, u6 is censored (cens 2).
+    // KM: t=0: 1 event / 5 at risk -> 0.8; t=2: 1 / 4 -> 0.6
+    val evs = Seq(
+      ev(1, 1, "signup", 0), ev(2, 1, "purchase", 0, 1),
+      ev(3, 2, "signup", 0), ev(4, 2, "purchase", 2),
+      ev(5, 3, "signup", 0), ev(6, 3, "view", 4),
+      ev(7, 4, "signup", 2),
+      ev(8, 5, "purchase", 0),
+      ev(9, 6, "purchase", 0), ev(10, 6, "signup", 2))
+    evs.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps6.q183KmSurvival.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out == Map(0L -> ((5L, 1L, 0.8)), 2L -> ((4L, 1L, 0.6))), out)
+  }
+
+  test("q184: dependent cells give MI = H = ln 2, nmi 1; independent give 0") {
+    def write(dir: String, evs: Seq[(Long, Int, String)]): Unit = {
+      val base = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      evs.map { case (id, hour, tpe) => (id,
+        java.sql.Timestamp.from(base.plusSeconds(3600L * hour)), tpe) }
+        .toDF("event_id", "ts", "event_type")
+        .withColumn("user_id", lit(1L))
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val d1 = tmp("graft-mi1")
+    // type 'a' only at hour 0, 'b' only at hour 1 -> perfect dependence
+    write(d1, Seq((1L, 0, "a"), (2L, 0, "a"), (3L, 1, "b"), (4L, 1, "b")))
+    val r1 = AnalyticsOps6.q184MutualInfo.fn(spark, d1).head()
+    val ln2 = math.floor(
+      2 * math.floor(0.5 * math.log(2.0) * 1e9 + 0.5) / 1000 + 0.5) / 1e6
+    assert(r1.getDouble(0) == ln2, r1)  // mi_nats
+    assert(r1.getDouble(1) == ln2 && r1.getDouble(2) == ln2, r1)
+    assert(r1.getDouble(3) == 1.0, r1)  // nmi
+    val d2 = tmp("graft-mi2")
+    // uniform 2x2 -> independence, MI exactly 0
+    write(d2, Seq((1L, 0, "a"), (2L, 1, "a"), (3L, 0, "b"), (4L, 1, "b")))
+    val r2 = AnalyticsOps6.q184MutualInfo.fn(spark, d2).head()
+    assert(r2.getDouble(0) == 0.0 && r2.getDouble(3) == 0.0, r2)
+  }
 }

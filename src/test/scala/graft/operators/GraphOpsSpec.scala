@@ -224,4 +224,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(hubEst - 200L) <= 40,
       s"hub estimate $hubEst too far from 200")
   }
+
+  test("q182: holdout hit-rate is closed-form on a planted train/test split") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reco").toString
+    // train (1999): {1,2}, {1,2}, {1,3} -> only pair (1,2) has
+    // support >= 2, so nbrs(1)=[2], nbrs(2)=[1], item 3 is cold.
+    // test (2001): o10 {1,2,9} -> items 1 and 2 hit (each other), 9
+    // cold; o11 {3,9} -> both cold (3 has no surviving neighbors);
+    // o12 {1} -> size-1 basket, excluded.
+    // => baskets 2, items 5, warm 2, hits 2, rate 0.4, warm rate 1.0
+    def day(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, day("1999-01-01")), (2L, day("1999-02-01")),
+      (3L, day("1999-03-01")), (10L, day("2001-01-01")),
+      (11L, day("2001-02-01")), (12L, day("2001-03-01")))
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L), (10L, 1L), (10L, 2L), (10L, 9L), (11L, 3L), (11L, 9L),
+      (12L, 1L)).toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(1.0))
+      .withColumn("l_extendedprice", lit(1.0))
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = GraphOps.q182RecoHoldout.fn(spark, dir).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ((2L, 5L, 2L, 2L, 0.4, 1.0)), r)
+  }
 }
