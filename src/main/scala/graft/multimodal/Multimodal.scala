@@ -492,21 +492,26 @@ object Multimodal {
           if (size < hdr || off + size > end) { off = end } // malformed
           else {
             val body = off + hdr
+            // field reads validate against the BOX's own end, never
+            // the enclosing range — a truncated mvhd/tkhd must fall
+            // through to the fake, not read the next box's bytes as
+            // metadata
+            val boxEnd = off + size
             if (containers(typ)) {
-              ranges.push((off + size, end))
-              ranges.push((body, off + size))
+              ranges.push((boxEnd, end))
+              ranges.push((body, boxEnd))
               descend = true
-            } else if (typ == "mvhd" && body + 4 <= end) {
+            } else if (typ == "mvhd" && body + 4 <= boxEnd) {
               val v = content(body.toInt) & 0xff
-              if (v == 1 && body + 32 <= end) {
+              if (v == 1 && body + 32 <= boxEnd) {
                 timescale = be32(body + 20); duration = be64(body + 24)
-              } else if (v == 0 && body + 20 <= end) {
+              } else if (v == 0 && body + 20 <= boxEnd) {
                 timescale = be32(body + 12); duration = be32(body + 16)
               }
-            } else if (typ == "tkhd" && w == 0 && body + 4 <= end) {
+            } else if (typ == "tkhd" && w == 0 && body + 4 <= boxEnd) {
               val v = content(body.toInt) & 0xff
               val wOff = if (v == 1) body + 88 else body + 76
-              if (wOff + 8 <= end) {
+              if (wOff + 8 <= boxEnd) {
                 val tw = (be32(wOff) >> 16).toInt
                 val th = (be32(wOff + 4) >> 16).toInt
                 if (tw > 0 && th > 0) { w = tw; h = th }

@@ -958,9 +958,10 @@ object AnalyticsOps5 {
       |SELECT xc.ta AS type_a, xc.tb AS type_b, xc.n_exact,
       |  ea.est AS est_a, eb.est AS est_b, ue.est_union,
       |  (ea.est + eb.est) - ue.est_union AS est_inter,
-      |  floor((abs((ea.est + eb.est) - ue.est_union
-      |    - CAST(xc.n_exact AS DOUBLE)) / xc.n_exact) * 1000000 + 0.5)
-      |    / 1000000 AS rel_err
+      |  CASE WHEN xc.n_exact = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((abs((ea.est + eb.est) - ue.est_union
+      |      - CAST(xc.n_exact AS DOUBLE)) / xc.n_exact) * 1000000 + 0.5)
+      |      / 1000000 END AS rel_err
       |FROM xc
       |JOIN se ea ON ea.event_type = xc.ta
       |JOIN se eb ON eb.event_type = xc.tb
@@ -1006,9 +1007,11 @@ object AnalyticsOps5 {
       .select(col("ta").as("type_a"), col("tb").as("type_b"),
         col("n_exact"), col("est_a"), col("est_b"), col("est_union"),
         ((col("est_a") + col("est_b")) - col("est_union")).as("est_inter"),
-        (floor((abs((col("est_a") + col("est_b")) - col("est_union") -
-          col("n_exact").cast("double")) / col("n_exact")) * 1000000
-          + 0.5) / 1000000).as("rel_err"))
+        // disjoint audiences are legitimate: anchor-free rows report 0
+        when(col("n_exact") === 0, lit(0.0))
+          .otherwise(floor((abs((col("est_a") + col("est_b")) -
+            col("est_union") - col("n_exact").cast("double")) /
+            col("n_exact")) * 1000000 + 0.5) / 1000000).as("rel_err"))
   }
 
   val all: Map[String, QueryDef] = Map(

@@ -60,14 +60,17 @@ object AnalyticsOps6 {
       |  FROM u),
       |th AS (
       |  SELECT n, sx,
-      |    floor((CAST(n * sxy - sx * sy AS DOUBLE)
-      |      / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000000 + 0.5)
-      |      / 1000000000 AS theta,
-      |    floor(((CAST(n * sxy - sx * sy AS DOUBLE)
-      |        * CAST(n * sxy - sx * sy AS DOUBLE))
-      |      / (CAST(n * sxx - sx * sx AS DOUBLE)
-      |        * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
-      |      / 1000000 AS var_reduction
+      |    CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+      |      ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000000 + 0.5)
+      |        / 1000000000 END AS theta,
+      |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+      |      THEN CAST(0 AS DOUBLE)
+      |      ELSE floor(((CAST(n * sxy - sx * sy AS DOUBLE)
+      |          * CAST(n * sxy - sx * sy AS DOUBLE))
+      |        / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |          * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+      |        / 1000000 END AS var_reduction
       |  FROM p),
       |v AS (
       |  SELECT CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
@@ -104,10 +107,15 @@ object AnalyticsOps6 {
         (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
           .cast("double").as("denyd"))
       .select(col("n"), col("sx"),
-        (floor((col("numd") / col("dend")) * 1000000000 + 0.5)
-          / 1000000000).as("theta"),
-        (floor(((col("numd") * col("numd")) / (col("dend") * col("denyd")))
-          * 1000000 + 0.5) / 1000000).as("var_reduction"))
+        // zero covariate variance (e.g. a window with no pre-period
+        // activity at all): CUPED degrades to the unadjusted readout
+        when(col("dend") === 0, lit(0.0))
+          .otherwise(floor((col("numd") / col("dend")) * 1000000000 + 0.5)
+            / 1000000000).as("theta"),
+        when(col("dend") === 0 || col("denyd") === 0, lit(0.0))
+          .otherwise(floor(((col("numd") * col("numd")) /
+            (col("dend") * col("denyd"))) * 1000000 + 0.5) / 1000000)
+          .as("var_reduction"))
     val variant = expr("CASE WHEN CAST(conv(substring(md5(CAST(user_id " +
       "AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2 = 0 " +
       "THEN 'A' ELSE 'B' END")
@@ -226,11 +234,13 @@ object AnalyticsOps6 {
       |  SELECT user_id, m AS n_gaps,
       |    floor((CAST(sg AS DOUBLE) / m) * 1000000 + 0.5) / 1000000
       |      AS mean_gap_us,
+      |    CASE WHEN sg = 0 THEN CAST(-1 AS DOUBLE)
+      |    ELSE
       |    floor(((sqrt(CAST(m * sgg - CAST(sg AS HUGEINT) * sg AS DOUBLE))
       |        / m - CAST(sg AS DOUBLE) / m)
       |      / (sqrt(CAST(m * sgg - CAST(sg AS HUGEINT) * sg AS DOUBLE))
       |        / m + CAST(sg AS DOUBLE) / m)) * 1000000 + 0.5) / 1000000
-      |      AS b_index
+      |    END AS b_index
       |  FROM m)
       |SELECT user_id, n_gaps, mean_gap_us, b_index
       |FROM b ORDER BY b_index DESC, user_id LIMIT 20""".stripMargin
@@ -256,8 +266,12 @@ object AnalyticsOps6 {
     m.select(col("user_id"), col("m").as("n_gaps"),
         (floor((col("sg").cast("double") / col("m")) * 1000000 + 0.5)
           / 1000000).as("mean_gap_us"),
-        (floor(((sigmaOverM - mu) / (sigmaOverM + mu)) * 1000000 + 0.5)
-          / 1000000).as("b_index"))
+        // all-zero gaps (a burst of events on one timestamp — the
+        // exact bot class this screens for): σ = μ = 0 makes B 0/0;
+        // the metronome limit (σ = 0, μ → 0⁺) is −1, so report that
+        when(col("sg") === 0, lit(-1.0))
+          .otherwise(floor(((sigmaOverM - mu) / (sigmaOverM + mu))
+            * 1000000 + 0.5) / 1000000).as("b_index"))
       .orderBy(col("b_index").desc, col("user_id")).limit(20)
   }
 
@@ -524,8 +538,9 @@ object AnalyticsOps6 {
       |  floor(CAST(mi_fp AS DOUBLE) / 1000 + 0.5) / 1000000 AS mi_nats,
       |  floor(CAST(hx_fp AS DOUBLE) / 1000 + 0.5) / 1000000 AS h_type,
       |  floor(CAST(hy_fp AS DOUBLE) / 1000 + 0.5) / 1000000 AS h_hour,
-      |  floor((CAST(mi_fp AS DOUBLE) / least(hx_fp, hy_fp)) * 1000000
-      |    + 0.5) / 1000000 AS nmi
+      |  CASE WHEN least(hx_fp, hy_fp) = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST(mi_fp AS DOUBLE) / least(hx_fp, hy_fp))
+      |      * 1000000 + 0.5) / 1000000 END AS nmi
       |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin
   ) { (s, d) =>
     val cell = Tables.events(s, d)
@@ -558,9 +573,84 @@ object AnalyticsOps6 {
           .as("h_type"),
         (floor(col("hy_fp").cast("double") / 1000 + 0.5) / 1000000)
           .as("h_hour"),
-        (floor((col("mi_fp").cast("double") /
-          least(col("hx_fp"), col("hy_fp"))) * 1000000 + 0.5) / 1000000)
+        // a constant margin (single type, or all events in one hour)
+        // has zero entropy: MI is 0 too, so define nmi = 0
+        when(least(col("hx_fp"), col("hy_fp")) === 0, lit(0.0))
+          .otherwise(floor((col("mi_fp").cast("double") /
+            least(col("hx_fp"), col("hy_fp"))) * 1000000 + 0.5) / 1000000)
           .as("nmi"))
+  }
+
+  /** Autocorrelation of daily event volume at lags 1–7, per type —
+    * the seasonality detector that decides whether q123's weekly
+    * baseline model is even the right shape (a strong lag-7 spike =
+    * weekly rhythm; lag-1 dominance = momentum/trend). Pearson r at
+    * lag k over the aligned (cₜ, cₜ₊ₖ) day pairs, EXACT integer
+    * moments (n·Σxy − ΣxΣy over int64 day counts), one rounded
+    * division per (type, lag).
+    *
+    * Scale shape: the ONLY data pass is the (type, day) count —
+    * everything else is a self-join of the ≤ |types|·|days| cached
+    * metadata frame on (type, day+lag) and a moment rollup to
+    * |types|·7 rows. Degenerate guard: a constant series has zero
+    * variance on either side — r reports 0 (both engines), never
+    * NULL/NaN. */
+  val q185Acf: QueryDef = QueryDef.withOracle(
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+      |      AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |lg AS (SELECT unnest(range(1, 8)) AS k),
+      |pairs AS (
+      |  SELECT a.event_type, lg.k, a.c AS x, b.c AS y
+      |  FROM daily a CROSS JOIN lg
+      |  JOIN daily b ON b.event_type = a.event_type
+      |    AND b.day = a.day + lg.k),
+      |m AS (
+      |  SELECT event_type, k, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, k AS lag_days, n AS n_pairs,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+      |    THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE))) * 1000000 + 0.5)
+      |      / 1000000 END AS acf
+      |FROM m""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+      .withColumn("day", expr(
+        "(t - pmod(t, 86400000000)) div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // metadata: ≤ |types| · |days| rows
+    val lags = s.range(1).select(
+      explode(sequence(lit(1L), lit(7L))).as("k"))
+    val pairs = daily.crossJoin(broadcast(lags))
+      .join(daily.select(col("event_type"),
+        col("day").as("day2"), col("c").as("y")),
+        Seq("event_type"))
+      .filter(col("day2") === col("day") + col("k"))
+      .select(col("event_type"), col("k"), col("c").as("x"), col("y"))
+    val m = pairs.groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("event_type"), col("k").as("lag_days"),
+      col("n").as("n_pairs"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+        col("n") * col("syy") - col("sy") * col("sy") === 0, lit(0.0))
+        .otherwise(floor(((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"))) * 1000000 + 0.5) / 1000000).as("acf"))
   }
 
   val all: Map[String, QueryDef] = Map(
@@ -570,6 +660,7 @@ object AnalyticsOps6 {
     "q176_conformal_interval" -> q176ConformalInterval,
     "q180_join_skew_audit" -> q180JoinSkewAudit,
     "q183_km_survival" -> q183KmSurvival,
-    "q184_mutual_info" -> q184MutualInfo
+    "q184_mutual_info" -> q184MutualInfo,
+    "q185_acf" -> q185Acf
   )
 }

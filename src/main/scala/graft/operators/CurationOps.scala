@@ -790,13 +790,19 @@ object CurationOps {
   val q181FkIntegrity: QueryDef = QueryDef.withOracle {
     def blk(name: String, child: String, ckey: String, parent: String,
         pkey: String) =
+      // NOT EXISTS, not NOT IN: a NULL parent key would turn NOT IN
+      // into UNKNOWN-for-every-row (orphans silently vanish exactly
+      // when the data is bad); NOT EXISTS matches leftanti semantics
       s"""SELECT '$name' AS fk_name,
         |  (SELECT count(*) FROM $child) AS n_child,
         |  (SELECT count(*) FROM $child WHERE $ckey IS NULL) AS n_null,
-        |  (SELECT count(*) FROM $child WHERE $ckey IS NOT NULL
-        |    AND $ckey NOT IN (SELECT $pkey FROM $parent)) AS n_orphans,
-        |  floor((CAST((SELECT count(*) FROM $child WHERE $ckey IS NOT NULL
-        |    AND $ckey NOT IN (SELECT $pkey FROM $parent)) AS DOUBLE)
+        |  (SELECT count(*) FROM $child c WHERE c.$ckey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM $parent p
+        |      WHERE p.$pkey = c.$ckey)) AS n_orphans,
+        |  floor((CAST((SELECT count(*) FROM $child c
+        |    WHERE c.$ckey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM $parent p
+        |      WHERE p.$pkey = c.$ckey)) AS DOUBLE)
         |    / (SELECT count(*) FROM $child)) * 1000000 + 0.5) / 1000000
         |    AS orphan_share""".stripMargin
     Seq(
@@ -854,6 +860,56 @@ object CurationOps {
     ).reduce(_ unionByName _)
   }
 
+  /** l-diversity audit — q178's second privacy lens: k-anonymity only
+    * counts class SIZES, but a class of 50 rows that all share one
+    * sensitive value still discloses that value for every member
+    * (the homogeneity attack). Here the quasi-identifier is
+    * (source, 100-char length band) and the sensitive attribute is
+    * `lang`: per class, l = distinct sensitive values; report the
+    * l-band distribution (l=1 homogeneous, l=2, 3+) with row shares.
+    *
+    * Scale shape: ONE (QI, lang) partial+final count collapses the
+    * corpus (map-side combine bounds the exchange by QI×lang
+    * cardinality); l per class and the band rollup run on that
+    * collapsed frame. No joins, no windows — the q178 posture. */
+  val q186LDiversity: QueryDef = QueryDef.withOracle(
+    """WITH cell AS (
+      |  SELECT source, (n_chars - n_chars % 100) // 100 AS len_band,
+      |    lang, count(*) AS n
+      |  FROM documents GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT source, len_band, count(*) AS l, sum(n) AS k
+      |  FROM cell GROUP BY 1, 2),
+      |b AS (
+      |  SELECT CASE WHEN l = 1 THEN '1 (homogeneous)'
+      |    WHEN l = 2 THEN '2' ELSE '3+' END AS l_band,
+      |    count(*) AS n_classes, sum(k) AS n_rows
+      |  FROM cls GROUP BY 1),
+      |t AS (SELECT sum(n_rows) AS tot FROM b)
+      |SELECT l_band, n_classes, n_rows,
+      |  floor((CAST(n_rows AS DOUBLE) / tot) * 1000000 + 0.5) / 1000000
+      |    AS row_share
+      |FROM b CROSS JOIN t""".stripMargin
+  ) { (s, d) =>
+    val cell = Tables.documents(s, d)
+      .groupBy(col("source"),
+        expr("(n_chars - n_chars % 100) div 100").as("len_band"),
+        col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val cls = cell.groupBy(col("source"), col("len_band"))
+      .agg(count(lit(1)).as("l"), sum(col("n")).as("k"))
+    val bands = cls
+      .groupBy(when(col("l") === 1, "1 (homogeneous)")
+        .when(col("l") === 2, "2")
+        .otherwise("3+").as("l_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+    val tot = bands.agg(sum(col("n_rows")).as("tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("l_band"), col("n_classes"), col("n_rows"),
+        (floor((col("n_rows").cast("double") / col("tot")) * 1000000
+          + 0.5) / 1000000).as("row_share"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q139_filter_cascade" -> q139FilterCascade,
     "q57_winnow" -> q57Winnow,
@@ -868,6 +924,7 @@ object CurationOps {
     "q168_chunk_packing" -> q168ChunkPacking,
     "q170_ngram_decontam" -> q170NgramDecontam,
     "q178_k_anonymity" -> q178KAnonymity,
-    "q181_fk_integrity" -> q181FkIntegrity
+    "q181_fk_integrity" -> q181FkIntegrity,
+    "q186_l_diversity" -> q186LDiversity
   )
 }

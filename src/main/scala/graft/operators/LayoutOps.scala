@@ -52,13 +52,16 @@ object LayoutOps {
     *
     * Determinism: ranks tiebreak on event_id; day index is the
     * sign-safe epoch-µs floordiv anchored at 2024-01-01 (epoch day
-    * 19723), taken mod 256 as the documented 256-day tile. */
+    * 19723), taken POSITIVE-mod 256 as the documented 256-day tile —
+    * pmod on the Spark side, ((x%256)+256)%256 in the oracle, so
+    * pre-anchor timestamps tile identically on both engines (post-
+    * 1970 epochs assumed, the repo-wide q143 convention). */
   val q169ZorderLayout: QueryDef = QueryDef.withOracle(
     """WITH base AS (
       |  SELECT event_id, epoch_us(ts) AS t,
       |    user_id % 256 AS x,
-      |    ((epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
-      |      - 19723) % 256 AS y
+      |    ((((epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+      |      - 19723) % 256) + 256) % 256 AS y
       |  FROM events),
       |sp AS (
       |  SELECT event_id, t, x, y,

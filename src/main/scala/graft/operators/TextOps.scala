@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline surface
@@ -108,35 +109,55 @@ object TextOps {
     * counts, predict the argmax (ties → 'und'). A real n-gram
     * profile would extend the marker table; the operator shape
     * (tokenize → per-class score → argmax) is the production one. */
+  /** The ONE stopword lang-id classifier (q34's contract), factored
+    * so every consumer scores identically: q34 (the per-doc report),
+    * q38 (curation top-k per predicted language), and q177 (the eval
+    * that grades q34's predictions). An edit to the lists or the
+    * tie-break moves all three together — which is the point: the
+    * eval must always be grading the classifier that actually runs. */
+  private[operators] object LangId {
+    val En = Seq("the", "a", "of")
+    val Es = Seq("la", "el", "de")
+    val De = Seq("der", "die", "das")
+    def scEn(toks: Column): Column = size(filter(toks, x => x.isin(En: _*)))
+    def scEs(toks: Column): Column = size(filter(toks, x => x.isin(Es: _*)))
+    def scDe(toks: Column): Column = size(filter(toks, x => x.isin(De: _*)))
+    def pick(en: Column, es: Column, de: Column): Column =
+      when(en >= es && en >= de && en > 0, "en")
+        .when(es > en && es >= de, "es")
+        .when(de > en && de > es, "de")
+        .otherwise("und")
+    /** DuckDB score column defs over a `toks` list column. */
+    val sqlScores: String =
+      "len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS sc_en,\n" +
+      "    len(list_filter(toks, x -> x IN ('la', 'el', 'de'))) AS sc_es,\n" +
+      "    len(list_filter(toks, x -> x IN ('der', 'die', 'das'))) AS sc_de"
+    /** DuckDB pick CASE over sc_en / sc_es / sc_de columns. */
+    val sqlPick: String =
+      "CASE WHEN sc_en >= sc_es AND sc_en >= sc_de AND sc_en > 0 THEN 'en'\n" +
+      "       WHEN sc_es > sc_en AND sc_es >= sc_de THEN 'es'\n" +
+      "       WHEN sc_de > sc_en AND sc_de > sc_es THEN 'de'\n" +
+      "       ELSE 'und' END"
+  }
+
   val q34LangId: QueryDef = QueryDef.withOracle(
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
       |s AS (
       |  SELECT doc_id, lang,
-      |    len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS sc_en,
-      |    len(list_filter(toks, x -> x IN ('la', 'el', 'de'))) AS sc_es,
-      |    len(list_filter(toks, x -> x IN ('der', 'die', 'das'))) AS sc_de
+      |    ${LangId.sqlScores}
       |  FROM t)
       |SELECT doc_id, lang AS labeled_lang,
-      |  CASE WHEN sc_en >= sc_es AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
-      |       WHEN sc_es > sc_en AND sc_es >= sc_de THEN 'es'
-      |       WHEN sc_de > sc_en AND sc_de > sc_es THEN 'de'
-      |       ELSE 'und' END AS predicted_lang
+      |  ${LangId.sqlPick} AS predicted_lang
       |FROM s""".stripMargin
   ) { (s, d) =>
     val toks = split(col("text"), " ", -1)
-    val scEn = size(filter(toks, x => x.isin("the", "a", "of")))
-    val scEs = size(filter(toks, x => x.isin("la", "el", "de")))
-    val scDe = size(filter(toks, x => x.isin("der", "die", "das")))
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), scEn.as("sc_en"), scEs.as("sc_es"),
-        scDe.as("sc_de"))
+      .select(col("doc_id"), col("lang"), LangId.scEn(toks).as("sc_en"),
+        LangId.scEs(toks).as("sc_es"), LangId.scDe(toks).as("sc_de"))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_de") &&
-          col("sc_en") > 0, "en")
-          .when(col("sc_es") > col("sc_en") && col("sc_es") >= col("sc_de"), "es")
-          .when(col("sc_de") > col("sc_en") && col("sc_de") > col("sc_es"), "de")
-          .otherwise("und").as("predicted_lang"))
+        LangId.pick(col("sc_en"), col("sc_es"), col("sc_de"))
+          .as("predicted_lang"))
   }
 
   /** BPE-ish token estimation via regex unit counting (letters runs,
@@ -231,7 +252,7 @@ object TextOps {
     * each partition ships at most k rows per language to the window
     * shuffle — the scale shape for "best N examples per class". */
   val q38CurateTopK: QueryDef = QueryDef.withOracle(
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |    len(string_split(text, ' ')) AS n_tok,
       |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
@@ -246,10 +267,7 @@ object TextOps {
       |  FROM documents),
       |scored AS (
       |  SELECT doc_id,
-      |    CASE WHEN sc_en >= sc_es AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
-      |         WHEN sc_es > sc_en AND sc_es >= sc_de THEN 'es'
-      |         WHEN sc_de > sc_en AND sc_de > sc_es THEN 'de'
-      |         ELSE 'und' END AS predicted_lang,
+      |    ${LangId.sqlPick} AS predicted_lang,
       |    floor(greatest(0.0, 1.0
       |      - 0.3 * (CAST(n_stop AS DOUBLE) / n_tok)
       |      - (CASE WHEN n_tok < 20 THEN 0.2 ELSE 0.0 END)
@@ -265,15 +283,10 @@ object TextOps {
     val nTok = size(toks)
     val nUniq = size(array_distinct(toks))
     val nStop = size(filter(toks, x => x.isin("the", "a")))
-    val scEn = size(filter(toks, x => x.isin("the", "a", "of")))
-    val scEs = size(filter(toks, x => x.isin("la", "el", "de")))
-    val scDe = size(filter(toks, x => x.isin("der", "die", "das")))
     val scored = Tables.documents(s, d).select(
       col("doc_id"),
-      when(scEn >= scEs && scEn >= scDe && scEn > 0, "en")
-        .when(scEs > scEn && scEs >= scDe, "es")
-        .when(scDe > scEn && scDe > scEs, "de")
-        .otherwise("und").as("predicted_lang"),
+      LangId.pick(LangId.scEn(toks), LangId.scEs(toks), LangId.scDe(toks))
+        .as("predicted_lang"),
       (floor(greatest(lit(0.0), lit(1.0)
         - lit(0.3) * (nStop.cast("double") / nTok)
         - when(nTok < 20, 0.2).otherwise(0.0)
@@ -877,20 +890,15 @@ object TextOps {
     * the margin identity F1 = 2·tp/(n_true + n_pred) — ONE division,
     * not a compound of two rounded ratios. */
   val q177LangidEval: QueryDef = QueryDef.withOracle(
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
       |s AS (
       |  SELECT lang,
-      |    len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS sc_en,
-      |    len(list_filter(toks, x -> x IN ('la', 'el', 'de'))) AS sc_es,
-      |    len(list_filter(toks, x -> x IN ('der', 'die', 'das'))) AS sc_de
+      |    ${LangId.sqlScores}
       |  FROM t),
       |p AS (
       |  SELECT lang AS labeled,
-      |    CASE WHEN sc_en >= sc_es AND sc_en >= sc_de AND sc_en > 0 THEN 'en'
-      |         WHEN sc_es > sc_en AND sc_es >= sc_de THEN 'es'
-      |         WHEN sc_de > sc_en AND sc_de > sc_es THEN 'de'
-      |         ELSE 'und' END AS predicted
+      |    ${LangId.sqlPick} AS predicted
       |  FROM s),
       |cells AS (
       |  SELECT labeled, predicted, count(*) AS n FROM p GROUP BY 1, 2),
@@ -914,18 +922,12 @@ object TextOps {
       |FROM m""".stripMargin
   ) { (s, d) =>
     val toks = split(col("text"), " ", -1)
-    val scEn = size(filter(toks, x => x.isin("the", "a", "of")))
-    val scEs = size(filter(toks, x => x.isin("la", "el", "de")))
-    val scDe = size(filter(toks, x => x.isin("der", "die", "das")))
     val cells = Tables.documents(s, d)
-      .select(col("lang").as("labeled"), scEn.as("sc_en"),
-        scEs.as("sc_es"), scDe.as("sc_de"))
+      .select(col("lang").as("labeled"), LangId.scEn(toks).as("sc_en"),
+        LangId.scEs(toks).as("sc_es"), LangId.scDe(toks).as("sc_de"))
       .select(col("labeled"),
-        when(col("sc_en") >= col("sc_es") && col("sc_en") >= col("sc_de") &&
-          col("sc_en") > 0, "en")
-          .when(col("sc_es") > col("sc_en") && col("sc_es") >= col("sc_de"), "es")
-          .when(col("sc_de") > col("sc_en") && col("sc_de") > col("sc_es"), "de")
-          .otherwise("und").as("predicted"))
+        LangId.pick(col("sc_en"), col("sc_es"), col("sc_de"))
+          .as("predicted"))
       .groupBy(col("labeled"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .cache() // ≤ |langs|² cells — metadata from here down

@@ -21,26 +21,34 @@ import org.apache.spark.sql.streaming._
   * `capacity` entries by invariant, so each input row touches O(k)
   * state, never O(users).
   *
-  * Snapshots are emitted per (type) per batch tagged with the
-  * batch's max event-time µs (`asof_us`); readers keep each key's
-  * max-asof rows. Estimates depend on arrival order (any MG does) —
-  * the spec pins the order-free guarantees plus exact equality on a
-  * no-eviction fixture, where MG degenerates to exact counting. */
+  * Snapshots are emitted per (type) per batch tagged with a
+  * MONOTONIC per-key sequence number (`seq`, one more per batch that
+  * touched the key); readers keep each key's max-seq rows. Event
+  * time would NOT work as the tag: a late-but-within-watermark batch
+  * has an older max event time than its predecessor, and a max-ts
+  * reader would discard the NEWEST state. Estimates depend on
+  * arrival order (any MG does) — the spec pins the order-free
+  * guarantees plus exact equality on a no-eviction fixture, where MG
+  * degenerates to exact counting. */
 object TopKStream {
 
   case class Ev(event_type: String, user_id: Long, event_id: Long,
       event_ts: Timestamp)
   case class Hitter(event_type: String, user_id: Long, est: Long,
-      asof_us: Long)
+      seq: Long)
 
   class MgProcessor(capacity: Int)
       extends StatefulProcessor[String, Ev, Hitter] {
 
     @transient private var counters: MapState[Long, Long] = _
+    @transient private var snapSeq: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counters = getHandle.getMapState[Long, Long]("counters",
         Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      snapSeq = getHandle.getValueState[Long]("snapSeq",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: String, rows: Iterator[Ev],
         timers: TimerValues): Iterator[Hitter] = {
@@ -68,8 +76,9 @@ object TopKStream {
         if (!m.contains(u)) counters.removeKey(u)
       }
       m.foreach { case (u, c) => counters.updateValue(u, c) }
-      val asof = sorted.map(e => e.event_ts.getTime * 1000L).max
-      m.iterator.map { case (u, c) => Hitter(key, u, c, asof) }
+      val seq = (if (snapSeq.exists()) snapSeq.get() else 0L) + 1L
+      snapSeq.update(seq)
+      m.iterator.map { case (u, c) => Hitter(key, u, c, seq) }
     }
   }
 

@@ -940,6 +940,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q185: ACF runs entirely on the cached daily metadata frame") {
+    val p = plan("q185_acf")
+    // the one data pass is the (type, day) count; the lag self-join
+    // and moment rollup read the InMemoryRelation
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q186: l-diversity is two aggregates + a broadcast scalar") {
+    val p = plan("q186_l_diversity")
+    assert(nodes(p, "HashAggregate") >= 4, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -93,6 +93,23 @@ class AnalyticsOps6Spec extends SparkSpec {
     assert(out(2L)._2 == want, s"${out(2L)} vs $want")
   }
 
+  test("q175: all-zero gaps (single-timestamp burst) report B = -1, not 0/0") {
+    val dir = tmp("graft-burst0")
+    // 3 events on ONE timestamp -> gaps 0,0 -> sigma = mu = 0; the
+    // guard must report the metronome limit -1 (Spark NULL vs DuckDB
+    // NaN would otherwise diverge AND misrank the exact bot class
+    // this query screens for)
+    (1 to 3).map(i => (i.toLong, 1L))
+      .toDF("event_id", "user_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-05 00:00:00")))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps6.q175Burstiness.fn(spark, dir).collect()
+    assert(out.length == 1 && out.head.getDouble(3) == -1.0 &&
+      out.head.getDouble(2) == 0.0, out.toSeq)
+  }
+
   test("q176: conformal quantile and coverage are closed-form") {
     val dir = tmp("graft-conf")
     // cal (pre): cents 1..10 -> n=10, S=55; scaled residuals
@@ -192,5 +209,29 @@ class AnalyticsOps6Spec extends SparkSpec {
     write(d2, Seq((1L, 0, "a"), (2L, 1, "a"), (3L, 0, "b"), (4L, 1, "b")))
     val r2 = AnalyticsOps6.q184MutualInfo.fn(spark, d2).head()
     assert(r2.getDouble(0) == 0.0 && r2.getDouble(3) == 0.0, r2)
+  }
+
+  test("q185: alternating series has acf -1 at odd lags, +1 at even") {
+    val dir = tmp("graft-acf")
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // daily counts 1,3,1,3,... over 14 days: a period-2 oscillation
+    // -> Pearson r = -1 at odd lags, +1 at even lags, exactly
+    val evs = (0 until 14).flatMap { d =>
+      val n = if (d % 2 == 0) 1 else 3
+      (0 until n).map(j => (d.toLong * 10 + j, java.sql.Timestamp.from(
+        base.plusSeconds(86400L * d + j))))
+    }
+    evs.toDF("event_id", "ts")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("a"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsOps6.q185Acf.fn(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 7, out)
+    (1L to 7L).foreach { k =>
+      val (n, r) = out(k)
+      assert(n == 14 - k, s"lag $k: $out")
+      assert(r == (if (k % 2 == 1) -1.0 else 1.0), s"lag $k: $out")
+    }
   }
 }

@@ -410,4 +410,27 @@ class CurationOpsSpec extends SparkSpec {
         assert(nNull == 0L && nOrph == 0L, s"$fk: ${out(fk)}")
     }
   }
+
+  test("q186: sensitive-value diversity bands are closed-form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ldiv").toString
+    // three QI classes, one per l-band: s1 all-en (l=1, k=3 — the
+    // homogeneity attack), s2 en/fr (l=2, k=4), s3 en/fr/de (l=3)
+    val docs =
+      (1 to 3).map(i => (i.toLong, "en", "s1")) ++
+      Seq((11L, "en", "s2"), (12L, "en", "s2"), (13L, "fr", "s2"),
+        (14L, "fr", "s2"), (21L, "en", "s3"), (22L, "fr", "s3"),
+        (23L, "de", "s3"))
+    docs.toDF("doc_id", "lang", "source")
+      .withColumn("text", lit("t"))
+      .withColumn("n_chars", lit(50L))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.q186LDiversity.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    def share(n: Long) = math.floor((n / 10.0) * 1000000 + 0.5) / 1000000
+    assert(out == Map(
+      "1 (homogeneous)" -> ((1L, 3L, share(3))),
+      "2" -> ((1L, 4L, share(4))),
+      "3+" -> ((1L, 3L, share(3)))), out)
+  }
 }

@@ -38,12 +38,12 @@ class StreamingTopKSpec extends SparkSpec {
           source.addData(b: _*)
           q.processAllAvailable()
         }
-        // keep each type's LAST snapshot (max asof_us)
+        // keep each type's LAST snapshot (max monotonic seq)
         val rows = spark.table(name)
           .as[TopKStream.Hitter].collect()
-        val lastAsof = rows.groupBy(_.event_type)
-          .view.mapValues(_.map(_.asof_us).max).toMap
-        val last = rows.filter(r => r.asof_us == lastAsof(r.event_type))
+        val lastSeq = rows.groupBy(_.event_type)
+          .view.mapValues(_.map(_.seq).max).toMap
+        val last = rows.filter(r => r.seq == lastSeq(r.event_type))
         // state bound: never more than `capacity` counters per key
         last.groupBy(_.event_type).foreach { case (t, rs) =>
           assert(rs.length <= capacity, s"$t: ${rs.toSeq}")
@@ -85,5 +85,16 @@ class StreamingTopKSpec extends SparkSpec {
     }
     // MG never holds more than capacity survivors
     assert(got.size <= 2, got)
+  }
+
+  test("late within-watermark batch still supersedes via the monotonic seq") {
+    // batch 1 at t=100s; batch 2 arrives LATER but carries OLDER
+    // event times (95-96s, inside the 10s watermark). The kept
+    // max-seq snapshot must include batch 2's counts — an event-time
+    // tag would rank it behind batch 1 and discard the newest state.
+    val b1 = Seq(ev("X", 1, 1, 100))
+    val b2 = Seq(ev("X", 1, 2, 95), ev("X", 2, 3, 96))
+    val got = run(8, "mg_late", Seq(b1, b2))
+    assert(got == Map(("X", 1L) -> 2L, ("X", 2L) -> 1L), got)
   }
 }
