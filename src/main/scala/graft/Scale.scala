@@ -138,11 +138,21 @@ object Scale {
       val total = docS * copies
       val mHot = math.max(1L, total / 950)   // df ≈ 950, just under the cap
       val mOver = math.max(1L, total / 3000) // df ≈ 3000, over the cap
+      // integer-division moduli only hit their df targets when the
+      // corpus is big enough: planted df = ceil(total/m) overshoots
+      // 950 toward/past the 1000 cap below ~20k docs, and the
+      // over-cap plant needs residue mOver-1 (with mOver = 1 a
+      // `pmod == 1` test would NEVER fire and the plant silently
+      // vanished). Warn instead of reporting a stress that never ran.
+      if ((total + mHot - 1) / mHot > 1000)
+        System.err.println(s"[scale] WARN: under-cap shingle plants df=" +
+          s"${(total + mHot - 1) / mHot} > 1000 at total=$total — the " +
+          "df band will DROP it; use a larger source corpus")
       docsRep
         .withColumn("text",
           when(pmod(col("doc_id"), lit(mHot)) === 0,
             concat(col("text"), lit(" zx qv jk")))
-          .when(pmod(col("doc_id"), lit(mOver)) === 1,
+          .when(pmod(col("doc_id"), lit(mOver)) === lit(mOver - 1),
             concat(col("text"), lit(" xj vk qz")))
           .otherwise(col("text")))
         .withColumn("n_chars", length(col("text")))

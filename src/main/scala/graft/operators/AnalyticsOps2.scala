@@ -215,6 +215,19 @@ object AnalyticsOps2 {
     * the InMemoryRelation; a partition rebuilt after executor loss
     * reuses the same plan instance (same RangePartitioner
     * boundaries), so the assignment stays stable. */
+  /** Sign-safe epoch-µs → epoch-day floordiv, THE shared day-math
+    * primitive (q143 convention): the oracle's `//` floors while
+    * Spark's `div` truncates toward zero — subtracting the pmod first
+    * makes the dividend an exact multiple, so truncation == floor for
+    * all epochs including pre-1970. One definition, many consumers
+    * (q117's dow, q143's streak days, AnalyticsOps5/6's daily
+    * rollups, LayoutOps' day tile) — a convention change lands
+    * everywhere at once. `tsMicros` must render to valid SQL via
+    * toString (plain columns and builtin calls do). */
+  private[operators] def epochDay(tsMicros: Column): Column =
+    expr(s"(${tsMicros.toString} - pmod(${tsMicros.toString}, " +
+      "86400000000)) div 86400000000")
+
   private[operators] def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       out: String): DataFrame = {
     val parts = df
@@ -525,12 +538,10 @@ object AnalyticsOps2 {
   ) { (s, d) =>
     val cells = Tables.events(s, d)
       .select(col("event_type"),
-        // sign-safe epoch→dow: floordiv via pmod-subtraction (oracle's
-        // `//` floors, `div` truncates) then pmod for the mod-7 — the
-        // oracle mirrors with a ((x % 7) + 7) % 7 wrap, so both
-        // engines agree for pre-1970 epochs too
-        expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
-          " div 86400000000 + 4, 7)").as("dow"))
+        // sign-safe epoch→dow: the shared epochDay floordiv then pmod
+        // for the mod-7 — the oracle mirrors with ((x % 7) + 7) % 7,
+        // so both engines agree for pre-1970 epochs too
+        pmod(epochDay(unix_micros(col("ts"))) + 4, lit(7)).as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
     val rows = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))

@@ -20,12 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsOps5 {
 
-  /** Sign-safe epoch-µs → day floordiv (oracle `//` floors, Spark
-    * `div` truncates; subtracting pmod first makes them agree on all
-    * epochs — the q143 convention). */
+  /** Sign-safe epoch-µs → day floordiv over a TIMESTAMP column —
+    * delegates to the shared [[AnalyticsOps2.epochDay]] primitive. */
   private def epochDay(ts: Column): Column =
-    expr(s"(unix_micros(${ts.toString}) - " +
-      s"pmod(unix_micros(${ts.toString}), 86400000000)) div 86400000000")
+    AnalyticsOps2.epochDay(unix_micros(ts))
 
   /** Per-source distinct-document estimate from the mergeable
     * HyperLogLog register sketch (`SketchAggregates.HllRegisters`,
@@ -96,14 +94,8 @@ object AnalyticsOps5 {
       expr("aggregate(regs, CAST(0 AS DOUBLE), " +
         "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))").as("s_inv"),
       expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("v_zero"))
-    val alphaMm = (lit(0.7213) * lit(1048576.0)) /
-      (lit(1.0) + (lit(1.079) / lit(1024.0)))
     stats
-      .withColumn("e_raw", alphaMm / col("s_inv"))
-      .withColumn("hll_est",
-        floor((when(col("e_raw") <= 2560 && col("v_zero") > 0,
-          lit(1024.0) * log(lit(1024.0) / col("v_zero").cast("double")))
-          .otherwise(col("e_raw"))) * 1000000 + 0.5) / 1000000)
+      .withColumn("hll_est", hllEstimate(col("s_inv"), col("v_zero"), 1024))
       .select(col("source"), col("n_exact"), col("v_zero"), col("hll_est"),
         (abs(col("hll_est") - col("n_exact").cast("double")) /
           col("n_exact")).as("rel_err"))
@@ -220,6 +212,8 @@ object AnalyticsOps5 {
     val du = Tables.events(s, d)
       .select(col("user_id"), epochDay(col("ts")).as("day"))
       .distinct()
+      .cache() // one events scan + dedup exchange feeds BOTH the
+               // cohort margin and the join's probe side
     val c = du.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
     du.join(c, Seq("user_id"))
       .groupBy(col("cohort").as("cohort_day"),
@@ -651,17 +645,11 @@ object AnalyticsOps5 {
       .crossJoin(broadcast(maxDay))
       .filter(col("day") <= col("max_day"))
       .groupBy(col("day"), col("slot")).agg(max(col("reg")).as("reg"))
-    val alphaMm = (lit(0.7213) * lit(1048576.0)) /
-      (lit(1.0) + (lit(1.079) / lit(1024.0)))
     val est = merged.groupBy(col("day"))
       .agg((sum(expr("pow(CAST(2 AS DOUBLE), -reg)")) +
           (lit(1024) - count(lit(1)))).as("s_inv"),
         (lit(1024) - count(lit(1))).cast("long").as("v_zero"))
-      .withColumn("e_raw", alphaMm / col("s_inv"))
-      .withColumn("hll_est",
-        floor((when(col("e_raw") <= 2560 && col("v_zero") > 0,
-          lit(1024.0) * log(lit(1024.0) / col("v_zero").cast("double")))
-          .otherwise(col("e_raw"))) * 1000000 + 0.5) / 1000000)
+      .withColumn("hll_est", hllEstimate(col("s_inv"), col("v_zero"), 1024))
     ex.join(est.select(col("day"), col("hll_est")), Seq("day"))
       .select(col("day"), col("n_exact"), col("hll_est"),
         (abs(col("hll_est") - col("n_exact").cast("double")) /
@@ -852,16 +840,23 @@ object AnalyticsOps5 {
           col("exact_cents")) * 1000000 + 0.5) / 1000000).as("rel_err"))
   }
 
-  /** Shared HLL estimator tail (the q154 recipe): raw α·m²/S with the
-    * linear-counting small-range switch, rounded at 1e-6 to absorb
-    * last-ulp libm disagreement. `sInv` = Σ 2^−reg (exact in any
-    * order — dyadic rationals), `vZero` = count of empty registers. */
-  private def hllEstimate(sInv: Column, vZero: Column): Column = {
-    val alphaMm = (lit(0.7213) * lit(1048576.0)) /
-      (lit(1.0) + (lit(1.079) / lit(1024.0)))
+  /** THE HLL estimator tail, parameterized by register count m = 2^p:
+    * raw α·m²/S with the 2.5m linear-counting switch, rounded at 1e-6
+    * to absorb last-ulp libm disagreement. `sInv` = Σ 2^−reg (exact
+    * in any order — dyadic rationals), `vZero` = count of empty
+    * registers. Every HLL consumer estimates through this ONE
+    * definition — q154/q164/q171 at m = 1024, GraphOps q160 at
+    * m = 256 — so the constants (α's rational form, the regime
+    * threshold, the rounding quantum) cannot drift apart from each
+    * other or from their four oracles. */
+  private[operators] def hllEstimate(sInv: Column, vZero: Column,
+      m: Int): Column = {
+    val md = m.toDouble
+    val alphaMm = (lit(0.7213) * lit(md * md)) /
+      (lit(1.0) + (lit(1.079) / lit(md)))
     val eRaw = alphaMm / sInv
-    floor((when(eRaw <= 2560 && vZero > 0,
-      lit(1024.0) * log(lit(1024.0) / vZero.cast("double")))
+    floor((when(eRaw <= lit(2.5 * md) && vZero > 0,
+      lit(md) * log(lit(md) / vZero.cast("double")))
       .otherwise(eRaw)) * 1000000 + 0.5) / 1000000
   }
 
@@ -975,7 +970,7 @@ object AnalyticsOps5 {
       df.withColumn(out, hllEstimate(
         expr(s"aggregate($regsCol, CAST(0 AS DOUBLE), " +
           "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))"),
-        expr(s"CAST(size(filter($regsCol, r -> r = 0)) AS BIGINT)")))
+        expr(s"CAST(size(filter($regsCol, r -> r = 0)) AS BIGINT)"), 1024))
     val singles = est("regs", "est")(regs)
       .select(col("event_type"), col("est"))
     val pairs = regs.toDF("ta", "ra")

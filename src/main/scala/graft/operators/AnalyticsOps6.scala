@@ -180,8 +180,7 @@ object AnalyticsOps6 {
   ) { (s, d) =>
     val daily = Tables.events(s, d)
       .select(col("event_type"), unix_micros(col("ts")).as("t"))
-      .withColumn("day", expr(
-        "(t - pmod(t, 86400000000)) div 86400000000"))
+      .withColumn("day", AnalyticsOps2.epochDay(col("t")))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
       .cache() // metadata-sized: ≤ |types| · |days| rows
@@ -462,9 +461,7 @@ object AnalyticsOps6 {
   ) { (s, d) =>
     val ev = Tables.events(s, d).select(col("user_id"),
       col("event_type"), unix_micros(col("ts")).as("t"))
-    val day = (c: Column) =>
-      expr(s"(${c.toString} - pmod(${c.toString}, 86400000000)) " +
-        "div 86400000000")
+    val day = (c: Column) => AnalyticsOps2.epochDay(c)
     val u = ev.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "signup", col("t"))).as("s"))
       .filter(col("s").isNotNull)
@@ -623,8 +620,7 @@ object AnalyticsOps6 {
   ) { (s, d) =>
     val daily = Tables.events(s, d)
       .select(col("event_type"), unix_micros(col("ts")).as("t"))
-      .withColumn("day", expr(
-        "(t - pmod(t, 86400000000)) div 86400000000"))
+      .withColumn("day", AnalyticsOps2.epochDay(col("t")))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
       .cache() // metadata: ≤ |types| · |days| rows

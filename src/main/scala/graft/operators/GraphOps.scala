@@ -667,18 +667,15 @@ object GraphOps {
       .groupBy(col("p"))
       .agg(graft.functions.SketchAggregates
         .hllRegisters(col("q").cast("string"), 8).as("regs"))
-    val alphaMm = (lit(0.7213) * lit(65536.0)) /
-      (lit(1.0) + (lit(1.079) / lit(256.0)))
     regs.select(col("p"),
         expr("aggregate(regs, CAST(0 AS DOUBLE), " +
           "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))").as("s_inv"),
         expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)").as("v_zero"))
-      .withColumn("e_raw", alphaMm / col("s_inv"))
+      // the ONE shared estimator (AnalyticsOps5.hllEstimate) at the
+      // p = 8 register count, rounded to an integer degree
       .withColumn("deg_est",
-        floor(floor((when(col("e_raw") <= 640 && col("v_zero") > 0,
-          lit(256.0) * log(lit(256.0) / col("v_zero").cast("double")))
-          .otherwise(col("e_raw"))) * 1000000 + 0.5) / 1000000 + 0.5)
-          .cast("long"))
+        floor(AnalyticsOps5.hllEstimate(col("s_inv"), col("v_zero"), 256)
+          + 0.5).cast("long"))
       .groupBy((length(bin(col("deg_est"))) - 1).cast("long")
         .as("log2_bucket"))
       .agg(count(lit(1)).as("n_parts"),

@@ -20,12 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
-  /** Sign-safe epoch-µs → epoch-day floordiv (the q143 convention:
-    * oracle `//` floors, Spark `div` truncates; subtracting the pmod
-    * first makes the dividend an exact multiple). */
+  /** Sign-safe epoch-µs → epoch-day floordiv — the shared
+    * [[AnalyticsOps2.epochDay]] primitive (q143 convention). */
   private def epochDay(tsMicros: Column): Column =
-    expr(s"(${tsMicros.toString} - " +
-      s"pmod(${tsMicros.toString}, 86400000000)) div 86400000000")
+    AnalyticsOps2.epochDay(tsMicros)
 
   /** Z-order vs time-linear layout audit: lay the events table out in
     * 64 equal row-count files two ways — `linear` (the default

@@ -609,14 +609,18 @@ object Relational3 {
     // broadcast-offset plan the hand-rolled r8 version built inline
     val r = AnalyticsOps2.groupedPrefixSum(lat, Seq("step"),
       Seq(col("lat_us"), col("user_id")), lit(1L), "rn", "n")
+    // n rides the already-reduced median picks (it is constant per
+    // step and every picked row carries it) — a groupBy over the full
+    // ranked frame would be a second data-sized pass for a value the
+    // ≤2-row frame already holds
     val med = r
       .filter(col("rn") === expr("(n + 1) div 2") ||
               col("rn") === expr("(n + 2) div 2"))
-      .groupBy(col("step")).agg(avg(col("lat_us")).as("med_us"))
+      .groupBy(col("step")).agg(avg(col("lat_us")).as("med_us"),
+        max(col("n")).as("n"))
     val p90 = r.filter(col("rn") === expr("(9 * n + 9) div 10"))
       .groupBy(col("step")).agg(min(col("lat_us")).cast("long").as("p90_us"))
-    r.groupBy(col("step")).agg(max(col("n")).as("n"))
-      .join(med, Seq("step")).join(p90, Seq("step"))
+    med.join(p90, Seq("step"))
       .select(col("step"), col("n"), col("med_us"), col("p90_us"))
   }
 

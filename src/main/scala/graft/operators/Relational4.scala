@@ -93,13 +93,9 @@ object Relational4 {
     import org.apache.spark.sql.expressions.Window
     val du = Tables.events(s, d)
       .select(col("user_id"),
-        // floordiv, not `div`: the oracle's `//` floors while `div`
-        // truncates toward zero — subtracting pmod first makes the
-        // dividend an exact multiple, so truncation == floor for all
-        // epochs incl. pre-1970 (the q131 truncate-vs-floor class,
-        // closed by construction instead of by a value>=0 guard)
-        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))" +
-          " div 86400000000").as("day"))
+        // the shared sign-safe floordiv (q143 convention, one
+        // definition in AnalyticsOps2.epochDay)
+        AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"))
       .distinct()
     val isl = du.withColumn("island", col("day") - row_number().over(
       Window.partitionBy(col("user_id")).orderBy(col("day"))))

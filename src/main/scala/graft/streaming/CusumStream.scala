@@ -40,7 +40,8 @@ object CusumStream {
 
     override def handleInputRows(key: String, rows: Iterator[Ev],
         timers: TimerValues): Iterator[Point] = {
-      val sorted = rows.toArray.sortBy(e => (e.event_ts.getTime, e.event_id))
+      val sorted = rows.toArray.sortBy(e =>
+        (EventTime.micros(e.event_ts), e.event_id))
       var s = if (stat.exists()) stat.get() else 0L
       val out = sorted.map { e =>
         s = math.max(0L, s + (e.value_cents - targetCents - slackCents))

@@ -55,12 +55,15 @@ object DebounceStream {
         timers: TimerValues): Iterator[Decision] = {
       // per-key micro-batch rows sorted by (ts, event_id) — the batch
       // query's window order — so the lag chain is deterministic
-      val sorted = rows.toArray.sortBy(e => (e.event_ts.getTime, e.event_id))
+      val sorted = rows.toArray.sortBy(e =>
+        (EventTime.micros(e.event_ts), e.event_id))
       val had = lastUs.exists()
       val before = if (had) lastUs.get() else Long.MinValue
       var prev = before
       val out = sorted.iterator.map { e =>
-        val tUs = e.event_ts.getTime * 1000L
+        // full µs, not getTime*1000 (ms truncation would flip
+        // decisions on sub-millisecond gap components vs batch q156)
+        val tUs = EventTime.micros(e.event_ts)
         val suppressed = prev != Long.MinValue && tUs - prev < gapUs
         // lag semantics: every event becomes the next one's reference,
         // but state never moves backward on a late straggler

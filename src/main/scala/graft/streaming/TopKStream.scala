@@ -54,7 +54,8 @@ object TopKStream {
         timers: TimerValues): Iterator[Hitter] = {
       // deterministic fold order within the micro-batch (same
       // discipline as DebounceStream): (ts, event_id)
-      val sorted = rows.toArray.sortBy(e => (e.event_ts.getTime, e.event_id))
+      val sorted = rows.toArray.sortBy(e =>
+        (EventTime.micros(e.event_ts), e.event_id))
       if (sorted.isEmpty) return Iterator.empty
       // work on a local copy: ≤ capacity entries by invariant
       val m = scala.collection.mutable.Map[Long, Long]()

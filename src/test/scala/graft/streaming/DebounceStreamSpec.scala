@@ -82,4 +82,39 @@ class DebounceStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("sub-millisecond gap components decide exactly like the batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    // first event at +700µs, second at +5.0001s: the TRUE gap is
+    // 4_999_400µs < 5s -> must be suppressed. A ms-truncated stream
+    // clock would compute exactly 5_000_000µs and keep it.
+    val evs = Seq(
+      DebounceStream.Ev(1, "X", 1,
+        Timestamp.from(base.plusNanos(700000L))),
+      DebounceStream.Ev(1, "X", 2,
+        Timestamp.from(base.plusNanos(5000100000L))))
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val source = MemoryStream[DebounceStream.Ev]
+      val q = DebounceStream.decisions(source.toDS())
+        .writeStream.format("memory").queryName("debounce_us")
+        .outputMode("append").start()
+      try {
+        source.addData(evs: _*)
+        q.processAllAvailable()
+        val got = spark.table("debounce_us")
+          .select("event_id", "suppressed")
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        assert(got == Map(1L -> false, 2L -> true), got)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
 }
