@@ -20,7 +20,12 @@ object ExplainAudit {
         // round-8 shapes: grouped two-phase ranks, constant-size gram
         // exchange, sketch aggregate, joinless two-SCD merge
         "q132_funnel_latency", "q134_gini", "q144_gram_matrix",
-        "q149_source_sketch_sim", "q152_interval_align")
+        "q149_source_sketch_sim", "q152_interval_align",
+        // round-9 shapes: layout ranks + zone maps, mergeable bloom
+        // index, grouped-prefix conformal rank, one-pass moment
+        // algebra, sketch-algebra overlap
+        "q169_zorder_layout", "q174_bloom_index",
+        "q176_conformal_interval", "q172_cuped", "q171_hll_overlap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
