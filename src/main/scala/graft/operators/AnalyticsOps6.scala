@@ -649,6 +649,129 @@ object AnalyticsOps6 {
               .cast("double"))) * 1000000 + 0.5) / 1000000).as("acf"))
   }
 
+  /** Population Stability Index of the value distribution, pre- vs
+    * post-period per event type — the industry-standard model-input
+    * drift monitor (PSI < 0.1 stable, > 0.25 action), completing the
+    * drift triad: q117's χ² (binned counts test), q153's exact KS
+    * (max CDF gap), and now the binned-share log statistic scorecards
+    * actually alert on. Bins are the PRE period's own deciles (the
+    * baseline defines the grid), ranks picked exactly via the
+    * GROUPED two-phase prefix; shares are Laplace-smoothed
+    * ((c+1)/(n+10), so a post-period bin emptied by drift contributes
+    * a finite, engine-identical term); each (p−q)·ln(p/q) term
+    * quantizes at 1e-9 fixed point before the int64 fold.
+    *
+    * Scale shape: TWO data passes — the pre-period rank pass (range
+    * shuffle) and ONE (type, period, cents) count whose exchange is
+    * bounded by value cardinality, not rows; binning joins the
+    * collapsed value frame against 9 broadcast cuts; the PSI fold
+    * runs on |types|·10 cells. */
+  val q187PsiDrift: QueryDef = QueryDef.withOracle(
+    s"""WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN epoch_us(ts) < $PreEnd THEN 'pre' ELSE 'post' END
+      |      AS period
+      |  FROM events),
+      |pre AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e WHERE period = 'pre'),
+      |cuts AS (
+      |  SELECT DISTINCT pre.event_type, i.i, pre.cents AS cut
+      |  FROM pre JOIN (SELECT unnest(range(1, 10)) AS i) i
+      |    ON pre.rn = (i.i * pre.n + 9) // 10),
+      |vc AS (
+      |  SELECT event_type, period, cents, count(*) AS cnt
+      |  FROM e GROUP BY 1, 2, 3),
+      |vb AS (
+      |  SELECT vc.event_type, vc.period, vc.cnt,
+      |    (SELECT count(*) FROM cuts c
+      |     WHERE c.event_type = vc.event_type AND vc.cents > c.cut)
+      |      AS bin
+      |  FROM vc),
+      |bc AS (
+      |  SELECT event_type, period, bin, sum(cnt) AS c
+      |  FROM vb GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT t.event_type, b.bin
+      |  FROM (SELECT DISTINCT event_type FROM e) t
+      |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b),
+      |tot AS (
+      |  SELECT event_type, period, sum(c) AS n FROM bc GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT g.event_type, g.bin,
+      |    (CAST(coalesce(p.c, 0) + 1 AS DOUBLE) / (tp.n + 10)) AS p,
+      |    (CAST(coalesce(q.c, 0) + 1 AS DOUBLE) / (tq.n + 10)) AS q
+      |  FROM grid g
+      |  LEFT JOIN bc p ON p.event_type = g.event_type
+      |    AND p.bin = g.bin AND p.period = 'pre'
+      |  LEFT JOIN bc q ON q.event_type = g.event_type
+      |    AND q.bin = g.bin AND q.period = 'post'
+      |  JOIN tot tp ON tp.event_type = g.event_type AND tp.period = 'pre'
+      |  JOIN tot tq ON tq.event_type = g.event_type AND tq.period = 'post')
+      |SELECT sh.event_type, tp.n AS n_pre, tq.n AS n_post,
+      |  floor(CAST(sum(CAST(floor((p - q) * ln(p / q) * 1000000000 + 0.5)
+      |    AS BIGINT)) AS DOUBLE) / 1000 + 0.5) / 1000000 AS psi
+      |FROM sh
+      |JOIN tot tp ON tp.event_type = sh.event_type AND tp.period = 'pre'
+      |JOIN tot tq ON tq.event_type = sh.event_type AND tq.period = 'post'
+      |GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+      when(unix_micros(col("ts")) < PreEnd, "pre").otherwise("post")
+        .as("period"))
+    val ranked = AnalyticsOps2.groupedPrefixSums(
+      e.filter(col("period") === "pre")
+        .select(col("event_type"), col("cents"), col("event_id")),
+      Seq("event_type"), Seq(col("cents"), col("event_id")),
+      Seq((lit(1L), "rn", Some("n"))))
+    val is = s.range(1).select(explode(sequence(lit(1L), lit(9L))).as("i"))
+    val cuts = ranked.crossJoin(broadcast(is))
+      .filter(col("rn") === expr("(i * n + 9) div 10"))
+      .select(col("event_type"), col("i"), col("cents").as("cut"))
+      .distinct()
+    val vc = e.groupBy(col("event_type"), col("period"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val vb = vc.join(broadcast(cuts.select(col("event_type"), col("cut"))),
+        Seq("event_type"), "left")
+      .groupBy(col("event_type"), col("period"), col("cents"), col("cnt"))
+      .agg(sum(when(col("cents") > col("cut"), 1L).otherwise(0L)).as("bin"))
+    val bc = vb.groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(sum(col("cnt")).as("c"))
+      .cache() // ≤ |types| · 2 · 10 cells
+    val grid = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(s.range(1).select(
+        explode(sequence(lit(0L), lit(9L))).as("bin"))))
+    val tot = bc.groupBy(col("event_type"), col("period"))
+      .agg(sum(col("c")).as("n"))
+    val pSide = bc.filter(col("period") === "pre")
+      .select(col("event_type"), col("bin"), col("c").as("cp"))
+    val qSide = bc.filter(col("period") === "post")
+      .select(col("event_type"), col("bin"), col("c").as("cq"))
+    val sh = grid
+      .join(broadcast(pSide), Seq("event_type", "bin"), "left")
+      .join(broadcast(qSide), Seq("event_type", "bin"), "left")
+      .join(broadcast(tot.filter(col("period") === "pre")
+        .select(col("event_type"), col("n").as("n_pre"))), Seq("event_type"))
+      .join(broadcast(tot.filter(col("period") === "post")
+        .select(col("event_type"), col("n").as("n_post"))), Seq("event_type"))
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        ((coalesce(col("cp"), lit(0L)) + 1).cast("double") /
+          (col("n_pre") + 10)).as("p"),
+        ((coalesce(col("cq"), lit(0L)) + 1).cast("double") /
+          (col("n_post") + 10)).as("q"))
+    sh.groupBy(col("event_type"), col("n_pre"), col("n_post"))
+      .agg(sum(floor((col("p") - col("q")) * log(col("p") / col("q"))
+        * 1000000000 + 0.5).cast("long")).as("psi_fp"))
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        (floor(col("psi_fp").cast("double") / 1000 + 0.5) / 1000000)
+          .as("psi"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q172_cuped" -> q172Cuped,
     "q173_cusum_changepoint" -> q173CusumChangepoint,
@@ -657,6 +780,7 @@ object AnalyticsOps6 {
     "q180_join_skew_audit" -> q180JoinSkewAudit,
     "q183_km_survival" -> q183KmSurvival,
     "q184_mutual_info" -> q184MutualInfo,
-    "q185_acf" -> q185Acf
+    "q185_acf" -> q185Acf,
+    "q187_psi_drift" -> q187PsiDrift
   )
 }

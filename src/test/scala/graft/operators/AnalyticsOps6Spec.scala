@@ -234,4 +234,32 @@ class AnalyticsOps6Spec extends SparkSpec {
       assert(r == (if (k % 2 == 1) -1.0 else 1.0), s"lag $k: $out")
     }
   }
+
+  test("q187: PSI matches the hand-folded value on a planted shift") {
+    val dir = tmp("graft-psi")
+    // pre: cents 1..100 -> decile cuts at 10,20,..,90, ten rows per
+    // bin; post: 50 events all at 95 cents (bin 9). Laplace shares:
+    // p_b = 11/110 for every bin; q_9 = 51/60, q_other = 1/60.
+    val evs =
+      (1 to 100).map(k => (k.toLong, "2024-01-05 00:00:00", k / 100.0)) ++
+      (1 to 50).map(k => (200L + k, "2024-01-20 00:00:00", 0.95))
+    import org.apache.spark.sql.functions.to_timestamp
+    evs.toDF("event_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("a"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnalyticsOps6.q187PsiDrift.fn(spark, dir).head()
+    assert(r.getLong(1) == 100L && r.getLong(2) == 50L, r)
+    // replicate the engine's fixed-point fold exactly
+    def term(p: Double, q: Double): Long =
+      math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+    val fp = (0 until 9).map(_ => term(11.0 / 110, 1.0 / 60)).sum +
+      term(11.0 / 110, 51.0 / 60)
+    val want = math.floor(fp.toDouble / 1000 + 0.5) / 1e6
+    assert(r.getDouble(3) == want, s"$r vs $want")
+    assert(r.getDouble(3) > 0.25, "a planted shift must read as action-level")
+    graft.CacheHygiene.sweep(spark) // groupedPrefixSums pins a cache
+  }
 }
