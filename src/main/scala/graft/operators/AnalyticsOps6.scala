@@ -661,11 +661,16 @@ object AnalyticsOps6 {
     * a finite, engine-identical term); each (p−q)·ln(p/q) term
     * quantizes at 1e-9 fixed point before the int64 fold.
     *
-    * Scale shape: TWO data passes — the pre-period rank pass (range
-    * shuffle) and ONE (type, period, cents) count whose exchange is
-    * bounded by value cardinality, not rows; binning joins the
-    * collapsed value frame against 9 broadcast cuts; the PSI fold
-    * runs on |types|·10 cells. */
+    * Scale shape: ONE data pass — the (type, period, cents) count,
+    * whose exchange is bounded by value cardinality, not rows. The
+    * oracle's row-level rank pick collapses onto the cell frame:
+    * rows with equal cents are contiguous in (cents, event_id)
+    * order, so the rank-t value is the unique cents run whose
+    * cumulative count straddles t — the grouped two-phase prefix
+    * runs over cells, not rows (sf100: 12.9 s vs 49.4 s for the
+    * row-ranked variant, same hashes). Binning joins the collapsed
+    * value frame against 9 broadcast cuts; the PSI fold runs on
+    * |types|·10 cells. */
   val q187PsiDrift: QueryDef = QueryDef.withOracle(
     s"""WITH e AS (
       |  SELECT event_type, event_id,
@@ -724,18 +729,24 @@ object AnalyticsOps6 {
       floor(col("value") * 100 + 0.5).cast("long").as("cents"),
       when(unix_micros(col("ts")) < PreEnd, "pre").otherwise("post")
         .as("period"))
-    val ranked = AnalyticsOps2.groupedPrefixSums(
-      e.filter(col("period") === "pre")
-        .select(col("event_type"), col("cents"), col("event_id")),
-      Seq("event_type"), Seq(col("cents"), col("event_id")),
-      Seq((lit(1L), "rn", Some("n"))))
-    val is = s.range(1).select(explode(sequence(lit(1L), lit(9L))).as("i"))
-    val cuts = ranked.crossJoin(broadcast(is))
-      .filter(col("rn") === expr("(i * n + 9) div 10"))
-      .select(col("event_type"), col("i"), col("cents").as("cut"))
-      .distinct()
     val vc = e.groupBy(col("event_type"), col("period"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
+      .cache() // ≤ |types| · 2 · |distinct cents| cells — the only data pass
+    // cum = running pre-period count in cents order; the oracle's
+    // rank-(i·n+9)//10 row has the unique cents whose run straddles
+    // the target (equal-cents rows are contiguous under the oracle's
+    // (cents, event_id) tiebreak, so the tiebreak can't change the
+    // selected VALUE) — the prefix runs over cells, never raw rows.
+    val ranked = AnalyticsOps2.groupedPrefixSums(
+      vc.filter(col("period") === "pre")
+        .select(col("event_type"), col("cents"), col("cnt")),
+      Seq("event_type"), Seq(col("cents")),
+      Seq((col("cnt"), "cum", Some("n"))))
+    val is = s.range(1).select(explode(sequence(lit(1L), lit(9L))).as("i"))
+    val cuts = ranked.crossJoin(broadcast(is))
+      .withColumn("t", expr("(i * n + 9) div 10"))
+      .filter(col("cum") >= col("t") && col("cum") - col("cnt") < col("t"))
+      .select(col("event_type"), col("cents").as("cut"))
     val vb = vc.join(broadcast(cuts.select(col("event_type"), col("cut"))),
         Seq("event_type"), "left")
       .groupBy(col("event_type"), col("period"), col("cents"), col("cnt"))
@@ -743,7 +754,7 @@ object AnalyticsOps6 {
     val bc = vb.groupBy(col("event_type"), col("period"), col("bin"))
       .agg(sum(col("cnt")).as("c"))
       .cache() // ≤ |types| · 2 · 10 cells
-    val grid = e.select(col("event_type")).distinct()
+    val grid = vc.select(col("event_type")).distinct()
       .crossJoin(broadcast(s.range(1).select(
         explode(sequence(lit(0L), lit(9L))).as("bin"))))
     val tot = bc.groupBy(col("event_type"), col("period"))
