@@ -752,12 +752,14 @@ object AnalyticsOps5 {
     * is < 1/8 by construction — both asserted per row in the spec.
     *
     * Exact side: per-type rank selection rides the GROUPED two-phase
-    * prefix (event_type has ~5 values — exactly the skewed-group case
-    * groupedPrefixSums exists for; a partitionBy(event_type) window
-    * over the raw events would funnel the population through 5
-    * tasks). Rank r = ceil(pct·n/100) via integer (pct·n + 99) div
-    * 100 on both engines; the only windows outside the helper run on
-    * the ≤(types × ~140)-row histogram frame. Final rel_err is one
+    * prefix over the COLLAPSED (type, v) cell frame, not raw rows
+    * (q187's argument: equal-v rows are contiguous under the oracle's
+    * (v, event_id) tiebreak, so the rank-r VALUE is the v run whose
+    * cumulative count straddles r); the histogram derives from the
+    * same cell frame since idx is a function of v — ONE raw-data
+    * pass total. Rank r = ceil(pct·n/100) via integer (pct·n + 99)
+    * div 100 on both engines; the only windows outside the helper run
+    * on the ≤(types × ~140)-row histogram frame. Final rel_err is one
     * IEEE division rounded at 1e-6 (q113 convention). */
   val q166HistogramQuantiles: QueryDef = QueryDef.withOracle(
     """WITH v AS (
@@ -804,11 +806,21 @@ object AnalyticsOps5 {
   ) { (s, d) =>
     val ev = Tables.events(s, d).select(col("event_type"),
       floor(col("value") * 100 + 0.5).cast("long").as("v"), col("event_id"))
+    // ONE raw-data pass: a (type, v) count bounded by value
+    // cardinality; the histogram (idx is a function of v) and the
+    // exact rank pick both ride this cell frame (q187's argument:
+    // equal-v rows are contiguous under the oracle's (v, event_id)
+    // tiebreak, so the rank-r VALUE is the unique v run whose
+    // cumulative count straddles r — at sf100 this replaces the
+    // spill-bound range sort of 1B rows with a map-side-combined agg)
+    val vcells = ev.groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
     val idx = expr("CASE WHEN v < 8 THEN v " +
       "ELSE CAST(floor(log2(v)) AS BIGINT) * 8 " +
       "+ shiftright(v, CAST(floor(log2(v)) - 3 AS INT)) - 8 END")
-    val hist = ev.groupBy(col("event_type"), idx.as("idx"))
-      .agg(count(lit(1)).as("c"))
+    val hist = vcells.groupBy(col("event_type"), idx.as("idx"))
+      .agg(sum(col("cnt")).as("c"))
       // sketch frame: ≤ |types| × ~140 rows from here down
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(col("event_type")).orderBy(col("idx"))))
@@ -826,11 +838,11 @@ object AnalyticsOps5 {
       .filter(col("cum") >= col("r"))
       .groupBy(col("event_type"), col("pct"), col("n"), col("r"))
       .agg(min(ub).as("est_cents"))
-    val exact = AnalyticsOps2.groupedPrefixSums(ev, Seq("event_type"),
-        Seq(col("v"), col("event_id")), Seq((lit(1L), "rn", None)))
+    val exact = AnalyticsOps2.groupedPrefixSums(vcells, Seq("event_type"),
+        Seq(col("v")), Seq((col("cnt"), "cum", None)))
       .join(broadcast(est.select(col("event_type"), col("pct"), col("r"))),
         Seq("event_type"))
-      .filter(col("rn") === col("r"))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
       .select(col("event_type"), col("pct"), col("v").as("exact_cents"))
     est.join(exact, Seq("event_type", "pct"))
       .select(col("event_type"), col("pct"), col("n"), col("exact_cents"),
