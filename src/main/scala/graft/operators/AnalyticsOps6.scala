@@ -783,6 +783,59 @@ object AnalyticsOps6 {
           .as("psi"))
   }
 
+  /** Benford first-digit audit of order totals, per order year — the
+    * classic fabricated-numbers screen a data-quality pipeline runs
+    * over any money column: organically-grown magnitudes put ~30.1%
+    * of leading digits at 1, and a synthetic or truncated feed shows
+    * up as a flat or spiked digit histogram. Emits, per (year,
+    * digit), the observed share next to the Benford expectation
+    * log10(1 + 1/d) and the absolute deviation.
+    *
+    * Parity: the leading digit is taken from the DECIMAL STRING of
+    * exact cents (no float log tricks — both engines render int64
+    * identically); shares are one IEEE division of exact int64
+    * counts; the expectation rounds at 1e-6 to absorb last-ulp log10
+    * disagreement (q113 convention), and the deviation subtracts the
+    * two bit-identical doubles.
+    *
+    * Scale shape: ONE pass — a partial+final count onto the
+    * |years|·9 cell domain; year totals re-aggregate the cells and
+    * attach by broadcast. No windows, no second data pass. */
+  val q188Benford: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |c AS (SELECT yr, digit, count(*) AS n_digit FROM d GROUP BY 1, 2),
+      |t AS (SELECT yr, CAST(sum(n_digit) AS BIGINT) AS n_orders
+      |      FROM c GROUP BY 1)
+      |SELECT c.yr, c.digit, c.n_digit, t.n_orders,
+      |  CAST(c.n_digit AS DOUBLE) / t.n_orders AS share,
+      |  floor(log10(1 + CAST(1 AS DOUBLE) / c.digit) * 1000000 + 0.5)
+      |    / 1000000 AS expected,
+      |  abs(CAST(c.n_digit AS DOUBLE) / t.n_orders
+      |    - floor(log10(1 + CAST(1 AS DOUBLE) / c.digit) * 1000000 + 0.5)
+      |      / 1000000) AS dev
+      |FROM c JOIN t USING (yr)""".stripMargin
+  ) { (s, d) =>
+    val digits = Tables.orders(s, d).select(
+      year(col("o_orderdate")).cast("long").as("yr"),
+      substring(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+    val c = digits.groupBy(col("yr"), col("digit"))
+      .agg(count(lit(1)).as("n_digit"))
+    val t = c.groupBy(col("yr")).agg(sum(col("n_digit")).as("n_orders"))
+    val expected =
+      floor(log10(lit(1) + lit(1.0).cast("double") / col("digit"))
+        * 1000000 + 0.5) / 1000000
+    val share = col("n_digit").cast("double") / col("n_orders")
+    c.join(broadcast(t), Seq("yr"))
+      .select(col("yr"), col("digit"), col("n_digit"), col("n_orders"),
+        share.as("share"), expected.as("expected"),
+        abs(share - expected).as("dev"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q172_cuped" -> q172Cuped,
     "q173_cusum_changepoint" -> q173CusumChangepoint,
@@ -792,6 +845,7 @@ object AnalyticsOps6 {
     "q183_km_survival" -> q183KmSurvival,
     "q184_mutual_info" -> q184MutualInfo,
     "q185_acf" -> q185Acf,
-    "q187_psi_drift" -> q187PsiDrift
+    "q187_psi_drift" -> q187PsiDrift,
+    "q188_benford" -> q188Benford
   )
 }

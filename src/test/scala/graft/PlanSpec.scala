@@ -957,6 +957,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("q188: one hash-agg pass onto year-digit cells; totals broadcast") {
+    val p = plan("q188_benford")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p)
+  }
+
   test("q187: decile cuts ride the grouped two-phase prefix; folds on cells") {
     val p = plan("q187_psi_drift")
     assert(p.toLowerCase.contains("rangepartitioning"), p)

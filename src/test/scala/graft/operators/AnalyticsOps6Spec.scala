@@ -235,6 +235,33 @@ class AnalyticsOps6Spec extends SparkSpec {
     }
   }
 
+  test("q188: Benford shares and deviations are closed-form on planted digits") {
+    val dir = tmp("graft-benford")
+    // 2020: 3 totals leading with 1, 2 with 2, 5 with 9 -> shares
+    // 0.3 / 0.2 / 0.5 against expected log10(1+1/d)
+    val totals = Seq(100.00, 150.00, 199.99, 250.00, 210.00,
+      900.00, 900.00, 900.00, 900.00, 900.00)
+    totals.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderdate", to_timestamp(lit("2020-06-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = AnalyticsOps6.q188Benford.fn(spark, dir).collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(0) == 2020L), rows.toSeq)
+    def expected(d: Long): Double =
+      math.floor(math.log10(1 + 1.0 / d) * 1000000 + 0.5) / 1000000
+    val byDigit = rows.map(r => r.getLong(1) -> r).toMap
+    for ((d, nd, sh) <- Seq((1L, 3L, 0.3), (2L, 2L, 0.2), (9L, 5L, 0.5))) {
+      val r = byDigit(d)
+      assert(r.getLong(2) == nd && r.getLong(3) == 10L, r)
+      assert(r.getDouble(4) == sh, r)
+      assert(r.getDouble(5) == expected(d), r)
+      assert(r.getDouble(6) == math.abs(sh - expected(d)), r)
+    }
+  }
+
   test("q187: PSI matches the hand-folded value on a planted shift") {
     val dir = tmp("graft-psi")
     // pre: cents 1..100 -> decile cuts at 10,20,..,90, ten rows per
