@@ -783,24 +783,28 @@ object AnalyticsOps6 {
           .as("psi"))
   }
 
-  /** Benford first-digit audit of order totals, per order year — the
-    * classic fabricated-numbers screen a data-quality pipeline runs
-    * over any money column: organically-grown magnitudes put ~30.1%
-    * of leading digits at 1, and a synthetic or truncated feed shows
-    * up as a flat or spiked digit histogram. Emits, per (year,
-    * digit), the observed share next to the Benford expectation
-    * log10(1 + 1/d) and the absolute deviation.
+  /** Benford CONFORMITY DRIFT of order totals, per order year — the
+    * year-level scorecard layer over q113's digit-level screen
+    * (which emits the global observed-vs-expected rows): per year,
+    * the Nigrini MAD statistic (mean absolute deviation of the nine
+    * first-digit shares from log10(1 + 1/d); < 0.006 close
+    * conformity, > 0.015 nonconformity), the worst digit and its
+    * deviation — the shape a monitoring job alerts on, sliced by
+    * time so a feed that DRIFTS into fabrication is caught even when
+    * the all-time histogram still conforms.
     *
-    * Parity: the leading digit is taken from the DECIMAL STRING of
-    * exact cents (no float log tricks — both engines render int64
-    * identically); shares are one IEEE division of exact int64
-    * counts; the expectation rounds at 1e-6 to absorb last-ulp log10
-    * disagreement (q113 convention), and the deviation subtracts the
-    * two bit-identical doubles.
+    * Parity: the leading digit comes from the decimal string of
+    * exact cents (int64 renders identically on both engines); shares
+    * are one IEEE division of exact int64 counts over a zero-filled
+    * year×digit grid (a missing digit must contribute its full
+    * expectation to MAD); the expectation rounds at 1e-6 (q113
+    * convention); each |share − expected| term quantizes to 1e-9
+    * fixed point BEFORE the 9-term fold (sum order differs across
+    * engines), and MAD is one final division by 9e9.
     *
     * Scale shape: ONE pass — a partial+final count onto the
-    * |years|·9 cell domain; year totals re-aggregate the cells and
-    * attach by broadcast. No windows, no second data pass. */
+    * |years|·9 cell domain; the grid, year totals, and the MAD fold
+    * all run on that metadata frame. No windows, no second pass. */
   val q188Benford: QueryDef = QueryDef.withOracle(
     """WITH d AS (
       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -809,15 +813,26 @@ object AnalyticsOps6 {
       |  FROM orders),
       |c AS (SELECT yr, digit, count(*) AS n_digit FROM d GROUP BY 1, 2),
       |t AS (SELECT yr, CAST(sum(n_digit) AS BIGINT) AS n_orders
-      |      FROM c GROUP BY 1)
-      |SELECT c.yr, c.digit, c.n_digit, t.n_orders,
-      |  CAST(c.n_digit AS DOUBLE) / t.n_orders AS share,
-      |  floor(log10(1 + CAST(1 AS DOUBLE) / c.digit) * 1000000 + 0.5)
-      |    / 1000000 AS expected,
-      |  abs(CAST(c.n_digit AS DOUBLE) / t.n_orders
-      |    - floor(log10(1 + CAST(1 AS DOUBLE) / c.digit) * 1000000 + 0.5)
-      |      / 1000000) AS dev
-      |FROM c JOIN t USING (yr)""".stripMargin
+      |      FROM c GROUP BY 1),
+      |g AS (
+      |  SELECT y.yr, ds.digit, coalesce(c.n_digit, 0) AS n_digit
+      |  FROM (SELECT DISTINCT yr FROM c) y
+      |  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) ds
+      |  LEFT JOIN c ON c.yr = y.yr AND c.digit = ds.digit),
+      |dev AS (
+      |  SELECT g.yr, g.digit, t.n_orders,
+      |    abs(CAST(g.n_digit AS DOUBLE) / t.n_orders
+      |      - floor(log10(1 + CAST(1 AS DOUBLE) / g.digit) * 1000000 + 0.5)
+      |        / 1000000) AS dv
+      |  FROM g JOIN t USING (yr))
+      |SELECT yr, n_orders,
+      |  CAST(sum(CAST(floor(dv * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 9000000000 AS mad,
+      |  max(dv) AS max_dev,
+      |  max_by(digit,
+      |    CAST(floor(dv * 1000000000 + 0.5) AS BIGINT) * 16 + (9 - digit))
+      |    AS worst_digit
+      |FROM dev GROUP BY 1, 2""".stripMargin
   ) { (s, d) =>
     val digits = Tables.orders(s, d).select(
       year(col("o_orderdate")).cast("long").as("yr"),
@@ -825,15 +840,86 @@ object AnalyticsOps6 {
         .cast("string"), 1, 1).cast("long").as("digit"))
     val c = digits.groupBy(col("yr"), col("digit"))
       .agg(count(lit(1)).as("n_digit"))
+      .cache() // ≤ |years| · 9 cells — everything below is metadata
     val t = c.groupBy(col("yr")).agg(sum(col("n_digit")).as("n_orders"))
+    val grid = c.select(col("yr")).distinct()
+      .crossJoin(broadcast(s.range(1).select(
+        explode(sequence(lit(1L), lit(9L))).as("digit"))))
+      .join(broadcast(c), Seq("yr", "digit"), "left")
+      .select(col("yr"), col("digit"),
+        coalesce(col("n_digit"), lit(0L)).as("n_digit"))
     val expected =
       floor(log10(lit(1) + lit(1.0).cast("double") / col("digit"))
         * 1000000 + 0.5) / 1000000
-    val share = col("n_digit").cast("double") / col("n_orders")
-    c.join(broadcast(t), Seq("yr"))
-      .select(col("yr"), col("digit"), col("n_digit"), col("n_orders"),
-        share.as("share"), expected.as("expected"),
-        abs(share - expected).as("dev"))
+    val dev = grid.join(broadcast(t), Seq("yr"))
+      .select(col("yr"), col("digit"), col("n_orders"),
+        abs(col("n_digit").cast("double") / col("n_orders") - expected)
+          .as("dv"))
+    dev.groupBy(col("yr"), col("n_orders"))
+      .agg(
+        (sum(floor(col("dv") * 1000000000 + 0.5).cast("long")).cast("double")
+          / 9000000000L).as("mad"),
+        max(col("dv")).as("max_dev"),
+        max_by(col("digit"),
+          floor(col("dv") * 1000000000 + 0.5).cast("long") * 16
+            + (lit(9L) - col("digit"))).as("worst_digit"))
+      .select(col("yr"), col("n_orders"), col("mad"), col("max_dev"),
+        col("worst_digit"))
+  }
+
+  /** Exact 10%-trimmed mean of event value per type — the robust
+    * location estimate beside q105's MAD (outlier-resistant where the
+    * plain mean is one fat-finger away from garbage), trimming
+    * k = n div 10 rows from each tail in (v, event_id) rank order.
+    *
+    * The exact answer needs rank-RANGE sums, not just a rank pick —
+    * and the q187/q166 cell argument extends: a value run covering
+    * ranks (cum−cnt, cum] contributes min(cum, n−k) − max(cum−cnt, k)
+    * rows (clamped at 0) to the kept middle, independent of the
+    * row-level tiebreak. So the whole statistic folds over the
+    * collapsed (type, v, cnt) frame: ONE raw-data pass (a
+    * map-side-combined count bounded by value cardinality), the
+    * grouped two-phase prefix over cells, then exact int64 clamp
+    * algebra; the trimmed mean is one final IEEE division of exact
+    * integers — no rounding needed on either engine. */
+  val q189TrimmedMean: QueryDef = QueryDef.withOracle(
+    """WITH v AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY v, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type, max(n) AS n, max(n) // 10 AS k,
+      |  CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+      |    THEN v ELSE 0 END) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+      |    THEN v ELSE 0 END) AS DOUBLE)
+      |    / (max(n) - 2 * (max(n) // 10)) AS trimmed_mean_cents
+      |FROM r GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val c = AnalyticsOps2.groupedPrefixSums(cells, Seq("event_type"),
+      Seq(col("v")), Seq((col("cnt"), "cum", Some("n"))))
+    // rows of this value run kept by the trim: overlap of the run's
+    // rank interval (cum-cnt, cum] with the kept interval (k, n-k]
+    val k = expr("n div 10")
+    val kept = greatest(
+      least(col("cum"), col("n") - k) - greatest(col("cum") - col("cnt"), k),
+      lit(0L))
+    c.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(k).as("k"),
+        sum(kept * col("v")).as("sum_cents"))
+      .select(col("event_type"), col("n"), col("k"), col("sum_cents"),
+        (col("sum_cents").cast("double") / (col("n") - lit(2) * col("k")))
+          .as("trimmed_mean_cents"))
   }
 
   val all: Map[String, QueryDef] = Map(
@@ -846,6 +932,7 @@ object AnalyticsOps6 {
     "q184_mutual_info" -> q184MutualInfo,
     "q185_acf" -> q185Acf,
     "q187_psi_drift" -> q187PsiDrift,
-    "q188_benford" -> q188Benford
+    "q188_benford" -> q188Benford,
+    "q189_trimmed_mean" -> q189TrimmedMean
   )
 }

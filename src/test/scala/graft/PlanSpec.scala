@@ -965,6 +965,14 @@ class PlanSpec extends SparkSpec {
       !p.contains("SortMergeJoin"), p)
   }
 
+  test("q189: trim-range sums ride the grouped two-phase prefix over cells") {
+    val p = plan("q189_trimmed_mean")
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q187: decile cuts ride the grouped two-phase prefix; folds on cells") {
     val p = plan("q187_psi_drift")
     assert(p.toLowerCase.contains("rangepartitioning"), p)

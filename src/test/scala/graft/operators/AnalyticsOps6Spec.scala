@@ -235,7 +235,7 @@ class AnalyticsOps6Spec extends SparkSpec {
     }
   }
 
-  test("q188: Benford shares and deviations are closed-form on planted digits") {
+  test("q188: Benford MAD scorecard is closed-form on a planted spiked feed") {
     val dir = tmp("graft-benford")
     // 2020: 3 totals leading with 1, 2 with 2, 5 with 9 -> shares
     // 0.3 / 0.2 / 0.5 against expected log10(1+1/d)
@@ -248,18 +248,44 @@ class AnalyticsOps6Spec extends SparkSpec {
       .withColumn("o_orderdate", to_timestamp(lit("2020-06-01 00:00:00")))
       .withColumn("o_orderpriority", lit("1-URGENT"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val rows = AnalyticsOps6.q188Benford.fn(spark, dir).collect()
-    assert(rows.length == 3 && rows.forall(_.getLong(0) == 2020L), rows.toSeq)
+    val r = AnalyticsOps6.q188Benford.fn(spark, dir).head()
+    assert(r.getLong(0) == 2020L && r.getLong(1) == 10L, r)
+    // replicate the engine's zero-filled grid + fixed-point MAD fold
     def expected(d: Long): Double =
       math.floor(math.log10(1 + 1.0 / d) * 1000000 + 0.5) / 1000000
-    val byDigit = rows.map(r => r.getLong(1) -> r).toMap
-    for ((d, nd, sh) <- Seq((1L, 3L, 0.3), (2L, 2L, 0.2), (9L, 5L, 0.5))) {
-      val r = byDigit(d)
-      assert(r.getLong(2) == nd && r.getLong(3) == 10L, r)
-      assert(r.getDouble(4) == sh, r)
-      assert(r.getDouble(5) == expected(d), r)
-      assert(r.getDouble(6) == math.abs(sh - expected(d)), r)
-    }
+    val share = Map(1L -> 0.3, 2L -> 0.2, 9L -> 0.5).withDefaultValue(0.0)
+    val dvs = (1L to 9L).map(d => d -> math.abs(share(d) - expected(d)))
+    val mad = dvs.map { case (_, dv) =>
+      math.floor(dv * 1e9 + 0.5).toLong }.sum.toDouble / 9000000000L
+    assert(r.getDouble(2) == mad, s"$r vs $mad")
+    assert(r.getDouble(3) == dvs.map(_._2).max, r)
+    // worst digit: max dv, smaller digit on quantized ties
+    val worst = dvs.maxBy { case (d, dv) =>
+      math.floor(dv * 1e9 + 0.5).toLong * 16 + (9 - d) }._1
+    assert(r.getLong(4) == worst, r)
+    // a 50%-spike-at-9 feed must read as nonconforming (MAD > 0.015)
+    assert(r.getDouble(2) > 0.015, r)
+  }
+
+  test("q189: trimmed mean exact when tied runs straddle the trim boundary") {
+    val dir = tmp("graft-trim")
+    // 20 rows, k = 2: five 1-cent, ten 5-cent, five 9-cent. The trim
+    // cuts INTO both boundary runs (drops two 1s and two 9s), so the
+    // clamp algebra — not a whole-run pick — carries the answer:
+    // kept = 3·1 + 10·5 + 3·9 = 80 over 16 rows -> 5.0
+    val evs = (Seq.fill(5)(0.01) ++ Seq.fill(10)(0.05) ++ Seq.fill(5)(0.09))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    evs.toDF("event_id", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-05 00:00:00")))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("a"))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnalyticsOps6.q189TrimmedMean.fn(spark, dir).head()
+    assert(r.getLong(1) == 20L && r.getLong(2) == 2L, r)
+    assert(r.getLong(3) == 80L, r)
+    assert(r.getDouble(4) == 5.0, r)
+    graft.CacheHygiene.sweep(spark) // groupedPrefixSums pins a cache
   }
 
   test("q187: PSI matches the hand-folded value on a planted shift") {
