@@ -29,7 +29,18 @@ object RankingOps {
     * variant score (tf/n_tok)/df — monotone in term frequency and
     * rarity, and exactly reproducible (integer-derived IEEE divisions,
     * term-name tiebreak). The classic (tf/n_tok)·ln(N/df) value is
-    * emitted alongside at 4 dp for display. */
+    * emitted alongside at 4 dp for display.
+    *
+    * Scale shape: ONE tokenization pass — n_tok rides the explode so
+    * the doc-length join disappears, and the postings frame is
+    * cached so df derives from it instead of re-tokenizing (the
+    * standard inverted-index materialization trade: the r9 plan
+    * audit found the corpus split THREE times — tf, df's re-derive,
+    * and the length scan; sf10 7.1 s → 2.9 s after). df stays an
+    * AQE-decided broadcast (vocab ≪ postings; never forced — the
+    * q181 lesson), and the top-3 filter runs as partial+final
+    * WindowGroupLimit so only ≤3 rows per doc cross the last
+    * exchange. */
   val q54Tfidf: QueryDef = QueryDef.withOracle(
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -52,19 +63,19 @@ object RankingOps {
       |WHERE rank <= 3""".stripMargin
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"),
-      explode(split(col("text"), " ", -1)).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("n_tok"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ", -1)).as("n_tok"))
+      .cache() // postings: built once, read by the score AND df passes
     // tf is distinct per (doc, term), so df = row count per term; at
     // corpus scale the vocabulary is orders of magnitude smaller than
     // the postings, and AQE picks broadcast when it fits
     val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(dl, Seq("doc_id"))
       .join(dfF, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("r_score",
@@ -98,15 +109,22 @@ object RankingOps {
   private def bm25Agg(s: org.apache.spark.sql.SparkSession, d: String,
       queryTerms: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"),
-      explode(split(col("text"), " ", -1)).as("term"))
-    val tf = terms.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("term"))
+    // ONE tokenization pass builds the filtered postings WITH n_tok
+    // riding the explode (kills the doc-length join), cached so df
+    // derives from it — the r9 plan audit found this helper
+    // tokenizing the corpus FOUR times (tf, df's re-derive, the
+    // length scan, avgdl); only avgdl's full-corpus length scan
+    // genuinely needs a second pass
+    val tf = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("n_tok"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .cache() // ≤ |queryTerms| rows per matched doc
     // df counts DOCUMENTS containing the term (per-doc-distinct rows)
     val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"),
-      size(split(col("text"), " ", -1)).as("n_tok"))
     val g = docs.agg(
       count(lit(1)).as("n_docs"),
       (sum(size(split(col("text"), " ", -1)).cast("long")).cast("double")
@@ -121,7 +139,6 @@ object RankingOps {
           (lit(0.25) + lit(0.75) * (col("n_tok").cast("double") / col("avgdl"))))
     tf
       .join(broadcast(dfF), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(g))
       .withColumn("term_score", termScore)
       .groupBy(col("doc_id"))
@@ -206,6 +223,11 @@ object RankingOps {
     val post = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ", -1)).as(Seq("pos", "tok")))
+    // deliberately NOT cached: the three per-term branches re-tokenize,
+    // but each keeps only ONE token's postings — an r9 A/B measured the
+    // full positional-postings materialization as a net loss (sf10
+    // 8.15 s uncached vs 8.56 s cached); contrast q54, where the cache
+    // feeds the UNfiltered postings twice and wins 2.1×
     // the gate's "query": top-df trigram, derived once (an aggregate
     // over the trigram stream, broadcast as a 1-row frame)
     val target = docs
