@@ -922,6 +922,68 @@ object AnalyticsOps6 {
           .as("trimmed_mean_cents"))
   }
 
+  /** Theil–Sen robust trend of daily per-type event volume — the
+    * median of all pairwise slopes (c_j − c_i)/(day_j − day_i), the
+    * estimator that shrugs off up to ~29% corrupted days where
+    * q123-style least squares folds an outage spike straight into the
+    * trend. Opens the robust-regression family beside the robust
+    * location (q189 trimmed mean) and robust spread (q105 MAD) rows.
+    *
+    * Exactness: slopes are IEEE divisions of exact int64 count
+    * deltas — bit-identical across engines — and the median is an
+    * explicit LOWER-median rank pick (rank (m+1) div 2 in
+    * (slope, day_i, day_j) order: a deterministic total order, no
+    * interpolation), so no rounding is needed anywhere.
+    *
+    * Scale shape: ONE (type, day) count — the only data pass —
+    * collapses any volume to a ≤ |types|·|days| cached frame; the
+    * pair self-join, the rank window, and the median pick all run on
+    * that metadata (≤ |types|·C(|days|,2) ≈ 2 k rows here; bound the
+    * window before blaming the plan — the partitionBy(type) window
+    * is on the pair frame, never on raw events). */
+  val q190TheilSen: QueryDef = QueryDef.withOracle(
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+      |      AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+      |    CAST(b.c - a.c AS DOUBLE) / (b.day - a.day) AS slope
+      |  FROM daily a
+      |  JOIN daily b ON b.event_type = a.event_type AND b.day > a.day),
+      |r AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY slope, d1, d2) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM slopes)
+      |SELECT event_type, m AS n_pairs, slope AS ts_slope
+      |FROM r WHERE rn = (m + 1) // 2""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // ≤ |types| · |days| — the pair join runs on THIS
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("c").as("c2"))
+    val slopes = daily.join(b, Seq("event_type"))
+      .filter(col("d2") > col("day"))
+      .select(col("event_type"), col("day").as("d1"), col("d2"),
+        ((col("c2") - col("c")).cast("double") / (col("d2") - col("day")))
+          .as("slope"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        col("slope").as("ts_slope"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q172_cuped" -> q172Cuped,
     "q173_cusum_changepoint" -> q173CusumChangepoint,
@@ -933,6 +995,7 @@ object AnalyticsOps6 {
     "q185_acf" -> q185Acf,
     "q187_psi_drift" -> q187PsiDrift,
     "q188_benford" -> q188Benford,
-    "q189_trimmed_mean" -> q189TrimmedMean
+    "q189_trimmed_mean" -> q189TrimmedMean,
+    "q190_theil_sen" -> q190TheilSen
   )
 }

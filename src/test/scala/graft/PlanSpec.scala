@@ -973,6 +973,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q190: pair join and median window run on the cached daily frame") {
+    val p = plan("q190_theil_sen")
+    // the ONE data pass is the (type, day) count; the self-join and
+    // the rank window must consume the cache, never re-scan events
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "Scan parquet") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q187: decile cuts ride the grouped two-phase prefix; folds on cells") {
     val p = plan("q187_psi_drift")
     assert(p.toLowerCase.contains("rangepartitioning"), p)

@@ -288,6 +288,31 @@ class AnalyticsOps6Spec extends SparkSpec {
     graft.CacheHygiene.sweep(spark) // groupedPrefixSums pins a cache
   }
 
+  test("q190: Theil-Sen slope ignores a planted outage day where OLS cannot") {
+    val dir = tmp("graft-theilsen")
+    // daily counts over days 0..8: c = 10 + day (slope 1), except day
+    // 4 is an outage spike of 1000 events. Pairwise-slope median stays
+    // 1.0 (only the 8 of 36 pairs touching day 4 are corrupted); an
+    // OLS fit over the same days gives slope ~0 by symmetry of the
+    // centered spike — the robustness this estimator exists for.
+    var id = 0L
+    val evs = (0 to 8).flatMap { day =>
+      val n = if (day == 4) 1000 else 10 + day
+      (1 to n).map { _ => id += 1; (id, s"2024-01-0${day + 1} 00:00:00") }
+    }
+    evs.toDF("event_id", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("a"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnalyticsOps6.q190TheilSen.fn(spark, dir).head()
+    assert(r.getLong(1) == 36L, r) // C(9,2) pairs
+    assert(r.getDouble(2) == 1.0, r)
+    graft.CacheHygiene.sweep(spark) // daily frame is pinned
+  }
+
   test("q187: PSI matches the hand-folded value on a planted shift") {
     val dir = tmp("graft-psi")
     // pre: cents 1..100 -> decile cuts at 10,20,..,90, ten rows per
