@@ -910,6 +910,82 @@ object CurationOps {
           + 0.5) / 1000000).as("row_share"))
   }
 
+  /** Header/detail reconciliation audit — order totals against their
+    * lineitem sums, banded by relative gap in integer BASIS POINTS —
+    * the classic warehouse consistency check q88's expectation suite
+    * doesn't cover (it tests nulls/ranges/uniqueness/referential
+    * existence; this tests whether two tables that should AGREE
+    * actually do, and by how much). Orders with no lines get their
+    * own band with the full header amount as the discrepancy.
+    *
+    * All banding is pure int64 (|Δcents|·10⁴ vs threshold·header
+    * cents — no division until the one final share), so the bands
+    * are exact on both engines by construction.
+    *
+    * Scale shape: one lineitem aggregate SHUFFLED ON THE JOIN KEY
+    * feeds a fact-to-fact left join with orders on that same key —
+    * the canonical co-partitioned pair (bucket both tables by
+    * orderkey at the lake level and both exchanges disappear); the
+    * banded rollup collapses to ≤6 rows + one broadcast total. */
+  val q191Reconciliation: QueryDef = QueryDef.withOracle(
+    """WITH l AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+      |      AS line_cents
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents,
+      |    line_cents
+      |  FROM orders LEFT JOIN l ON l_orderkey = o_orderkey),
+      |b AS (
+      |  SELECT CASE
+      |    WHEN line_cents IS NULL THEN 'no_lines'
+      |    WHEN line_cents = o_cents THEN 'exact'
+      |    WHEN abs(o_cents - line_cents) * 10000 <= 10 * o_cents
+      |      THEN 'within_10bps'
+      |    WHEN abs(o_cents - line_cents) * 10000 <= 100 * o_cents
+      |      THEN 'within_100bps'
+      |    WHEN abs(o_cents - line_cents) * 10000 <= 1000 * o_cents
+      |      THEN 'within_1000bps'
+      |    ELSE 'over_1000bps' END AS band,
+      |    CASE WHEN line_cents IS NULL THEN o_cents
+      |      ELSE abs(o_cents - line_cents) END AS adiff
+      |  FROM j),
+      |t AS (SELECT count(*) AS n_total FROM b)
+      |SELECT band, count(*) AS n_orders,
+      |  CAST(sum(adiff) AS BIGINT) AS abs_diff_cents,
+      |  CAST(count(*) AS DOUBLE) / n_total AS share
+      |FROM b CROSS JOIN t GROUP BY band, n_total""".stripMargin
+  ) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long")
+        .as("line_cents"))
+    val j = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_cents"))
+      .join(l, col("l_orderkey") === col("o_orderkey"), "left")
+    val adiffRaw = abs(col("o_cents") - col("line_cents"))
+    val banded = j.select(
+      when(col("line_cents").isNull, "no_lines")
+        .when(col("line_cents") === col("o_cents"), "exact")
+        .when(adiffRaw * 10000 <= lit(10L) * col("o_cents"), "within_10bps")
+        .when(adiffRaw * 10000 <= lit(100L) * col("o_cents"),
+          "within_100bps")
+        .when(adiffRaw * 10000 <= lit(1000L) * col("o_cents"),
+          "within_1000bps")
+        .otherwise("over_1000bps").as("band"),
+      when(col("line_cents").isNull, col("o_cents"))
+        .otherwise(adiffRaw).as("adiff"))
+    val t = banded.agg(count(lit(1)).as("n_total"))
+    banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("adiff")).cast("long").as("abs_diff_cents"))
+      .crossJoin(broadcast(t))
+      .select(col("band"), col("n_orders"), col("abs_diff_cents"),
+        (col("n_orders").cast("double") / col("n_total")).as("share"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q139_filter_cascade" -> q139FilterCascade,
     "q57_winnow" -> q57Winnow,
@@ -925,6 +1001,7 @@ object CurationOps {
     "q170_ngram_decontam" -> q170NgramDecontam,
     "q178_k_anonymity" -> q178KAnonymity,
     "q181_fk_integrity" -> q181FkIntegrity,
-    "q186_l_diversity" -> q186LDiversity
+    "q186_l_diversity" -> q186LDiversity,
+    "q191_reconciliation" -> q191Reconciliation
   )
 }

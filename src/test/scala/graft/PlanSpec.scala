@@ -973,6 +973,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q191: fact-to-fact join shuffles on the key; rollup collapses") {
+    val p = plan("q191_reconciliation")
+    // both facts exchange on orderkey (the bucketing seam); the band
+    // rollup is an ordinary partial+final agg; no window anywhere
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q190: pair join and median window run on the cached daily frame") {
     val p = plan("q190_theil_sen")
     // the ONE data pass is the (type, day) count; the self-join and

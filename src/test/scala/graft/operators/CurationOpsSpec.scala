@@ -433,4 +433,29 @@ class CurationOpsSpec extends SparkSpec {
       "2" -> ((1L, 4L, share(4))),
       "3+" -> ((1L, 3L, share(3)))), out)
   }
+
+  test("q191: every bps band lands exactly where planted, including no_lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-recon").toString
+    // headers at 100.00; lines sum to: exact, +0.05 (5 bps), +0.50
+    // (50 bps), +5.00 (500 bps), +50.00 (5000 bps), and order 6 has
+    // no lines at all
+    Seq((1L, 100.00), (2L, 100.00), (3L, 100.00), (4L, 100.00),
+      (5L, 100.00), (6L, 100.00))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 100.00), (2L, 100.05), (3L, 100.50), (4L, 105.00),
+      (5L, 150.00))
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = CurationOps.q191Reconciliation.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      "exact" -> ((1L, 0L, 1.0 / 6)),
+      "within_10bps" -> ((1L, 5L, 1.0 / 6)),
+      "within_100bps" -> ((1L, 50L, 1.0 / 6)),
+      "within_1000bps" -> ((1L, 500L, 1.0 / 6)),
+      "over_1000bps" -> ((1L, 5000L, 1.0 / 6)),
+      "no_lines" -> ((1L, 10000L, 1.0 / 6))), out)
+  }
 }
