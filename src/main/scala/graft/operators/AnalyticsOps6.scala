@@ -984,6 +984,95 @@ object AnalyticsOps6 {
         col("slope").as("ts_slope"))
   }
 
+  /** Mann–Kendall trend significance for daily per-type volume — the
+    * hypothesis-test companion to q190's Theil–Sen magnitude (the
+    * pair practitioners run together: MK says WHETHER a monotone
+    * trend exists, TS says how steep): S = Σ sign(c_j − c_i) over
+    * day pairs, the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (t = tie-group
+    * sizes of the daily counts), and the continuity-corrected
+    * Z = (S ∓ 1)/√Var.
+    *
+    * Exactness: S, n, and 18·Var are pure int64 (ties counted by
+    * grouping the collapsed daily frame on c); Z is one identical
+    * expression tree — (S∓1)/sqrt(var18/18.0), sqrt correctly
+    * rounded by IEEE — rounded at 1e-6 (q113 convention), with a
+    * var18 = 0 guard (a constant series has no trend to test).
+    *
+    * Scale shape: the same ONE (type, day) count as q190 — pairs,
+    * tie groups, and the fold all run on the cached
+    * ≤ |types|·|days| metadata frame. */
+  val q192MannKendall: QueryDef = QueryDef.withOracle(
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+      |      AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.c > a.c THEN 1
+      |      WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a
+      |  JOIN daily b ON b.event_type = a.event_type AND b.day > a.day
+      |  GROUP BY 1),
+      |n AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |    CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |      AS tie_term
+      |  FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+      |        FROM daily GROUP BY 1, 2)
+      |  WHERE t > 1 GROUP BY 1),
+      |v AS (
+      |  SELECT n.event_type, n.n_days, s.s_stat,
+      |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+      |      - coalesce(ties.tie_term, 0) AS var18
+      |  FROM n JOIN s USING (event_type)
+      |  LEFT JOIN ties USING (event_type))
+      |SELECT event_type, n_days, s_stat, var18,
+      |  CASE WHEN var18 = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST(s_stat - CASE WHEN s_stat > 0 THEN 1
+      |        WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE)
+      |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 1000000 + 0.5)
+      |      / 1000000 END AS z
+      |FROM v""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // ≤ |types| · |days| — pairs and ties both read THIS
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("c").as("c2"))
+    val sStat = daily.join(b, Seq("event_type"))
+      .filter(col("d2") > col("day"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("c2") > col("c"), 1L)
+        .when(col("c2") < col("c"), -1L).otherwise(0L)).as("s_stat"))
+    val n = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie_term"))
+    val sgn = when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L)
+      .otherwise(0L)
+    n.join(sStat, Seq("event_type"))
+      .join(ties, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - coalesce(col("tie_term"), lit(0L))).as("var18"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+        when(col("var18") === 0, lit(0.0))
+          .otherwise(floor(((col("s_stat") - sgn).cast("double")
+            / sqrt(col("var18").cast("double") / 18.0)) * 1000000 + 0.5)
+            / 1000000).as("z"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q172_cuped" -> q172Cuped,
     "q173_cusum_changepoint" -> q173CusumChangepoint,
@@ -996,6 +1085,7 @@ object AnalyticsOps6 {
     "q187_psi_drift" -> q187PsiDrift,
     "q188_benford" -> q188Benford,
     "q189_trimmed_mean" -> q189TrimmedMean,
-    "q190_theil_sen" -> q190TheilSen
+    "q190_theil_sen" -> q190TheilSen,
+    "q192_mann_kendall" -> q192MannKendall
   )
 }

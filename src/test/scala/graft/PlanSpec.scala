@@ -981,6 +981,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q192: S, ties and the fold all run on the cached daily frame") {
+    val p = plan("q192_mann_kendall")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "Scan parquet") <= 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("q190: pair join and median window run on the cached daily frame") {
     val p = plan("q190_theil_sen")
     // the ONE data pass is the (type, day) count; the self-join and

@@ -313,6 +313,32 @@ class AnalyticsOps6Spec extends SparkSpec {
     graft.CacheHygiene.sweep(spark) // daily frame is pinned
   }
 
+  test("q192: MK statistic exact on a monotone series with one planted tie") {
+    val dir = tmp("graft-mk")
+    // daily counts over days 0..5: 10,11,12,12,14,15 — strictly
+    // increasing except one tied pair. Hand count: S = 14 (15 pairs,
+    // 14 concordant, 1 tie), n = 6, tie group t=2 ->
+    // 18Var = 6*5*17 - 2*1*9 = 492, Z = 13 / sqrt(492/18)
+    var id = 0L
+    val counts = Seq(10, 11, 12, 12, 14, 15)
+    val evs = counts.zipWithIndex.flatMap { case (n, day) =>
+      (1 to n).map { _ => id += 1; (id, s"2024-01-0${day + 1} 00:00:00") }
+    }
+    evs.toDF("event_id", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("a"))
+      .withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnalyticsOps6.q192MannKendall.fn(spark, dir).head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 14L, r)
+    assert(r.getLong(3) == 492L, r)
+    val want = math.floor((13.0 / math.sqrt(492.0 / 18.0)) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == want, s"$r vs $want")
+    graft.CacheHygiene.sweep(spark) // daily frame is pinned
+  }
+
   test("q187: PSI matches the hand-folded value on a planted shift") {
     val dir = tmp("graft-psi")
     // pre: cents 1..100 -> decile cuts at 10,20,..,90, ten rows per
