@@ -45,12 +45,20 @@ object Bench {
     // bench-protocol footnote). Under SPARK_GRAFT_NO_MEMO there is no
     // shared frame; every consumer pays its own build inside its own
     // timed runs, and memo_build_sec is absent from the JSON.
+    var memoPrimeFailed = false
     val memoBuilds: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_MEMO")) Seq.empty
       else
         try graft.operators.DedupOps.primeCanonicalMemos(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] memo prime FAILED: ${e.getMessage}")
+          // a PARTIAL prime (first memo built, second threw) must not
+          // leave some consumers memoized while memo_build_sec's
+          // absence claims cold numbers — evict whatever was built so
+          // every consumer honestly pays its own build, and flag the
+          // failure in the JSON
+          graft.operators.DedupOps.evictCanonicalMemos(spark)
+          memoPrimeFailed = true
           Seq.empty
         }
 
@@ -129,10 +137,15 @@ object Bench {
     // memo_build_sec: cold canonical-frame builds paid up front (see
     // the prime above); absent entirely under SPARK_GRAFT_NO_MEMO so
     // the JSON states which protocol produced the per-query numbers
-    val memoJson =
-      if (memoBuilds.isEmpty) ""
-      else memoBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString(""""memo_build_sec":{""", ",", "},")
+    val memoJson = {
+      val builds =
+        if (memoBuilds.isEmpty) ""
+        else memoBuilds.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString(""""memo_build_sec":{""", ",", "},")
+      // only present on failure: states that consumers paid their own
+      // (post-eviction cold) builds because the up-front prime threw
+      (if (memoPrimeFailed) """"memo_prime_failed":true,""" else "") + builds
+    }
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$memoJson"queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"median"}"""
     println(line)

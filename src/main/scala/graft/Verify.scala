@@ -4,8 +4,17 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Per-SF fixture tag. The path is normalized FIRST (trailing slash,
+    * `//`, `/./`) so `/root/testdata/sf0.01` and `/root/testdata/sf0.01/`
+    * name the SAME fixture dir — an un-normalized trailing-slash driver
+    * invocation would otherwise silently point the oracle at a stale
+    * per-SF fixture. */
+  def sfTagOf(dir: String): String =
+    Paths.get(dir).normalize().toString.replaceAll("[^A-Za-z0-9.]", "_")
+
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
+    val (sfDir, outDir) =
+      (Paths.get(args(0)).normalize().toString, args(1))
     // optional third arg (local iteration only; the driver passes 2):
     // comma-separated query names — dump just those
     val only: Option[Set[String]] =
@@ -38,7 +47,7 @@ object Verify {
     // everything downstream — banding, joins, scoring, ranking — is
     // re-derived independently in DuckDB (q42/q43/q44/q51). Tagged
     // per-SF so checks at different scale factors never cross wires.
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val sfTag = sfTagOf(sfDir)
     operators.SimilarityOps.lshBucketsFrame(spark, sfDir)
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/lsh_buckets.parquet")
     operators.DedupOps.minhashSigFrame(spark, sfDir)

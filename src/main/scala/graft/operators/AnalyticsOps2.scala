@@ -222,11 +222,13 @@ object AnalyticsOps2 {
     * all epochs including pre-1970. One definition, many consumers
     * (q117's dow, q143's streak days, AnalyticsOps5/6's daily
     * rollups, LayoutOps' day tile) — a convention change lands
-    * everywhere at once. `tsMicros` must render to valid SQL via
-    * toString (plain columns and builtin calls do). */
+    * everywhere at once. Built with Column operators (not a
+    * toString-interpolated expr), so aliased/qualified/backtick-needing
+    * input columns compose safely; `div` is the builtin IntegralDivide
+    * reached via call_function. */
   private[operators] def epochDay(tsMicros: Column): Column =
-    expr(s"(${tsMicros.toString} - pmod(${tsMicros.toString}, " +
-      "86400000000)) div 86400000000")
+    call_function("div", tsMicros - pmod(tsMicros, lit(86400000000L)),
+      lit(86400000000L))
 
   private[operators] def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       out: String): DataFrame = {

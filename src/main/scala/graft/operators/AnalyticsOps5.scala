@@ -536,9 +536,12 @@ object AnalyticsOps5 {
   ) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ", -1)).as("tok"))
+    // Column operators, not toString-interpolated expr (the epochDay
+    // convention): safe under aliased/qualified inputs. Hash is a
+    // positive 60-bit int, so % == pmod here.
     def cell(r: Column, tok: Column): Column =
-      expr(s"CAST(conv(substring(md5(concat(${r.toString}, ':', " +
-        s"${tok.toString})), 1, 15), 16, 10) AS BIGINT) % 1024")
+      conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
+        1, 15), 16, 10).cast("long") % lit(1024L)
     val rs = explode(expr("array(0, 1, 2, 3)")).as("r")
     val cells = toks.select(col("tok"), rs)
       .select(col("r"), cell(col("r"), col("tok")).as("j"))
@@ -776,7 +779,7 @@ object AnalyticsOps5 {
       |h AS (
       |  SELECT event_type, idx, c,
       |    sum(c) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
-      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
       |  FROM b),
       |t AS (
       |  SELECT event_type, n, CAST(pct AS BIGINT) AS pct,
@@ -864,8 +867,21 @@ object AnalyticsOps5 {
   private[operators] def hllEstimate(sInv: Column, vZero: Column,
       m: Int): Column = {
     val md = m.toDouble
-    val alphaMm = (lit(0.7213) * lit(md * md)) /
-      (lit(1.0) + (lit(1.079) / lit(md)))
+    // α switches on m (Flajolet et al. §5): the 0.7213/(1+1.079/m)
+    // form is the bias constant only for m ≥ 128; the small-m values
+    // are the paper's exact constants — HllRegisters accepts p ≥ 4, so
+    // without the switch a p ∈ 4..6 consumer would get a silently
+    // biased estimate. A small-m consumer's oracle SQL must hardcode
+    // the SAME constant (every current oracle is m ≥ 256, large form).
+    val alphaMm: Column = m match {
+      case 16 => lit(0.673) * lit(md * md)
+      case 32 => lit(0.697) * lit(md * md)
+      case 64 => lit(0.709) * lit(md * md)
+      case _ =>
+        require(m >= 128 && (m & (m - 1)) == 0,
+          s"hllEstimate needs a power-of-two register count >= 16, got $m")
+        (lit(0.7213) * lit(md * md)) / (lit(1.0) + (lit(1.079) / lit(md)))
+    }
     val eRaw = alphaMm / sInv
     floor((when(eRaw <= lit(2.5 * md) && vZero > 0,
       lit(md) * log(lit(md) / vZero.cast("double")))
@@ -959,8 +975,9 @@ object AnalyticsOps5 {
       |  FROM ti a JOIN ti b ON a.event_type < b.event_type),
       |xc AS (
       |  SELECT ta, tb,
-      |    sum(CASE WHEN ((mask >> ia) & 1) = 1
-      |      AND ((mask >> ib) & 1) = 1 THEN n ELSE 0 END) AS n_exact
+      |    CAST(sum(CASE WHEN ((mask >> ia) & 1) = 1
+      |      AND ((mask >> ib) & 1) = 1 THEN n ELSE 0 END) AS BIGINT)
+      |      AS n_exact
       |  FROM px CROSS JOIN mc GROUP BY 1, 2)
       |SELECT xc.ta AS type_a, xc.tb AS type_b, xc.n_exact,
       |  ea.est AS est_a, eb.est AS est_b, ue.est_union,

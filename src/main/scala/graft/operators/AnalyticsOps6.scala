@@ -38,8 +38,10 @@ object AnalyticsOps6 {
     * a 2-row variant rollup plus a 1-row pooled moment frame joined
     * back by broadcast. No second data pass, no windows. The moment
     * cross-products (n·Σxy − ΣxΣy etc.) are computed EXACTLY —
-    * int64 per-user products summed into int64, cross-multiplied in
-    * decimal(38,0) (DuckDB: int128) — so both engines cast the SAME
+    * int64 per-user products summed into decimal(38,0)/HUGEINT (the
+    * sums cross 2^63 at sf100-class user counts; q175's sgg
+    * convention), cross-multiplied in decimal(38,0) (DuckDB: int128)
+    * — so both engines cast the SAME
     * integer to double before the one theta division; theta is
     * rounded at 1e-9 before reuse, final columns at 1e-6.
     * var_reduction = corr²(x, y) — the fraction of metric variance
@@ -56,7 +58,9 @@ object AnalyticsOps6 {
       |  FROM e GROUP BY 1),
       |p AS (
       |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
       |  FROM u),
       |th AS (
       |  SELECT n, sx,
@@ -94,11 +98,15 @@ object AnalyticsOps6 {
         sum(when(col("t") < PreEnd, col("cents")).otherwise(0L)).as("x"),
         sum(when(col("t") >= PreEnd, col("cents")).otherwise(0L)).as("y"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // moment sums accumulate in decimal(38,0) (DuckDB: HUGEINT) — the
+    // per-user cents products are ~1e12-1e14 and their SUM crosses 2^63
+    // at sf100-class user counts; int64 accumulation would ANSI-throw
+    // (the q175 sgg convention)
     val pooled = perUser.agg(
       count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"))
       .select(col("n"), col("sx"),
         (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
           .cast("double").as("numd"),
@@ -160,12 +168,12 @@ object AnalyticsOps6 {
       |st AS (
       |  SELECT event_type, day, c,
       |    count(*) OVER (PARTITION BY event_type) AS n_days,
-      |    sum(c) OVER (PARTITION BY event_type) AS total
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
       |  FROM daily),
       |cu AS (
       |  SELECT event_type, day, n_days, total,
-      |    abs(sum(n_days * c - total) OVER (PARTITION BY event_type
-      |      ORDER BY day)) AS abs_s
+      |    CAST(abs(sum(n_days * c - total) OVER (PARTITION BY event_type
+      |      ORDER BY day)) AS BIGINT) AS abs_s
       |  FROM st),
       |rk AS (
       |  SELECT event_type, day, n_days, total, abs_s,
@@ -705,7 +713,8 @@ object AnalyticsOps6 {
       |  FROM (SELECT DISTINCT event_type FROM e) t
       |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b),
       |tot AS (
-      |  SELECT event_type, period, sum(c) AS n FROM bc GROUP BY 1, 2),
+      |  SELECT event_type, period, CAST(sum(c) AS BIGINT) AS n
+      |  FROM bc GROUP BY 1, 2),
       |sh AS (
       |  SELECT g.event_type, g.bin,
       |    (CAST(coalesce(p.c, 0) + 1 AS DOUBLE) / (tp.n + 10)) AS p,

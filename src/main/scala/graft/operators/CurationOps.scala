@@ -556,9 +556,10 @@ object CurationOps {
       |    count(*) OVER (PARTITION BY h) AS nsp
       |  FROM g)
       |SELECT split,
-      |  sum(nd) AS n_docs,
-      |  sum(nt) AS n_tokens,
-      |  sum(CASE WHEN nsp >= 2 THEN nd ELSE 0 END) AS n_leaked_docs,
+      |  CAST(sum(nd) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN nsp >= 2 THEN nd ELSE 0 END) AS BIGINT)
+      |    AS n_leaked_docs,
       |  floor((CAST(sum(CASE WHEN nsp >= 2 THEN nd ELSE 0 END) AS DOUBLE)
       |    / sum(nd)) * 1000000 + 0.5) / 1000000 AS leaked_share
       |FROM f GROUP BY 1""".stripMargin
@@ -745,7 +746,8 @@ object CurationOps {
       |b AS (
       |  SELECT CASE WHEN k = 1 THEN '1 (unique)'
       |    WHEN k < 5 THEN '2-4' WHEN k < 20 THEN '5-19'
-      |    ELSE '20+' END AS band, count(*) AS n_classes, sum(k) AS n_rows
+      |    ELSE '20+' END AS band, count(*) AS n_classes,
+      |    CAST(sum(k) AS BIGINT) AS n_rows
       |  FROM q GROUP BY 1),
       |t AS (SELECT sum(n_rows) AS tot FROM b)
       |SELECT band, n_classes, n_rows,
@@ -883,7 +885,7 @@ object CurationOps {
       |b AS (
       |  SELECT CASE WHEN l = 1 THEN '1 (homogeneous)'
       |    WHEN l = 2 THEN '2' ELSE '3+' END AS l_band,
-      |    count(*) AS n_classes, sum(k) AS n_rows
+      |    count(*) AS n_classes, CAST(sum(k) AS BIGINT) AS n_rows
       |  FROM cls GROUP BY 1),
       |t AS (SELECT sum(n_rows) AS tot FROM b)
       |SELECT l_band, n_classes, n_rows,

@@ -79,6 +79,15 @@ object DedupOps {
         kind -> (System.nanoTime() - t0) / 1e9
       }
 
+  /** Bench failure hook: drop this session's memo entries so a
+    * PARTIAL prime (first build succeeded, second threw) can't leave
+    * some consumers memoized while the bench JSON — memo_build_sec
+    * absent — claims every query paid its own build. Evicted frames'
+    * localCheckpoint blocks are reclaimed by the ContextCleaner once
+    * unreferenced. */
+  def evictCanonicalMemos(s: org.apache.spark.sql.SparkSession): Unit =
+    canonCache.keySet.removeIf(k => k._1 eq s)
+
   /** Tokenized docs with ≥3 tokens: (doc_id, toks). */
   private def tokenized(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))

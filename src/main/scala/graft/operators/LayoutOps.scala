@@ -94,8 +94,8 @@ object LayoutOps {
       |    (p // 4) * 8 AS py0, (p // 4) * 8 + 7 AS py1
       |  FROM (SELECT unnest(range(0, 16)) AS p))
       |SELECT layout, probe,
-      |  sum(CASE WHEN mxx < px0 OR mnx > px1 OR mxy < py0 OR mny > py1
-      |    THEN 0 ELSE 1 END) AS files_scanned,
+      |  CAST(sum(CASE WHEN mxx < px0 OR mnx > px1 OR mxy < py0 OR mny > py1
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS files_scanned,
       |  floor((CAST(sum(CASE WHEN mxx < px0 OR mnx > px1 OR mxy < py0
       |      OR mny > py1 THEN 0 ELSE 1 END) AS DOUBLE) / 64) * 1000000
       |    + 0.5) / 1000000 AS scan_share
@@ -289,8 +289,9 @@ object LayoutOps {
       |  SELECT c, is_str, v, count(*) AS cnt, len(v) AS w
       |  FROM kv GROUP BY 1, 2, 3),
       |agg AS (
-      |  SELECT c, is_str, sum(cnt) AS n, count(*) AS d,
-      |    sum(w * cnt) AS val_bytes, sum(w) AS dict_val_bytes
+      |  SELECT c, is_str, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS d,
+      |    CAST(sum(w * cnt) AS BIGINT) AS val_bytes,
+      |    CAST(sum(w) AS BIGINT) AS dict_val_bytes
       |  FROM dv GROUP BY 1, 2),
       |sz AS (
       |  SELECT c, n, d,

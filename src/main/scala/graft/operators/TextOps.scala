@@ -904,12 +904,13 @@ object TextOps {
       |  SELECT labeled, predicted, count(*) AS n FROM p GROUP BY 1, 2),
       |m AS (
       |  SELECT l.lang,
-      |    coalesce((SELECT sum(n) FROM cells WHERE labeled = l.lang), 0)
-      |      AS n_true,
-      |    coalesce((SELECT sum(n) FROM cells WHERE predicted = l.lang), 0)
-      |      AS n_pred,
-      |    coalesce((SELECT sum(n) FROM cells
-      |      WHERE labeled = l.lang AND predicted = l.lang), 0) AS tp
+      |    CAST(coalesce((SELECT sum(n) FROM cells
+      |      WHERE labeled = l.lang), 0) AS BIGINT) AS n_true,
+      |    CAST(coalesce((SELECT sum(n) FROM cells
+      |      WHERE predicted = l.lang), 0) AS BIGINT) AS n_pred,
+      |    CAST(coalesce((SELECT sum(n) FROM cells
+      |      WHERE labeled = l.lang AND predicted = l.lang), 0) AS BIGINT)
+      |      AS tp
       |  FROM (SELECT DISTINCT labeled AS lang FROM cells) l)
       |SELECT lang, n_true, n_pred, tp,
       |  CASE WHEN n_pred = 0 THEN CAST(0 AS DOUBLE)

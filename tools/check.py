@@ -8,11 +8,19 @@ CORRECTNESS_r{N}.json shape) so a full local pass can be committed as
 an auditable artifact.
 
 For each query dumped by graft.Verify, run its oracle SQL in DuckDB over
-the same parquet tables, then compare: column names (sorted), row count,
-and a hash of the value matrix (rows sorted by all columns, doubles
-rendered at 9 significant digits — canon()'s %.9g; keep the two in
-sync). Mismatches print a diff sample.
+the same parquet tables, then compare: column names (sorted), per-column
+dtype KINDS (int/float/datetime/bool/other — the round-9 lesson: DuckDB
+materializes HUGEINT sums as float64 while Spark dumps int64, and a
+names-only schema check plus %.9g canon rendered 123.0 == 123, hiding
+exactly the class the driver rejects), row count, and a hash of the
+value matrix (rows sorted by all columns, doubles rendered at 9
+significant digits — canon()'s %.9g; keep the two in sync). Mismatches
+print a diff sample.
 Queries without oracle SQL get a rows>0 check only.
+
+`python3 tools/check.py --selftest` plants an uncast-sum fixture (Spark
+int64 vs DuckDB HUGEINT-sum float64, identical values) and asserts the
+dtype-kind check FAILS it — run after any edit to this file.
 """
 import json
 import sys
@@ -25,6 +33,42 @@ import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def dtype_kind(s: pd.Series) -> str:
+    """Collapse a dtype to the kind class the driver's canon
+    distinguishes. int-vs-float is the class that shipped 10 red gates
+    in round 9; bool/datetime kept separate for the same reason.
+    Spark DATE columns read back as object-of-datetime.date while
+    DuckDB DATE fetches as datetime64 — the driver accepts that pair
+    (8 date-keyed queries green since r3), so both map to 'datetime'
+    here; the local mirror must not invent reds the driver won't."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        import datetime
+        nn = s.dropna()
+        if len(nn) and isinstance(nn.iloc[0],
+                                  (datetime.date, datetime.datetime)):
+            return "datetime"
+    return "other"
+
+
+def kind_mismatches(got: pd.DataFrame, exp: pd.DataFrame):
+    """Per-column dtype-kind diffs (column name -> (spark, oracle))
+    over the shared columns, order-insensitive."""
+    bad = {}
+    for c in sorted(set(got.columns) & set(exp.columns)):
+        kg, ke = dtype_kind(got[c]), dtype_kind(exp[c])
+        if kg != ke:
+            bad[c] = (kg, ke)
+    return bad
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -42,7 +86,41 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return r.sort_values(by=list(r.columns)).reset_index(drop=True)
 
 
+def selftest():
+    """Planted round-9 fixture: a Spark dump whose column is int64 while
+    the oracle exposes an uncast sum(BIGINT) (HUGEINT -> float64 in
+    fetchdf), identical VALUES. The old names-only schema check + %.9g
+    canon passed this; the dtype-kind check must fail it."""
+    import tempfile
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as tmp:
+        spark = pd.DataFrame({"grp": ["a", "b"],
+                              "n": np.array([3, 7], dtype="int64")})
+        os.makedirs(f"{tmp}/q_planted")
+        spark.to_parquet(f"{tmp}/q_planted/part-0.parquet")
+        exp = con.execute(
+            "SELECT grp, sum(n) AS n FROM (VALUES ('a', 1::BIGINT), "
+            "('a', 2::BIGINT), ('b', 7::BIGINT)) t(grp, n) "
+            "GROUP BY 1").fetchdf()
+        assert dtype_kind(exp["n"]) == "float", \
+            f"fixture lost its point: oracle n is {exp['n'].dtype}"
+        got = pd.read_parquet(f"{tmp}/q_planted/part-0.parquet")
+        bad = kind_mismatches(got, exp)
+        assert bad == {"n": ("int", "float")}, f"detector missed: {bad}"
+        # canon alone (the old check) renders them identical — proves
+        # the kind check is load-bearing, not redundant
+        cg, ce = canon(got), canon(exp)
+        assert (cg.values == ce.values).all(), "canon no longer hides it?"
+        # and a true kind AGREEMENT passes clean
+        assert kind_mismatches(got, got.copy()) == {}
+    print("selftest pass: planted uncast-sum fixture rejected by "
+          "dtype-kind check (and invisible to canon, as in round 9)")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
@@ -94,6 +172,15 @@ def main():
                 name, False, f"columns {list(cg.columns)} vs {list(ce.columns)}",
                 spark_rows=len(cg), oracle_rows=len(ce), rows_match=None,
                 schema_match=False, err="schema mismatch")
+            continue
+        kinds = kind_mismatches(got, exp)
+        if kinds:
+            detail = ", ".join(f"{c}: spark={g} oracle={e}"
+                               for c, (g, e) in kinds.items())
+            n_fail += not record(
+                name, False, f"dtype-kind mismatch ({detail})",
+                spark_rows=len(cg), oracle_rows=len(ce), rows_match=None,
+                schema_match=False, err=f"dtype kind mismatch: {detail}")
             continue
         if len(cg) != len(ce):
             n_fail += not record(
