@@ -65,7 +65,8 @@ object Scale {
       case "gen"   => gen(spark, args(1), args(2), args(3).toInt)
       case "skew"  => gen(spark, args(1), args(2), args(3).toInt, skew = true)
       case "sweep" => sweep(spark, args(1), args.drop(2).toSeq)
-      case other   => sys.error(s"unknown mode $other (gen|skew|sweep)")
+      case "bucket" => bucketAb(spark, args(1))
+      case other   => sys.error(s"unknown mode $other (gen|skew|sweep|bucket)")
     }
     spark.stop()
   }
@@ -248,5 +249,41 @@ object Scale {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val q = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     println(s"""{"sweep":"$sfDir","queries":${q.mkString("{", ",", "}")}}""")
+  }
+
+  /** A/B of q191's reconciliation on the plain parquet scan vs the
+    * bucketed fact layout ([[etl.Lake.writeBucketedFacts]]): prints
+    * the one-time bucket-write cost and both read-path times, so the
+    * bucketing claim ("pay the shuffle once, every downstream
+    * orderkey join is exchange-free") carries a measured number at
+    * whatever SF dir it's pointed at. Same timing protocol as sweep
+    * (SPARK_GRAFT_BENCH_RUNS, median). */
+  def bucketAb(spark: SparkSession, sfDir: String): Unit = {
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted; s((s.length - 1) / 2)
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val plain = medianOf((1 to runs).map { _ =>
+      val t = timed(operators.CurationOps.reconciliationOn(
+        Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
+        .count())
+      CacheHygiene.sweep(spark); t
+    })
+    val build = timed(etl.Lake.writeBucketedFacts(spark, sfDir))
+    val bucketed = medianOf((1 to runs).map { _ =>
+      val (li, o) = etl.Lake.readBucketedFacts(spark)
+      val t = timed(operators.CurationOps.reconciliationOn(o, li).count())
+      CacheHygiene.sweep(spark); t
+    })
+    spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    println(s"""{"bucket_ab":"$sfDir","q191_plain_sec":${fmt(plain)},""" +
+      s""""bucket_write_sec":${fmt(build)},""" +
+      s""""q191_bucketed_sec":${fmt(bucketed)},"runs":$runs}""")
   }
 }

@@ -302,6 +302,37 @@ object Lake {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Bucketed fact layout — the exchange-elimination lever for
+    * REPEATED fact-to-fact joins (q191's header/detail
+    * reconciliation, any lineitem⋈orders): both tables are written
+    * bucketBy+sortBy on the join key into the session catalog, so
+    * every equi-join AND key-grouped aggregate on orderkey plans with
+    * zero shuffle exchanges (BucketingSpec locks the physics; its
+    * q191-twin test locks this API end to end). Bucket counts MUST
+    * match across the pair or Spark re-shuffles one side. At 100 TB
+    * the write pays its shuffle ONCE and every downstream join reads
+    * the layout back for free; `buckets` sizes per-bucket files to
+    * executor memory (32 suits the local SFs — a cluster deployment
+    * scales it with data volume, not executor count). */
+  def writeBucketedFacts(spark: SparkSession, sfDir: String,
+      buckets: Int = 32,
+      liTable: String = "lineitem_bucketed",
+      oTable: String = "orders_bucketed"): Unit = {
+    graft.Tables.lineitem(spark, sfDir).write
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(liTable)
+    graft.Tables.orders(spark, sfDir).write
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(oTable)
+  }
+
+  /** The bucketed pair written by [[writeBucketedFacts]], as
+    * (lineitem, orders). */
+  def readBucketedFacts(spark: SparkSession,
+      liTable: String = "lineitem_bucketed",
+      oTable: String = "orders_bucketed"): (DataFrame, DataFrame) =
+    (spark.table(liTable), spark.table(oTable))
+
   /** S4-as-batch: Bronze sink partitioned by event date. */
   def writeBronze(bronze: DataFrame, root: String): Unit =
     bronze

@@ -294,10 +294,17 @@ object AnalyticsOps6 {
     * (r = |n·y − S| avoids the mean division), the conformal rank is
     * k = ⌈0.9(n+1)⌉ via integer ceil-div, and the eval-side coverage
     * test compares the same scaled integers. The k-th smallest
-    * residual rides the GROUPED two-phase prefix (event_type is the
-    * ~5-value skewed-group case — a partitionBy(type) window over
-    * raw events would funnel the population through 5 tasks), with
-    * (r, event_id) as the total sort order. */
+    * residual rides the GROUPED two-phase prefix over the COLLAPSED
+    * (type, r) cell frame, not raw rows (the q187/q166 argument: r is
+    * a pure function of cents given the per-type (n, S) constants, so
+    * equal-r rows are contiguous under the oracle's (r, event_id)
+    * tiebreak and the rank-k VALUE is the unique r run whose
+    * cumulative count straddles k — the row-level tiebreak can't
+    * change the selected value). ONE raw pass builds the (type,
+    * cents) count; the prefix sorts value-cardinality cells, which at
+    * sf100 replaces the spill-bound range sort of the raw calibration
+    * rows (the q166 5.3× move). The oracle keeps the row-level rank
+    * form. */
   val q176ConformalInterval: QueryDef = QueryDef.withOracle(
     s"""WITH e AS (
       |  SELECT event_type, event_id, epoch_us(ts) AS t,
@@ -338,15 +345,21 @@ object AnalyticsOps6 {
     val cs = cal.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
       .withColumn("k", expr("(9 * (n + 1) + 9) div 10"))
-    val scored = cal.join(broadcast(cs), Seq("event_type"))
-      .select(col("event_type"), col("event_id"),
-        abs(col("n") * col("cents") - col("s")).as("r"))
-    val ranked = AnalyticsOps2.groupedPrefixSums(scored,
-      Seq("event_type"), Seq(col("r"), col("event_id")),
-      Seq((lit(1L), "rn", None)))
+    // cells, not rows: ONE (type, cents) count bounds the exchange by
+    // value cardinality; symmetric cents values that map to the same r
+    // merge in a second metadata-sized agg
+    val rcells = cal.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(cs), Seq("event_type"))
+      .select(col("event_type"),
+        abs(col("n") * col("cents") - col("s")).as("r"), col("cnt"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val ranked = AnalyticsOps2.groupedPrefixSums(rcells,
+      Seq("event_type"), Seq(col("r")), Seq((col("cnt"), "cum", None)))
     val qh = ranked.join(broadcast(cs.select(col("event_type"), col("k"))),
         Seq("event_type"))
-      .filter(col("rn") === col("k"))
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
       .select(col("event_type"), col("r").as("qhat"))
     val evd = e.filter(col("t") >= PreEnd)
       .join(broadcast(cs.select(col("event_type"), col("n"), col("s"))),

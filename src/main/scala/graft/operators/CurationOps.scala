@@ -959,11 +959,23 @@ object CurationOps {
       |  CAST(count(*) AS DOUBLE) / n_total AS share
       |FROM b CROSS JOIN t GROUP BY band, n_total""".stripMargin
   ) { (s, d) =>
-    val l = Tables.lineitem(s, d)
+    reconciliationOn(Tables.orders(s, d), Tables.lineitem(s, d))
+  }
+
+  /** q191's plan body over caller-supplied fact frames — the seam the
+    * bucketed lake plugs into: handed `Lake.readBucketedFacts` tables
+    * (bucketed+sorted on orderkey), the lineitem rollup AND the
+    * fact-to-fact join both ride the bucket layout and plan with ZERO
+    * exchanges (BucketingSpec locks it); handed raw parquet scans it
+    * is exactly the q191 gate plan. Same bytes in → same bytes out —
+    * the layout changes the exchanges, never the answer. */
+  def reconciliationOn(orders: DataFrame, lineitem: DataFrame)
+      : DataFrame = {
+    val l = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long")
         .as("line_cents"))
-    val j = Tables.orders(s, d)
+    val j = orders
       .select(col("o_orderkey"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("o_cents"))
       .join(l, col("l_orderkey") === col("o_orderkey"), "left")

@@ -809,12 +809,153 @@ object GraphOps {
           .as("hitrate_warm"))
   }
 
+  /** Scale-safe twin of q182 (the q160-vs-q148 move applied to the
+    * metric layer): the SAME leave-one-item-out temporal holdout, but
+    * (a) evaluated on a DETERMINISTIC 25% sample of test baskets (the
+    * 60-bit md5 basket hash mod 4 — reproducible on any engine, no
+    * RNG), and (b) the train side computes neighbor lists ONLY for
+    * items the sampled baskets contain: the eval-item set is pushed
+    * into the pair generation as an equi-join restriction, so the
+    * FULL pair stream — the thing that DNFs q182 at sf100 on one
+    * node — never materializes. The lists that ARE built are
+    * bit-identical to q182's (pair counts and cosine denominators
+    * still come off the full train set), so the metric is q182's
+    * estimator restricted to the sample — eval metrics tolerate
+    * sampling by construction; the lists don't have to.
+    *
+    * Scale shape: train agg state is Σ_{item ∈ eval} |co-items|, not
+    * Σ_{all} — output-bounded by the sample, tunable via the mod.
+    * Everything else inherits q182's shape: item-keyed equi-joins,
+    * DISTINCT collapses, five broadcast scalars. */
+  val q193RecoHoldoutSampled: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (
+      |  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
+      |    o2.o_orderdate < TIMESTAMP '2000-01-01' AS is_train
+      |  FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey),
+      |tr AS (SELECT o, p FROM bp WHERE is_train),
+      |ok AS (SELECT o FROM tr GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |qb AS (SELECT tr.o, tr.p FROM tr JOIN ok USING (o)),
+      |cnt AS (SELECT p, count(*) AS n FROM qb GROUP BY 1),
+      |te AS (SELECT o, p FROM bp WHERE NOT is_train),
+      |tok AS (SELECT o FROM te GROUP BY o HAVING count(*) >= 2),
+      |sk AS (
+      |  SELECT o FROM tok
+      |  WHERE ('0x' || substring(md5(CAST(o AS VARCHAR)), 1, 15))::BIGINT
+      |    % 4 = 0),
+      |ti AS (SELECT te.o, te.p FROM te JOIN sk USING (o)),
+      |ev AS (SELECT DISTINCT p FROM ti),
+      |dir AS (
+      |  SELECT a.p AS item, b.p AS nbr, count(*) AS nab
+      |  FROM qb a JOIN ev ON ev.p = a.p
+      |  JOIN qb b ON b.o = a.o AND b.p <> a.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sim AS (
+      |  SELECT d.item, d.nbr,
+      |    CAST(d.nab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS sim
+      |  FROM dir d JOIN cnt ca ON ca.p = d.item
+      |  JOIN cnt cb ON cb.p = d.nbr),
+      |nbrs AS (
+      |  SELECT item, nbr FROM (
+      |    SELECT *, rank() OVER
+      |      (PARTITION BY item ORDER BY sim DESC, nbr) AS rnk
+      |    FROM sim) WHERE rnk <= 3),
+      |cand AS (
+      |  SELECT DISTINCT ti.o, ti.p, n.nbr
+      |  FROM ti JOIN nbrs n ON n.item = ti.p),
+      |warm AS (SELECT DISTINCT o, p FROM cand),
+      |hit AS (
+      |  SELECT DISTINCT c.o, c.p FROM cand c
+      |  JOIN ti j ON j.o = c.o AND j.p = c.nbr)
+      |SELECT
+      |  (SELECT count(*) FROM sk) AS n_test_baskets,
+      |  (SELECT count(*) FROM ti) AS n_items,
+      |  (SELECT count(*) FROM warm) AS n_items_warm,
+      |  (SELECT count(*) FROM hit) AS n_hits,
+      |  CASE WHEN (SELECT count(*) FROM ti) = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST((SELECT count(*) FROM hit) AS DOUBLE)
+      |      / (SELECT count(*) FROM ti)) * 1000000 + 0.5) / 1000000
+      |    END AS hitrate,
+      |  CASE WHEN (SELECT count(*) FROM warm) = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST((SELECT count(*) FROM hit) AS DOUBLE)
+      |      / (SELECT count(*) FROM warm)) * 1000000 + 0.5) / 1000000
+      |    END AS hitrate_warm""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val Cut = 946684800000000L // 2000-01-01 00:00 UTC epoch-µs
+    val bp = Tables.orders(s, d)
+      .select(col("o_orderkey").as("o"),
+        (unix_micros(col("o_orderdate")) < Cut).as("is_train"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        Seq("o"))
+      .select(col("o"), col("p"), col("is_train")).distinct()
+      .cache() // one orders⋈lineitem replay for train + test branches
+    val tr = bp.filter(col("is_train")).select(col("o"), col("p"))
+    val ok = tr.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
+    val qb = tr.join(ok, Seq("o"))
+    val cnt = qb.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val te = bp.filter(!col("is_train")).select(col("o"), col("p"))
+    // deterministic 25% basket sample: the shared 60-bit md5 recipe,
+    // non-negative, so % == pmod and both engines pick the SAME baskets
+    val sk = te.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+      .filter(conv(substring(md5(col("o").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4 === 0)
+      .select(col("o"))
+    val ti = te.join(sk, Seq("o")).cache() // consumed 3×: cand, hit, count
+    val ev = ti.select(col("p")).distinct()
+    // eval-item restriction pushed INTO pair generation: only rows
+    // whose item side is needed enter the co-occurrence agg — state
+    // is bounded by the sample, the full pair stream never exists
+    // explicit select, not positional toDF: a USING-join moves the
+    // join key to column 0, so the leftsemi output order is (p, o)
+    val dir = qb.join(ev, Seq("p"), "leftsemi")
+      .select(col("o"), col("p").as("item"))
+      .join(qb.toDF("o", "nbr"), Seq("o"))
+      .filter(col("item") =!= col("nbr"))
+      .groupBy(col("item"), col("nbr")).agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 2)
+    val sim = dir
+      .join(cnt.select(col("p").as("item"), col("n").as("na")), "item")
+      .join(cnt.select(col("p").as("nbr"), col("n").as("nb")), "nbr")
+      .select(col("item"), col("nbr"), (col("nab").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+    val nbrs = sim.withColumn("rnk", rank().over(
+        Window.partitionBy(col("item"))
+          .orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rnk") <= 3).select(col("item"), col("nbr"))
+    val cand = ti.join(nbrs, col("p") === col("item"))
+      .select(col("o"), col("p"), col("nbr")).distinct()
+    val warm = cand.select(col("o"), col("p")).distinct()
+    val hit = cand
+      .join(ti.select(col("o"), col("p").as("nbr")), Seq("o", "nbr"),
+        "leftsemi")
+      .select(col("o"), col("p")).distinct()
+    val nb = sk.agg(count(lit(1)).as("n_test_baskets"))
+    val ni = ti.agg(count(lit(1)).as("n_items"))
+    val nw = warm.agg(count(lit(1)).as("n_items_warm"))
+    val nh = hit.agg(count(lit(1)).as("n_hits"))
+    nb.crossJoin(broadcast(ni)).crossJoin(broadcast(nw))
+      .crossJoin(broadcast(nh))
+      .select(col("n_test_baskets"), col("n_items"), col("n_items_warm"),
+        col("n_hits"),
+        when(col("n_items") === 0, lit(0.0))
+          .otherwise(floor((col("n_hits").cast("double") / col("n_items"))
+            * 1000000 + 0.5) / 1000000).as("hitrate"),
+        when(col("n_items_warm") === 0, lit(0.0))
+          .otherwise(floor((col("n_hits").cast("double") /
+            col("n_items_warm")) * 1000000 + 0.5) / 1000000)
+          .as("hitrate_warm"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q148_degree_dist" -> q148DegreeDist,
     "q160_degree_sketch" -> q160DegreeSketch,
     "q75_pagerank" -> q75Pagerank,
     "q126_recommend" -> q126Recommend,
     "q182_reco_holdout" -> q182RecoHoldout,
+    "q193_reco_holdout_sampled" -> q193RecoHoldoutSampled,
     "q85_triangles" -> q85Triangles,
     "q86_copurchase" -> q86Copurchase,
     "q101_khop" -> q101Khop,

@@ -118,9 +118,29 @@ object LayoutOps {
         .crossJoin(broadcast(n))
         .select(lit(name).as("layout"),
           expr("((rn - 1) * 64) div n").as("f"), col("x"), col("y"))
+    // zorder side rides (morton, count) CELLS, never a raw-row rank:
+    // morton is 16-bit and (x, y) are functions of morton, so a
+    // file's extent depends only on WHICH morton runs intersect it.
+    // The run occupying inclusive ranks [cum−cnt+1, cum] spans files
+    // ((cum−cnt)·64) div n .. ((cum−1)·64) div n; rank→file steps by
+    // ≤ 1 when n ≥ 64 (always — 64 is the file count), so every file
+    // in the span holds ≥ 1 row of the run, and all the run's rows
+    // share (x, y) — per-file min/max are exact without the oracle's
+    // row-level rank (the q187/q166 cell collapse; at sf100 this
+    // halves the spill-bound sort, leaving only the linear side,
+    // whose sort key t is row-unique: cells = rows, no collapse
+    // exists). Oracle keeps the row-level form.
+    val zfiles = AnalyticsOps2.groupedPrefixSums(
+        base.groupBy(col("morton"), col("x"), col("y"))
+          .agg(count(lit(1)).as("cnt")),
+        Seq.empty, Seq(col("morton")), Seq((col("cnt"), "cum", None)))
+      .crossJoin(broadcast(n))
+      .select(lit("zorder").as("layout"), col("x"), col("y"),
+        explode(sequence(expr("((cum - cnt) * 64) div n"),
+          expr("((cum - 1) * 64) div n"))).as("f"))
     val zones = layoutFiles("linear", Seq(col("t"), col("event_id")))
-      .unionByName(layoutFiles("zorder",
-        Seq(col("morton"), col("event_id"))))
+      .unionByName(zfiles.select(col("layout"), col("f"),
+        col("x"), col("y")))
       .groupBy(col("layout"), col("f"))
       .agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
         min(col("y")).as("mny"), max(col("y")).as("mxy"))

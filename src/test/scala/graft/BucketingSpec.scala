@@ -69,4 +69,44 @@ class BucketingSpec extends SparkSpec {
       }
     }
   }
+
+  test("q191 on the bucketed lake plans its join + rollup with zero " +
+      "fact exchanges and matches the parquet-scan answer") {
+    val d = sf("sf0.001")
+    etl.Lake.writeBucketedFacts(spark, d, buckets = 8)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (li, o) = etl.Lake.readBucketedFacts(spark)
+      val bucketed = operators.CurationOps.reconciliationOn(o, li)
+      val plain = operators.CurationOps.reconciliationOn(
+        Tables.orders(spark, d), Tables.lineitem(spark, d))
+      // bucketed: the lineitem rollup AND the fact-fact join ride the
+      // bucket layout — only the ≤6-row band rollup and the 1-row
+      // total agg shuffle (2). Plain parquet: + the orders join side
+      // and the lineitem agg exchange (4).
+      assert(countShuffles(bucketed) == 2,
+        bucketed.queryExecution.executedPlan)
+      assert(countShuffles(plain) == 4,
+        plain.queryExecution.executedPlan)
+      // same bytes in → same bytes out: layout moves exchanges, never
+      // the answer
+      assert(bucketed.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(bucketed).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      val wh = new java.io.File("spark-warehouse")
+      if (wh.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(wh)
+      }
+    }
+  }
 }
