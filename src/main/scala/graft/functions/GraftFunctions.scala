@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_minhash_sketch(s, k) mergeable k-permutation MinHash AGGREGATE
   *   graft_hll_registers(s, p)  mergeable HyperLogLog register AGGREGATE
   *   graft_misra_gries(s, k)    mergeable heavy-hitter candidate AGGREGATE
+  *   graft_kll_doubles(x, k)    mergeable KLL quantile-sketch AGGREGATE
   *                              (k/p must be foldable integer literals)
   *
   * Two registration paths:
@@ -94,6 +95,11 @@ object GraftFunctions {
       require(args.length == 2, "graft_misra_gries expects 2 arguments")
       SketchAggregates.MisraGries(args(0),
         foldableInt(args(1), "graft_misra_gries counter budget"))
+    },
+    "graft_kll_doubles" -> { args =>
+      require(args.length == 2, "graft_kll_doubles expects 2 arguments")
+      SketchAggregates.KllDoubles(args(0),
+        foldableInt(args(1), "graft_kll_doubles sketch parameter k"))
     }
   )
 

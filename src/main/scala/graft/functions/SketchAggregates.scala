@@ -346,4 +346,181 @@ object SketchAggregates {
       MisraGries(
         org.apache.spark.sql.GraftColumnBridge.expression(col), k)
         .toAggregateExpression())
+
+  /** Mutable state of [[KllDoubles]]: `levels(ℓ)` holds values each
+    * representing 2^ℓ original rows; level 0 is the raw intake. */
+  final class KllState(
+      val levels: scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[Double]])
+
+  /** KLL mergeable QUANTILE sketch over a double column — the fourth
+    * canonical sketch beside distinct-count (HllRegisters), heavy
+    * hitters (MisraGries), and frequency (the q163 count-min cells):
+    * ~3k doubles of state per group whose rank estimates stay within
+    * a small fraction of n regardless of volume. This is the tool for
+    * quantiles of UNBOUNDED-cardinality values at 100 TB — exact rank
+    * picks ride the (group, value) cell collapse only while value
+    * cardinality is bounded (cents); for latencies/sizes/scores with
+    * no finite domain the cell frame IS the data, and a mergeable
+    * sketch is the only one-pass answer.
+    *
+    * Structure = Karnin–Lang–Liberty levels with geometric capacities
+    * (cap(ℓ) = max(8, k·(2/3)^(top−ℓ)), top level gets k): raw values
+    * enter level 0; an overfull level sorts and COMPACTS — keep the
+    * odd-indexed half of an even count (an odd count leaves its
+    * minimum behind), push the half up a level at doubled weight.
+    * merge() concatenates level-wise and re-compacts bottom-up. The
+    * one deviation from the paper: compaction keeps odd indices
+    * ALWAYS instead of flipping a random coin — every step is a pure
+    * function of its inputs, no RNG anywhere. The price is that
+    * merge is not associative, so the final state depends on Spark's
+    * partial-merge tree: the gate query carries a rows-only driver
+    * check BY DESIGN, and SketchAggregatesSpec asserts what a
+    * consumer actually relies on — the rank-error bound (≤ 2% of n
+    * at k = 1024 on 1-partition AND 32-partition builds, so the
+    * merge path is inside the bound too) and the serialize
+    * roundtrip.
+    *
+    * eval() returns array<struct<v: double, c: bigint>> sorted by
+    * value — a consumer estimates rank-t by the prefix-weight
+    * straddle (the q166 pattern on sketch rows instead of exact
+    * cells). */
+  case class KllDoubles(
+      child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[KllState] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("v", DoubleType, nullable = false),
+        StructField("c", LongType, nullable = false))),
+      containsNull = false)
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType != DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft kll_doubles needs a double child, got ${child.dataType.sql}")
+      else if (k < 8)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft kll_doubles needs k >= 8, got $k")
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+    override def createAggregationBuffer(): KllState =
+      new KllState(scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[Double]))
+
+    private def capOf(numLevels: Int, level: Int): Int = {
+      var c = k.toDouble
+      var i = numLevels - 1
+      while (i > level) { c = c * 2.0 / 3.0; i -= 1 }
+      math.max(8, math.ceil(c).toInt)
+    }
+
+    /** Compact every overfull level bottom-up. Pure function of the
+      * state: sort, odd count leaves its MIN behind, odd INDICES of
+      * the even remainder move up at doubled weight. */
+    private def compact(buf: KllState): Unit = {
+      var l = 0
+      while (l < buf.levels.length) {
+        if (buf.levels(l).length > capOf(buf.levels.length, l)) {
+          val arr = buf.levels(l).toArray
+          java.util.Arrays.sort(arr)
+          val odd = (arr.length & 1) == 1
+          val start = if (odd) 1 else 0 // odd count: min stays behind
+          buf.levels(l).clear()
+          if (odd) buf.levels(l) += arr(0)
+          if (l + 1 == buf.levels.length)
+            buf.levels += scala.collection.mutable.ArrayBuffer
+              .empty[Double]
+          val up = buf.levels(l + 1)
+          var i = start + 1 // odd indices of the even remainder
+          while (i < arr.length) { up += arr(i); i += 2 }
+        }
+        l += 1
+      }
+    }
+
+    override def update(buf: KllState, input: InternalRow): KllState = {
+      val v = child.eval(input)
+      if (v != null) {
+        buf.levels(0) += v.asInstanceOf[Double]
+        if (buf.levels(0).length > capOf(buf.levels.length, 0))
+          compact(buf)
+      }
+      buf
+    }
+
+    override def merge(a: KllState, b: KllState): KllState = {
+      while (a.levels.length < b.levels.length)
+        a.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+      var l = 0
+      while (l < b.levels.length) {
+        a.levels(l) ++= b.levels(l)
+        l += 1
+      }
+      compact(a)
+      a
+    }
+
+    override def eval(buf: KllState): Any = {
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var l = 0
+      while (l < buf.levels.length) {
+        val w = 1L << l
+        buf.levels(l).foreach(v => pairs += ((v, w)))
+        l += 1
+      }
+      val sorted = pairs.sortBy(_._1)
+      new GenericArrayData(sorted.map { case (v, c) =>
+        InternalRow(v, c)
+      }.toArray[Any])
+    }
+
+    override def serialize(buf: KllState): Array[Byte] = {
+      val total = buf.levels.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(
+        4 + buf.levels.length * 4 + total * 8)
+      bb.putInt(buf.levels.length)
+      buf.levels.foreach { lv =>
+        bb.putInt(lv.length)
+        lv.foreach(bb.putDouble)
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): KllState = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val nl = bb.getInt()
+      val levels = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Double]]
+      var l = 0
+      while (l < nl) {
+        val n = bb.getInt()
+        val lv = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var i = 0
+        while (i < n) { lv += bb.getDouble(); i += 1 }
+        levels += lv
+        l += 1
+      }
+      new KllState(levels)
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): KllDoubles =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllDoubles =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): KllDoubles =
+      copy(child = newChildren.head)
+  }
+
+  /** Column wrapper: `agg(kllDoubles($"value", 1024))`. */
+  def kllDoubles(col: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      KllDoubles(
+        org.apache.spark.sql.GraftColumnBridge.expression(col), k)
+        .toAggregateExpression())
 }

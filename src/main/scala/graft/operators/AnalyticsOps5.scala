@@ -1038,7 +1038,81 @@ object AnalyticsOps5 {
             col("n_exact")) * 1000000 + 0.5) / 1000000).as("rel_err"))
   }
 
+  /** KLL sketch quantiles per type, CALIBRATED against the exact
+    * cell-frame answer — q166's exact/estimate pairing with the
+    * mergeable-sketch estimator instead of the log histogram: p50/p90/
+    * p99 of `value` from ONE pass of ~3k-double KllDoubles state,
+    * beside the exact rank pick and the estimate's measured rank
+    * error. The sketch is the answer when value cardinality is NOT
+    * bounded (latencies/scores at 100 TB — where q166's (type, v)
+    * cell collapse stops applying because the cell frame IS the
+    * data); this query runs both on the same column so every run
+    * SHOWS the calibration.
+    *
+    * Rows-only driver check BY DESIGN: deterministic KLL compaction
+    * is a pure function of the merge tree, but Spark's partial-merge
+    * order isn't fixed run to run, so estimates can move within the
+    * bound — which is the honest semantics of a sketch.
+    * SketchAggregatesSpec pins the rank-error bound (≤ 2% of n at
+    * k = 1024, 1-partition and 32-partition builds) and the serialize
+    * roundtrip; the rel_rank_err column re-demonstrates it on every
+    * run.
+    *
+    * Scale shape: one data pass for the sketch (ObjectHashAggregate
+    * partial+final, ~24 KB per type), one (type, cents) count for the
+    * exact side; everything downstream is ≤ |types|·(3k + |cents|)
+    * metadata. */
+  val q196KllQuantiles: QueryDef = QueryDef.rowsOnly { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val byT = Window.partitionBy(col("event_type"))
+    val skr = ev.groupBy(col("event_type"))
+      .agg(graft.functions.SketchAggregates.kllDoubles(col("value"), 1024)
+        .as("sk"))
+      .select(col("event_type"), explode(col("sk")).as("x"))
+      .select(col("event_type"), col("x.v").as("v"), col("x.c").as("c"))
+      .withColumn("cum", sum(col("c")).over(byT.orderBy(col("v"))))
+      .withColumn("n_est", sum(col("c")).over(byT))
+    val cells = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // bounded by value cardinality — the exact side's frame
+    val pcts = explode(expr("array(50L, 90L, 99L)")).as("pct")
+    val targets = cells.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("event_type"), col("n"), pcts)
+      .withColumn("r", expr("(pct * n + 99) div 100"))
+    // sketch pick: smallest sketch value whose cumulative weight
+    // reaches the pct share of the SKETCH mass (mass can differ from
+    // n by dropped odd-count minima — that is part of the error being
+    // measured)
+    val est = skr
+      .join(broadcast(targets.select(col("event_type"), col("pct"),
+        col("n"), col("r"))), Seq("event_type"))
+      .filter(col("cum") * 100 >= col("pct") * col("n_est"))
+      .groupBy(col("event_type"), col("pct"), col("n"), col("r"))
+      .agg(min(col("v")).as("est_value"))
+    val exact = AnalyticsOps2.groupedPrefixSums(cells, Seq("event_type"),
+        Seq(col("cents")), Seq((col("cnt"), "cum", None)))
+      .join(broadcast(targets.select(col("event_type"), col("pct"),
+        col("r"))), Seq("event_type"))
+      .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col("event_type"), col("pct"),
+        (col("cents").cast("double") / 100).as("exact_value"))
+    val estRank = est.join(cells, Seq("event_type"))
+      .groupBy(col("event_type"), col("pct"), col("n"), col("r"),
+        col("est_value"))
+      .agg(sum(when(col("cents") <=
+        floor(col("est_value") * 100 + 0.5).cast("long"), col("cnt"))
+        .otherwise(0L)).as("est_rank"))
+    estRank.join(exact, Seq("event_type", "pct"))
+      .select(col("event_type"), col("pct"), col("n"), col("est_value"),
+        col("exact_value"),
+        (floor((abs(col("est_rank") - col("r")).cast("double") / col("n"))
+          * 1000000 + 0.5) / 1000000).as("rel_rank_err"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q196_kll_quantiles" -> q196KllQuantiles,
     "q154_hll_distinct" -> q154HllDistinct,
     "q161_centroid_drift" -> q161CentroidDrift,
     "q162_heavy_hitters" -> q162HeavyHitters,

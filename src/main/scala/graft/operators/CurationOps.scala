@@ -912,6 +912,131 @@ object CurationOps {
           + 0.5) / 1000000).as("row_share"))
   }
 
+  /** Weighted token-budget water-filling across sources — the
+    * allocation step between q59 (what mixture do we WANT) and the
+    * sampler (what do we take): given a token budget B (50% of the
+    * corpus) and per-source target weights — the alphabetically-first
+    * source is upweighted 10× (the "emphasize the curated corpus"
+    * move every real pretraining mix makes), the rest weight 1 — a
+    * source whose capacity can't meet its weighted share SATURATES at
+    * its full token count and its unmet demand redistributes over the
+    * unsaturated rest: the classic water-fill that decides
+    * epochs/repeats per source. On this corpus the anchor always
+    * saturates and the rest sit at the water level, so BOTH branches
+    * are exercised at every SF.
+    *
+    * Exactness: closed form, no iteration — sources sorted by
+    * cap/weight ascending (an IEEE division both engines compute
+    * bit-identically; source name tiebreak), the saturated set is a
+    * PREFIX of that order, and row i's saturation is the pure-int64
+    * cross-multiplied test cap_i·(remaining weight) ≤ (remaining
+    * budget)·w_i (monotone in i). Unsaturated sources get the floor
+    * of the exact rational level ((B − Σ sat caps)·w) div (Σ unsat
+    * w) — non-negative dividends throughout, so Spark `div` ==
+    * DuckDB `//` (the q143 convention). Never all-saturate (B =
+    * total div 2 < total); ≤ Σw−1 tokens of B stay unspent (floor
+    * allocation) — a budget is a ceiling, not a quota.
+    *
+    * Scale shape: ONE tokenization pass → a (source)-keyed
+    * partial+final sum; everything downstream (sort, prefix, the
+    * water level) runs on the ≤|sources|-row frame — the
+    * unpartitioned window is a metadata sort, not a data funnel. */
+  val q194TokenBudget: QueryDef = QueryDef.withOracle(
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, cap,
+      |    CASE WHEN source = (SELECT min(source) FROM d)
+      |      THEN CAST(10 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS wt
+      |  FROM d),
+      |t AS (
+      |  SELECT CAST(sum(cap) AS BIGINT) AS total,
+      |    CAST(sum(wt) AS BIGINT) AS totw
+      |  FROM w),
+      |b AS (SELECT total // 2 AS budget, totw FROM t),
+      |r AS (
+      |  SELECT source, cap, wt,
+      |    CAST(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / wt, source)
+      |      AS BIGINT) AS cumcap,
+      |    CAST(sum(wt) OVER (ORDER BY CAST(cap AS DOUBLE) / wt, source)
+      |      AS BIGINT) AS cumw
+      |  FROM w),
+      |s AS (
+      |  SELECT r.source, r.cap, r.wt, r.cumcap, r.cumw, b.budget, b.totw,
+      |    CASE WHEN r.cap * (b.totw - (r.cumw - r.wt))
+      |      <= (b.budget - (r.cumcap - r.cap)) * r.wt THEN 1 ELSE 0 END
+      |      AS sat
+      |  FROM r CROSS JOIN b),
+      |k AS (
+      |  SELECT
+      |    CAST(coalesce(sum(CASE WHEN sat = 1 THEN cap END), 0) AS BIGINT)
+      |      AS satcap,
+      |    CAST(coalesce(sum(CASE WHEN sat = 1 THEN wt END), 0) AS BIGINT)
+      |      AS satw
+      |  FROM s),
+      |a AS (
+      |  SELECT s.source, s.cap, s.wt, s.sat, s.budget,
+      |    CASE WHEN s.sat = 1 THEN s.cap
+      |      ELSE ((s.budget - k.satcap) * s.wt) // (s.totw - k.satw) END
+      |      AS alloc
+      |  FROM s CROSS JOIN k)
+      |SELECT source, wt AS target_weight, cap AS cap_tokens,
+      |  alloc AS alloc_tokens,
+      |  CASE WHEN sat = 1 THEN 'saturated' ELSE 'water_level' END AS status,
+      |  floor((CAST(alloc AS DOUBLE) / cap) * 1000000 + 0.5) / 1000000
+      |    AS utilization,
+      |  floor((CAST(alloc AS DOUBLE) / budget) * 1000000 + 0.5) / 1000000
+      |    AS budget_share
+      |FROM a""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val caps = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("cap"))
+    val anchor = caps.agg(min(col("source")).as("anchor_src"))
+    val w = caps.crossJoin(broadcast(anchor))
+      .withColumn("wt",
+        when(col("source") === col("anchor_src"), 10L).otherwise(1L))
+      .drop("anchor_src")
+    val b = w.agg(expr("sum(cap) div 2").as("budget"),
+      sum(col("wt")).as("totw"))
+    // ≤|sources| rows from here down — the unpartitioned window is a
+    // metadata sort, not a data funnel; (ratio, source) is a total
+    // order (source unique), so the RANGE-peer frame has no peers
+    val win = Window.orderBy(col("cap").cast("double") / col("wt"),
+      col("source"))
+    val ranked = w
+      .withColumn("cumcap", sum(col("cap")).over(win))
+      .withColumn("cumw", sum(col("wt")).over(win))
+      .crossJoin(broadcast(b))
+      .withColumn("sat",
+        when(col("cap") * (col("totw") - (col("cumw") - col("wt")))
+          <= (col("budget") - (col("cumcap") - col("cap"))) * col("wt"),
+          1L).otherwise(0L))
+    val k = ranked.agg(
+      coalesce(sum(when(col("sat") === 1, col("cap"))), lit(0L))
+        .as("satcap"),
+      coalesce(sum(when(col("sat") === 1, col("wt"))), lit(0L))
+        .as("satw"))
+    ranked.crossJoin(broadcast(k))
+      .select(col("source"), col("wt").as("target_weight"),
+        col("cap").as("cap_tokens"),
+        when(col("sat") === 1, col("cap"))
+          .otherwise(expr("((budget - satcap) * wt) div (totw - satw)"))
+          .as("alloc_tokens"),
+        when(col("sat") === 1, "saturated").otherwise("water_level")
+          .as("status"),
+        col("cap"), col("budget"))
+      .select(col("source"), col("target_weight"), col("cap_tokens"),
+        col("alloc_tokens"), col("status"),
+        (floor((col("alloc_tokens").cast("double") / col("cap")) * 1000000
+          + 0.5) / 1000000).as("utilization"),
+        (floor((col("alloc_tokens").cast("double") / col("budget"))
+          * 1000000 + 0.5) / 1000000).as("budget_share"))
+  }
+
   /** Header/detail reconciliation audit — order totals against their
     * lineitem sums, banded by relative gap in integer BASIS POINTS —
     * the classic warehouse consistency check q88's expectation suite
@@ -1012,6 +1137,7 @@ object CurationOps {
     "q91_weighted_sample" -> q91WeightedSample,
     "q167_split_leakage" -> q167SplitLeakage,
     "q168_chunk_packing" -> q168ChunkPacking,
+    "q194_token_budget" -> q194TokenBudget,
     "q170_ngram_decontam" -> q170NgramDecontam,
     "q178_k_anonymity" -> q178KAnonymity,
     "q181_fk_integrity" -> q181FkIntegrity,

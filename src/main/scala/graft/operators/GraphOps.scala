@@ -810,23 +810,32 @@ object GraphOps {
   }
 
   /** Scale-safe twin of q182 (the q160-vs-q148 move applied to the
-    * metric layer): the SAME leave-one-item-out temporal holdout, but
-    * (a) evaluated on a DETERMINISTIC 25% sample of test baskets (the
-    * 60-bit md5 basket hash mod 4 — reproducible on any engine, no
-    * RNG), and (b) the train side computes neighbor lists ONLY for
-    * items the sampled baskets contain: the eval-item set is pushed
-    * into the pair generation as an equi-join restriction, so the
-    * FULL pair stream — the thing that DNFs q182 at sf100 on one
-    * node — never materializes. The lists that ARE built are
-    * bit-identical to q182's (pair counts and cosine denominators
-    * still come off the full train set), so the metric is q182's
-    * estimator restricted to the sample — eval metrics tolerate
-    * sampling by construction; the lists don't have to.
+    * metric layer): the SAME leave-one-item-out temporal holdout,
+    * estimated from DETERMINISTIC 25% basket samples on BOTH sides
+    * (the 60-bit md5 basket hash mod 4 — reproducible on any engine,
+    * no RNG; train and test orders are disjoint, so one recipe serves
+    * both). Train-side sampling is what kills the sf100 wall: the
+    * pair stream and its distinct-pair agg state scale LINEARLY in
+    * the sampled basket count (each basket contributes its own
+    * pairs), so mod-4 cuts both 4× — the full pair stream never
+    * materializes, and the knob turns to any scale. Neighbor lists
+    * become estimates off the basket sample (pair counts AND cosine
+    * denominators from the same sample — a consistent estimator,
+    * standard offline-eval practice); eval-side sampling is free
+    * accuracy-wise by exchangeability. A measured dead end recorded
+    * here: restricting the pair stream to eval-needed items BEFORE
+    * the agg (leftsemi into the generation) only removes ~17% at
+    * TPC-H part uniformity (the 25% basket sample still touches 83%
+    * of items) while doubling the stream by forcing the directed
+    * form — sampling baskets, not restricting items, is the lever
+    * that scales. The item restriction is applied AFTER the pair agg
+    * instead, where it prunes the rank/join work for lists nothing
+    * will score, at zero stream cost.
     *
-    * Scale shape: train agg state is Σ_{item ∈ eval} |co-items|, not
-    * Σ_{all} — output-bounded by the sample, tunable via the mod.
-    * Everything else inherits q182's shape: item-keyed equi-joins,
-    * DISTINCT collapses, five broadcast scalars. */
+    * Scale shape: q182's exact plan on a 4×-smaller deterministic
+    * subset — undirected pa<pb pair agg, mirror, cosine, top-3 rank,
+    * then item-keyed equi-joins + DISTINCT collapses + five broadcast
+    * scalars. */
   val q193RecoHoldoutSampled: QueryDef = QueryDef.withOracle(
     """WITH bp AS (
       |  SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p,
@@ -834,7 +843,11 @@ object GraphOps {
       |  FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey),
       |tr AS (SELECT o, p FROM bp WHERE is_train),
       |ok AS (SELECT o FROM tr GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
-      |qb AS (SELECT tr.o, tr.p FROM tr JOIN ok USING (o)),
+      |sok AS (
+      |  SELECT o FROM ok
+      |  WHERE ('0x' || substring(md5(CAST(o AS VARCHAR)), 1, 15))::BIGINT
+      |    % 4 = 0),
+      |qb AS (SELECT tr.o, tr.p FROM tr JOIN sok USING (o)),
       |cnt AS (SELECT p, count(*) AS n FROM qb GROUP BY 1),
       |te AS (SELECT o, p FROM bp WHERE NOT is_train),
       |tok AS (SELECT o FROM te GROUP BY o HAVING count(*) >= 2),
@@ -844,15 +857,18 @@ object GraphOps {
       |    % 4 = 0),
       |ti AS (SELECT te.o, te.p FROM te JOIN sk USING (o)),
       |ev AS (SELECT DISTINCT p FROM ti),
-      |dir AS (
-      |  SELECT a.p AS item, b.p AS nbr, count(*) AS nab
-      |  FROM qb a JOIN ev ON ev.p = a.p
-      |  JOIN qb b ON b.o = a.o AND b.p <> a.p
-      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa, pb, nab FROM pairs WHERE nab >= 2),
+      |dir AS (SELECT pa AS item, pb AS nbr, nab FROM e
+      |        UNION ALL SELECT pb, pa, nab FROM e),
+      |dev AS (SELECT d.* FROM dir d JOIN ev ON ev.p = d.item),
       |sim AS (
       |  SELECT d.item, d.nbr,
       |    CAST(d.nab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS sim
-      |  FROM dir d JOIN cnt ca ON ca.p = d.item
+      |  FROM dev d JOIN cnt ca ON ca.p = d.item
       |  JOIN cnt cb ON cb.p = d.nbr),
       |nbrs AS (
       |  SELECT item, nbr FROM (
@@ -890,32 +906,41 @@ object GraphOps {
         Seq("o"))
       .select(col("o"), col("p"), col("is_train")).distinct()
       .cache() // one orders⋈lineitem replay for train + test branches
+    // deterministic 25% basket samples: the shared 60-bit md5 recipe,
+    // non-negative, so % == pmod and both engines pick the SAME
+    // baskets; train/test orders are disjoint, one recipe serves both
+    def sampled(o: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(o.cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4 === 0
     val tr = bp.filter(col("is_train")).select(col("o"), col("p"))
     val ok = tr.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
+      .filter(col("sz").between(2, DefaultMaxBasket))
+      .filter(sampled(col("o"))).select(col("o"))
     val qb = tr.join(ok, Seq("o"))
     val cnt = qb.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val te = bp.filter(!col("is_train")).select(col("o"), col("p"))
-    // deterministic 25% basket sample: the shared 60-bit md5 recipe,
-    // non-negative, so % == pmod and both engines pick the SAME baskets
     val sk = te.groupBy(col("o")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") >= 2)
-      .filter(conv(substring(md5(col("o").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 4 === 0)
+      .filter(sampled(col("o")))
       .select(col("o"))
     val ti = te.join(sk, Seq("o")).cache() // consumed 3×: cand, hit, count
     val ev = ti.select(col("p")).distinct()
-    // eval-item restriction pushed INTO pair generation: only rows
-    // whose item side is needed enter the co-occurrence agg — state
-    // is bounded by the sample, the full pair stream never exists
-    // explicit select, not positional toDF: a USING-join moves the
-    // join key to column 0, so the leftsemi output order is (p, o)
-    val dir = qb.join(ev, Seq("p"), "leftsemi")
-      .select(col("o"), col("p").as("item"))
-      .join(qb.toDF("o", "nbr"), Seq("o"))
-      .filter(col("item") =!= col("nbr"))
-      .groupBy(col("item"), col("nbr")).agg(count(lit(1)).as("nab"))
+    // q182's exact pair recipe on the sampled baskets (undirected
+    // pa<pb agg, mirror after); the eval-item restriction lands
+    // POST-agg, pruning rank/join work for lists nothing will score
+    // at zero stream cost (pre-agg it was measured useless: ~17%
+    // selectivity at a doubled directed stream — see scaladoc)
+    val e = qb.toDF("o", "pa").join(qb.toDF("o", "pb"), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
       .filter(col("nab") >= 2)
+    val dir = e.select(explode(array(
+        struct(col("pa").as("item"), col("pb").as("nbr"), col("nab")),
+        struct(col("pb").as("item"), col("pa").as("nbr"), col("nab"))))
+        .as("x"))
+      .select(col("x.item").as("item"), col("x.nbr").as("nbr"),
+        col("x.nab").as("nab"))
+      .join(ev.select(col("p").as("item")), Seq("item"), "leftsemi")
     val sim = dir
       .join(cnt.select(col("p").as("item"), col("n").as("na")), "item")
       .join(cnt.select(col("p").as("nbr"), col("n").as("nb")), "nbr")

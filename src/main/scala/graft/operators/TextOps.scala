@@ -958,8 +958,99 @@ object TextOps {
           .as("f1"))
   }
 
+  /** Cohen's kappa of the q34 lang-id against the labeled `lang`
+    * column — the CHANCE-CORRECTED agreement q177's per-class P/R/F1
+    * doesn't give: with skewed class priors, raw accuracy (p_o) is
+    * inflated by majority-class agreement; kappa subtracts the
+    * agreement two independent raters with these margins would reach
+    * anyway (p_e). The go/no-go scalar a labeling pipeline reads
+    * before trusting a cheap classifier as a silver-label source.
+    *
+    * Exactness: one (labeled, predicted) cell aggregate (the same
+    * single tokenization pass as q34/q177); margins and the diagonal
+    * are exact int64 off the ≤|langs|² cells; the margin
+    * cross-products and n² accumulate in decimal(38,0)/HUGEINT (n²
+    * crosses 2⁶³ past ~3e9 docs — the q172 lesson, applied before it
+    * bites); kappa = (n·diag − Σ r·c)/(n² − Σ r·c) is ONE division of
+    * exact integers, rounded at 1e-6. A lang never predicted
+    * contributes 0 to Σ r·c (inner margin join), exactly its c=0
+    * term. */
+  val q195CohensKappa: QueryDef = QueryDef.withOracle(
+    s"""WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT lang,
+      |    ${LangId.sqlScores}
+      |  FROM t),
+      |p AS (
+      |  SELECT lang AS labeled,
+      |    ${LangId.sqlPick} AS predicted
+      |  FROM s),
+      |cells AS (
+      |  SELECT labeled, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN labeled = predicted THEN n ELSE 0 END)
+      |      AS BIGINT) AS diag
+      |  FROM cells),
+      |rm AS (SELECT labeled AS lang, CAST(sum(n) AS BIGINT) AS r
+      |       FROM cells GROUP BY 1),
+      |cm AS (SELECT predicted AS lang, CAST(sum(n) AS BIGINT) AS c
+      |       FROM cells GROUP BY 1),
+      |rc AS (
+      |  SELECT CAST(coalesce(sum(CAST(r AS HUGEINT) * c), 0) AS HUGEINT)
+      |    AS src
+      |  FROM rm JOIN cm USING (lang))
+      |SELECT tot.nt AS n_docs, tot.diag AS n_agree,
+      |  floor((CAST(diag AS DOUBLE) / nt) * 1000000 + 0.5) / 1000000 AS po,
+      |  floor((CAST(src AS DOUBLE)
+      |    / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))) * 1000000 + 0.5)
+      |    / 1000000 AS pe,
+      |  CASE WHEN CAST(nt AS HUGEINT) * nt - src = 0 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST(CAST(nt AS HUGEINT) * diag - src AS DOUBLE)
+      |      / CAST(CAST(nt AS HUGEINT) * nt - src AS DOUBLE)) * 1000000
+      |      + 0.5) / 1000000 END AS kappa
+      |FROM tot CROSS JOIN rc""".stripMargin
+  ) { (s, d) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val toks = split(col("text"), " ", -1)
+    val cells = Tables.documents(s, d)
+      .select(col("lang").as("labeled"), LangId.scEn(toks).as("sc_en"),
+        LangId.scEs(toks).as("sc_es"), LangId.scDe(toks).as("sc_de"))
+      .select(col("labeled"),
+        LangId.pick(col("sc_en"), col("sc_es"), col("sc_de"))
+          .as("predicted"))
+      .groupBy(col("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // ≤ |langs|² cells — metadata from here down
+    val tot = cells.agg(sum(col("n")).as("nt"),
+      sum(when(col("labeled") === col("predicted"), col("n"))
+        .otherwise(0L)).as("diag"))
+    val rm = cells.groupBy(col("labeled").as("lang"))
+      .agg(sum(col("n")).as("r"))
+    val cm = cells.groupBy(col("predicted").as("lang"))
+      .agg(sum(col("n")).as("c"))
+    val rc = rm.join(cm, Seq("lang"))
+      .agg(coalesce(sum(dec(col("r")) * col("c")), dec(lit(0)))
+        .as("src"))
+    tot.crossJoin(broadcast(rc))
+      .select(col("nt").as("n_docs"), col("diag").as("n_agree"),
+        (floor((col("diag").cast("double") / col("nt")) * 1000000 + 0.5)
+          / 1000000).as("po"),
+        (floor((col("src").cast("double") /
+          (col("nt").cast("double") * col("nt").cast("double")))
+          * 1000000 + 0.5) / 1000000).as("pe"),
+        when(dec(col("nt")) * col("nt") - col("src") === dec(lit(0)),
+          lit(0.0))
+          .otherwise(floor(((dec(col("nt")) * col("diag") - col("src"))
+            .cast("double") /
+            (dec(col("nt")) * col("nt") - col("src")).cast("double"))
+            * 1000000 + 0.5) / 1000000).as("kappa"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q147_readability" -> q147Readability,
+    "q195_cohens_kappa" -> q195CohensKappa,
     "q109_pmi_collocations" -> q109PmiCollocations,
     "q127_bpe_train" -> q127BpeTrain,
     "q128_bpe_encode" -> q128BpeEncode,

@@ -103,6 +103,14 @@ class GoldenSpec extends SparkSpec {
     assert(mh.getSeq[Long](0).length == 4)
     assert(mh.getSeq[Int](1).length == 64)
     assert(mh.getSeq[String](2).toSet == Set("a", "b"))
+    // the KLL quantile sketch through SQL: 3 values fit level 0, so
+    // the weighted list is exact — (v, 1) per input, sorted by v
+    val kll = spark.sql(
+      """SELECT graft_kll_doubles(x, 8) AS q
+        |FROM VALUES (3.0D), (1.0D), (2.0D) AS t(x)""".stripMargin).head()
+    val items = kll.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(items == Seq((1.0, 1L), (2.0, 1L), (3.0, 1L)), items)
     // parameter hygiene matches graft_lsh_sig's discipline
     val e2 = intercept[Exception] {
       spark.sql("SELECT graft_hll_registers(s, '6') " +

@@ -127,7 +127,12 @@ class PlanCoverageSpec extends SparkSpec {
       "window runs over the 4-row stage dimension joined to a ≤5-row " +
       "first-fail aggregate — metadata-sized by construction (the " +
       "data-sized work is the one scan + map-side token counting " +
-      "feeding that aggregate)"))
+      "feeding that aggregate)"),
+    "q194_token_budget" -> ("the unpartitioned water-fill prefix " +
+      "(cumcap/cumw over cap/weight order) runs over the per-source " +
+      "capacity AGGREGATE — one row per source, metadata-sized by " +
+      "construction; the data-sized work is the single tokenization " +
+      "pass feeding that aggregate"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet

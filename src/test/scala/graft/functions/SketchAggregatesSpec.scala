@@ -128,6 +128,48 @@ class SketchAggregatesSpec extends SparkSpec {
     assert(mg.deserialize(mg.serialize(buf)) == buf)
   }
 
+  test("KLL rank error stays under 2% of n on 1- and 32-partition builds") {
+    import spark.implicits._
+    // a deterministically shuffled permutation of 1..100000 — true
+    // rank of value v is exactly v, so the measured error needs no
+    // reference computation
+    val n = 100000
+    val vals = (1 to n).sortBy(i => refHash(0, i.toString)).map(_.toDouble)
+    for (parts <- Seq(1, 32)) {
+      val pairs = vals.toDF("v").repartition(parts)
+        .agg(SketchAggregates.kllDoubles(col("v"), 1024).as("sk"))
+        .select(explode(col("sk")).as("x"))
+        .select(col("x.v").as("v"), col("x.c").as("c"))
+        .orderBy("v")
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      // sketch mass ≈ n (odd-count compactions leave items behind,
+      // they never inflate)
+      val mass = pairs.map(_._2).sum
+      assert(mass <= n && mass > n * 9 / 10, s"parts=$parts mass=$mass")
+      for (pct <- Seq(50, 90, 99)) {
+        val target = (pct.toLong * mass + 99) / 100
+        var cum = 0L
+        val est = pairs.find { case (_, c) => cum += c; cum >= target }
+          .get._1
+        // true rank of est in 1..n is est itself
+        val err = math.abs(est - pct.toDouble / 100 * n) / n
+        assert(err <= 0.02,
+          s"parts=$parts p$pct est=$est err=$err (bound 2%)")
+      }
+    }
+  }
+
+  test("KLL serialize/deserialize roundtrips the level structure") {
+    val kll = SketchAggregates.KllDoubles(
+      org.apache.spark.sql.GraftColumnBridge.expression(lit(0.0)), 64)
+    val buf = kll.createAggregationBuffer()
+    buf.levels(0) ++= Seq(3.0, 1.0, 2.0)
+    buf.levels += scala.collection.mutable.ArrayBuffer(5.0, 4.0)
+    val rt = kll.deserialize(kll.serialize(buf))
+    assert(rt.levels.map(_.toSeq) == buf.levels.map(_.toSeq))
+  }
+
   test("q154 estimator lands within 10% of the exact distinct count") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
