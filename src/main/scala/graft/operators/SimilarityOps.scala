@@ -668,7 +668,111 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-label embedding-centroid coherence — the geometric audit of
+    * a silver-labeled embedding corpus: per label, the centroid's
+    * cosine to the GLOBAL centroid (how distinctive is this label's
+    * region — ≈1 means the label adds no geometric information) and
+    * the mean member-to-centroid cosine (how coherent is the label —
+    * low means the label mixes unrelated content). The pre-training
+    * question both answer: can these labels be trusted as mixture /
+    * dedup / eval strata, or are they noise?
+    *
+    * Exactness: per-dim centroid sums are INT64 of 1e9-fixed-point
+    * components (f32→f64 exact, quantize per value, sum exactly in
+    * any order — the repo's float-fold convention); every cosine is
+    * a SEQUENTIAL fold over the 64-dim arrays (Spark `aggregate` /
+    * DuckDB `list_sum(list_transform(...))` — the q53 bridge), so
+    * both engines execute the identical IEEE sequence; per-member
+    * cosines quantize at 1e-6 into an int64 sum before the one mean
+    * division. Centroids are unnormalized sums — cosine is
+    * scale-invariant, so no division ever touches the int path.
+    *
+    * Scale shape: ONE (label, dim)-keyed int sum (map-side combine;
+    * exchange bounded by |labels|·64 cells) + ONE member pass against
+    * the ≤|labels| broadcast centroid frame; everything else is
+    * metadata. */
+  val q197LabelCoherence: QueryDef = QueryDef.withOracle(
+    """WITH e AS (
+      |  SELECT label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * 1000000000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT label, unnest(q) AS v,
+      |    unnest(range(1, len(q) + 1)) AS i
+      |  FROM e),
+      |cs AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv
+      |       FROM x GROUP BY 1, 2),
+      |c AS (SELECT label, list(sv ORDER BY i) AS cvec FROM cs GROUP BY 1),
+      |gs AS (SELECT i, CAST(sum(sv) AS BIGINT) AS gv FROM cs GROUP BY 1),
+      |g AS (SELECT list(gv ORDER BY i) AS gvec FROM gs),
+      |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY 1),
+      |cg AS (
+      |  SELECT c.label,
+      |    list_sum(list_transform(range(1, len(cvec) + 1),
+      |      j -> CAST(cvec[j] AS DOUBLE) * CAST(gvec[j] AS DOUBLE))) AS dcg,
+      |    list_sum(list_transform(range(1, len(cvec) + 1),
+      |      j -> CAST(cvec[j] AS DOUBLE) * CAST(cvec[j] AS DOUBLE))) AS dcc,
+      |    list_sum(list_transform(range(1, len(gvec) + 1),
+      |      j -> CAST(gvec[j] AS DOUBLE) * CAST(gvec[j] AS DOUBLE))) AS dgg
+      |  FROM c CROSS JOIN g),
+      |coh AS (
+      |  SELECT e.label,
+      |    CAST(sum(CAST(floor((
+      |      list_sum(list_transform(range(1, len(q) + 1),
+      |        j -> CAST(q[j] AS DOUBLE) * CAST(cvec[j] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(range(1, len(q) + 1),
+      |          j -> CAST(q[j] AS DOUBLE) * CAST(q[j] AS DOUBLE))))
+      |        * sqrt(list_sum(list_transform(range(1, len(cvec) + 1),
+      |          j -> CAST(cvec[j] AS DOUBLE) * CAST(cvec[j] AS DOUBLE))))))
+      |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+      |  FROM e JOIN c USING (label) GROUP BY 1)
+      |SELECT cg.label, n.n_vecs,
+      |  floor((dcg / (sqrt(dcc) * sqrt(dgg))) * 1000000 + 0.5) / 1000000
+      |    AS cos_to_global,
+      |  floor((CAST(coh.sc AS DOUBLE) / n.n_vecs) + 0.5) / 1000000
+      |    AS mean_coherence
+      |FROM cg JOIN n USING (label) JOIN coh USING (label)""".stripMargin
+  ) { (s, d) =>
+    val dotD = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> " +
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), " +
+        "(acc, t) -> acc + t)")
+    val e = Tables.embeddings(s, d).select(col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+        "* 1000000000 + 0.5) AS BIGINT))").as("q"))
+    val x = e.select(col("label"), posexplode(col("q")).as(Seq("i", "v")))
+    val cs = x.groupBy(col("label"), col("i")).agg(sum(col("v")).as("sv"))
+      .cache() // |labels|·64 cells — the centroid frame
+    val c = cs.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, sv))), " +
+        "p -> p.sv)").as("cvec"))
+    val g = cs.groupBy(col("i")).agg(sum(col("sv")).as("gv"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, gv))), " +
+        "p -> p.gv)").as("gvec"))
+    val n = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val cg = c.crossJoin(broadcast(g))
+      .select(col("label"),
+        dotD("cvec", "gvec").as("dcg"),
+        dotD("cvec", "cvec").as("dcc"),
+        dotD("gvec", "gvec").as("dgg"))
+    val coh = e.join(broadcast(c), Seq("label"))
+      .select(col("label"),
+        floor((dotD("q", "cvec") /
+          (sqrt(dotD("q", "q")) * sqrt(dotD("cvec", "cvec"))))
+          * 1000000 + 0.5).cast("long").as("cq"))
+      .groupBy(col("label")).agg(sum(col("cq")).as("sc"))
+    cg.join(broadcast(n), Seq("label"))
+      .join(broadcast(coh), Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        (floor((col("dcg") / (sqrt(col("dcc")) * sqrt(col("dgg"))))
+          * 1000000 + 0.5) / 1000000).as("cos_to_global"),
+        (floor((col("sc").cast("double") / col("n_vecs")) + 0.5)
+          / 1000000).as("mean_coherence"))
+  }
+
   val all: Map[String, QueryDef] = Map(
+    "q197_label_coherence" -> q197LabelCoherence,
     "q150_knn_confusion" -> q150KnnConfusion,
     "q50_ann_brute" -> q50AnnBrute,
     "q125_recall_eval" -> q125RecallEval,
