@@ -974,8 +974,131 @@ object GraphOps {
           .as("hitrate_warm"))
   }
 
+  /** Scale-safe twin of q126 — the q193 move applied to the SERVING
+    * layer, which closes the last documented sf100 DNF with an
+    * implemented escape hatch (q148→q160 was state, q182→q193 was the
+    * metric, q126→this is the output): item neighbor lists are built
+    * from a DETERMINISTIC 25% train-basket sample (pair stream and
+    * distinct-pair agg state ∝ sample — the q193 knob), and
+    * recommendations are emitted for a deterministic 1/16 customer
+    * cohort (output AND the ownership fan-out join ∝ cohort — in
+    * production this is exactly "recompute recs for tonight's
+    * cohort"). Both knobs are md5-mod hashes, reproducible on any
+    * engine; scoring semantics per customer are q126's bit for bit
+    * (1e-6 fixed-point score sum, owned-item anti-join, top-3).
+    *
+    * Scale shape: q126's plan with both data-sized legs scaled by
+    * the knobs — sampled pair agg, cohort-filtered ownership before
+    * the fan-out join, per-cust rank window over the cohort only. */
+  val q198RecommendSampled: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok0 AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |ok AS (
+      |  SELECT o FROM ok0
+      |  WHERE ('0x' || substring(md5(CAST(o AS VARCHAR)), 1, 15))::BIGINT
+      |    % 4 = 0),
+      |qb AS (SELECT bp.o, bp.p FROM bp JOIN ok USING (o)),
+      |cnt AS (SELECT p, count(*) AS n FROM qb GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS nab
+      |  FROM qb a JOIN qb b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT pa, pb, nab FROM pairs WHERE nab >= 2),
+      |dir AS (SELECT pa AS item, pb AS nbr, nab FROM e
+      |        UNION ALL SELECT pb, pa, nab FROM e),
+      |sim AS (
+      |  SELECT d.item, d.nbr,
+      |    CAST(d.nab AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS sim
+      |  FROM dir d JOIN cnt ca ON ca.p = d.item JOIN cnt cb ON cb.p = d.nbr),
+      |nbrs AS (
+      |  SELECT item, nbr, sim FROM (
+      |    SELECT *, rank() OVER
+      |      (PARTITION BY item ORDER BY sim DESC, nbr) AS rnk
+      |    FROM sim)
+      |  WHERE rnk <= 3),
+      |owned AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE ('0x' || substring(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))
+      |    ::BIGINT % 16 = 0),
+      |sc AS (
+      |  SELECT w.cust, n.nbr, count(*) AS n_src,
+      |    sum(CAST(floor(n.sim * 1000000 + 0.5) AS BIGINT)) AS score_fp
+      |  FROM owned w JOIN nbrs n ON n.item = w.item
+      |  GROUP BY 1, 2),
+      |fresh AS (
+      |  SELECT sc.* FROM sc
+      |  LEFT JOIN owned w2 ON w2.cust = sc.cust AND w2.item = sc.nbr
+      |  WHERE w2.item IS NULL)
+      |SELECT cust, CAST(rnk AS BIGINT) AS rank, nbr AS rec_item, n_src,
+      |  CAST(score_fp AS DOUBLE) / 1000000 AS score
+      |FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY cust ORDER BY score_fp DESC, nbr) AS rnk
+      |  FROM fresh)
+      |WHERE rnk <= 3""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    def sampledMod(c: org.apache.spark.sql.Column, m: Int)
+        : org.apache.spark.sql.Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+        .cast("long") % m === 0
+    val bp = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val ok = bp.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz").between(2, DefaultMaxBasket))
+      .filter(sampledMod(col("o"), 4)).select(col("o"))
+    val qb = bp.join(ok, Seq("o"))
+    val cnt = qb.groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = qb.toDF("o", "pa").join(qb.toDF("o", "pb"), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 2)
+    val dir = e.select(explode(array(
+        struct(col("pa").as("item"), col("pb").as("nbr"), col("nab")),
+        struct(col("pb").as("item"), col("pa").as("nbr"), col("nab"))))
+        .as("x"))
+      .select(col("x.item").as("item"), col("x.nbr").as("nbr"),
+        col("x.nab").as("nab"))
+    val sim = dir
+      .join(cnt.select(col("p").as("item"), col("n").as("na")), "item")
+      .join(cnt.select(col("p").as("nbr"), col("n").as("nb")), "nbr")
+      .select(col("item"), col("nbr"), (col("nab").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+    val nbrs = sim.withColumn("rnk", rank().over(
+        Window.partitionBy(col("item"))
+          .orderBy(col("sim").desc, col("nbr"))))
+      .filter(col("rnk") <= 3)
+      .select(col("item"), col("nbr"),
+        floor(col("sim") * 1000000 + 0.5).cast("long").as("s_fp"))
+    // cohort filter lands BEFORE the ownership distinct: the fan-out
+    // join, the anti-join, and the rank window all see 1/16 of custs
+    val owned = Tables.orders(s, d)
+      .filter(sampledMod(col("o_custkey"), 16))
+      .select(col("o_orderkey").as("o"), col("o_custkey").as("cust"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("item")),
+        Seq("o"))
+      .select(col("cust"), col("item")).distinct()
+      .cache() // fan-out source + anti-join filter: one materialization
+    val sc = owned.join(nbrs, Seq("item"))
+      .groupBy(col("cust"), col("nbr"))
+      .agg(count(lit(1)).as("n_src"), sum(col("s_fp")).as("score_fp"))
+    val fresh = sc.join(
+      owned.select(col("cust"), col("item").as("nbr")),
+      Seq("cust", "nbr"), "left_anti")
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("score_fp").desc, col("nbr"))
+    fresh.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("cust"), col("rank"), col("nbr").as("rec_item"),
+        col("n_src"), (col("score_fp").cast("double") / 1000000).as("score"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q148_degree_dist" -> q148DegreeDist,
+    "q198_recommend_sampled" -> q198RecommendSampled,
     "q160_degree_sketch" -> q160DegreeSketch,
     "q75_pagerank" -> q75Pagerank,
     "q126_recommend" -> q126Recommend,
