@@ -1037,6 +1037,71 @@ object CurationOps {
           * 1000000 + 0.5) / 1000000).as("budget_share"))
   }
 
+  /** ε-differentially-private release of the per-(type, day) event
+    * histogram — the third member of the privacy family (k-anonymity
+    * q178 and l-diversity q186 AUDIT re-identification risk; this one
+    * RELEASES counts with a formal guarantee): each event contributes
+    * to exactly one cell, so the count vector has L1 sensitivity 1
+    * and per-cell Laplace(1/ε) noise (ε = 1) is the standard
+    * mechanism. Noise is DETERMINISTIC — the inverse Laplace CDF
+    * applied to u = (60-bit md5 of the cell key)/2⁶⁰ — which is the
+    * seeded-noise practice real DP releases use for reproducibility,
+    * and what makes the mechanism exactly checkable cross-engine.
+    * The gate emits n_true beside the noised value to VALIDATE the
+    * mechanism; a production release projects n_released only.
+    *
+    * Exactness: u is one IEEE division of an exact int by 2⁶⁰; the
+    * CASE splits the CDF at u < 0.5 (noise = ln(2u) ≤ 0, else
+    * −ln(2−2u) ≥ 0) with a 1e-12 floor inside ln (u = 0 exactly has
+    * probability 2⁻⁶⁰ but would be −inf); ln's last-ulp libm risk is
+    * absorbed by the repo-wide 1e-6 rounding.
+    *
+    * Scale shape: ONE (type, day)-keyed count — the q173 frame — and
+    * the noise is a map-side scalar on those ≤|types|·|days| cells. */
+  val q199DpHistogram: QueryDef = QueryDef.withOracle(
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 86400000000
+      |      AS day, CAST(count(*) AS BIGINT) AS n_true
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT event_type, day, n_true,
+      |    CAST(('0x' || substring(md5(event_type || ':'
+      |        || CAST(day AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |      / CAST(1152921504606846976 AS DOUBLE) AS uu
+      |  FROM daily),
+      |z AS (
+      |  SELECT event_type, day, n_true,
+      |    floor((CASE WHEN uu < CAST(0.5 AS DOUBLE)
+      |      THEN ln(greatest(CAST(2 AS DOUBLE) * uu, CAST(1e-12 AS DOUBLE)))
+      |      ELSE -ln(greatest(CAST(2 AS DOUBLE) - CAST(2 AS DOUBLE) * uu,
+      |        CAST(1e-12 AS DOUBLE))) END) * 1000000 + 0.5) / 1000000
+      |      AS noise
+      |  FROM u)
+      |SELECT event_type, day, n_true, noise,
+      |  CAST(n_true AS DOUBLE) + noise AS n_released
+      |FROM z""".stripMargin
+  ) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        graft.operators.AnalyticsOps2.epochDay(unix_micros(col("ts")))
+          .as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_true"))
+    val uu = conv(substring(md5(concat(col("event_type"), lit(":"),
+        col("day").cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(1152921504606846976.0)
+    daily
+      .withColumn("uu", uu)
+      .withColumn("noise",
+        floor(when(col("uu") < lit(0.5),
+          log(greatest(lit(2.0) * col("uu"), lit(1e-12))))
+          .otherwise(-log(greatest(lit(2.0) - lit(2.0) * col("uu"),
+            lit(1e-12)))) * 1000000 + 0.5) / 1000000)
+      .select(col("event_type"), col("day"), col("n_true"), col("noise"),
+        (col("n_true").cast("double") + col("noise")).as("n_released"))
+  }
+
   /** Header/detail reconciliation audit — order totals against their
     * lineitem sums, banded by relative gap in integer BASIS POINTS —
     * the classic warehouse consistency check q88's expectation suite
@@ -1138,6 +1203,7 @@ object CurationOps {
     "q167_split_leakage" -> q167SplitLeakage,
     "q168_chunk_packing" -> q168ChunkPacking,
     "q194_token_budget" -> q194TokenBudget,
+    "q199_dp_histogram" -> q199DpHistogram,
     "q170_ngram_decontam" -> q170NgramDecontam,
     "q178_k_anonymity" -> q178KAnonymity,
     "q181_fk_integrity" -> q181FkIntegrity,
