@@ -830,7 +830,13 @@ object GraphOps {
     * form — sampling baskets, not restricting items, is the lever
     * that scales. The item restriction is applied AFTER the pair agg
     * instead, where it prunes the rank/join work for lists nothing
-    * will score, at zero stream cost.
+    * will score, at zero stream cost. One estimator caveat, stated
+    * rather than hidden: the support ≥ 2 floor prunes pairs
+    * SUPERLINEARLY under sampling (a pair co-occurring twice in full
+    * data survives a 25% basket sample with probability ~1/16), so
+    * the warm-item set shrinks faster than 4× and hit rates compare
+    * within a sampling regime, not across regimes — the standard
+    * sampled offline-eval caveat.
     *
     * Scale shape: q182's exact plan on a 4×-smaller deterministic
     * subset — undirected pa<pb pair agg, mirror, cosine, top-3 rank,
