@@ -991,15 +991,25 @@ object CurationOps {
       |    AS budget_share
       |FROM a""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val caps = Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("cap"))
     val anchor = caps.agg(min(col("source")).as("anchor_src"))
-    val w = caps.crossJoin(broadcast(anchor))
+    val weighted = caps.crossJoin(broadcast(anchor))
       .withColumn("wt",
         when(col("source") === col("anchor_src"), 10L).otherwise(1L))
       .drop("anchor_src")
+    waterFillOn(weighted)
+  }
+
+  /** q194's closed-form weighted water-fill over a (source, cap, wt)
+    * frame, budget = Σcap div 2 — extracted so WaterFillSpec can
+    * property-test the prefix algebra against an iterative reference
+    * on adversarial inputs (ties, extreme weights, tiny budgets) that
+    * the corpus never produces. Caller guarantees cap ≥ 0, wt ≥ 1,
+    * and unique source names. */
+  private[operators] def waterFillOn(w: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val b = w.agg(expr("sum(cap) div 2").as("budget"),
       sum(col("wt")).as("totw"))
     // ≤|sources| rows from here down — the unpartitioned window is a
