@@ -58,6 +58,12 @@ object Verify {
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/rolling_fps.parquet")
     operators.CurationOps.winnowKgramsFrame(spark, sfDir)
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/winnow_kgrams.parquet")
+    // KLL estimates: sketch contents move across runs with Spark's
+    // partial-merge order, so q196 gates on THIS dump — the Spark
+    // query and the DuckDB oracle read the same estimate bytes, and
+    // the rank-error calibration downstream is deterministic.
+    operators.AnalyticsOps5.kllEstimatesFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/kll_estimates.parquet")
     multimodal.Multimodal.decode(
       multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir)))
       .select("media_id", "kind", "width", "height", "duration_ms")

@@ -374,12 +374,14 @@ object SketchAggregates {
     * ALWAYS instead of flipping a random coin — every step is a pure
     * function of its inputs, no RNG anywhere. The price is that
     * merge is not associative, so the final state depends on Spark's
-    * partial-merge tree: the gate query carries a rows-only driver
-    * check BY DESIGN, and SketchAggregatesSpec asserts what a
-    * consumer actually relies on — the rank-error bound (≤ 2% of n
-    * at k = 1024 on 1-partition AND 32-partition builds, so the
-    * merge path is inside the bound too) and the serialize
-    * roundtrip.
+    * partial-merge tree: the gate query (q196) therefore dumps the
+    * sketch estimates as a Verify fixture both engines read (the
+    * winnow/LSH pattern), making its full output hash-checkable, and
+    * SketchAggregatesSpec asserts what a consumer actually relies
+    * on — the rank-error bound (≤ 2% of n at k = 1024 on 1-partition
+    * AND 32-partition builds, so the merge path is inside the bound
+    * too), exact mass conservation (Σ weights == n), and the
+    * serialize roundtrip.
     *
     * eval() returns array<struct<v: double, c: bigint>> sorted by
     * value — a consumer estimates rank-t by the prefix-weight

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1038,6 +1038,37 @@ object AnalyticsOps5 {
             col("n_exact")) * 1000000 + 0.5) / 1000000).as("rel_err"))
   }
 
+  /** The sketch-derived piece of q196, dumped by Verify as a per-SF
+    * fixture (`kll_estimates.parquet`): per (event_type,
+    * pct ∈ {50,90,99}), the KLL sketch's quantile pick — the smallest
+    * sketch value whose cumulative weight reaches the pct share of
+    * the sketch mass. Sketch mass equals n EXACTLY (compaction
+    * conserves weighted mass: the even case promotes m of 2m items at
+    * doubled weight; the odd case keeps the minimum at weight w and
+    * promotes m of the remaining 2m — SketchAggregatesSpec asserts
+    * the equality), so the pick rule is the ceil-rank straddle on
+    * sketch rows. Deterministic WITHIN a run but not across runs
+    * (Spark's partial-merge order legitimately moves sketch contents
+    * inside the rank bound), which is exactly why this is a dumped
+    * fixture and not oracle-recomputed: both engines gate on the SAME
+    * sketch output bytes. */
+  def kllEstimatesFrame(s: SparkSession, d: String): DataFrame = {
+    val byT = Window.partitionBy(col("event_type"))
+    Tables.events(s, d).select(col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchAggregates.kllDoubles(col("value"), 1024)
+        .as("sk"))
+      .select(col("event_type"), explode(col("sk")).as("x"))
+      .select(col("event_type"), col("x.v").as("v"), col("x.c").as("c"))
+      .withColumn("cum", sum(col("c")).over(byT.orderBy(col("v"))))
+      .withColumn("n_est", sum(col("c")).over(byT))
+      .select(col("event_type"), col("v"), col("cum"), col("n_est"),
+        explode(expr("array(50L, 90L, 99L)")).as("pct"))
+      .filter(col("cum") * 100 >= col("pct") * col("n_est"))
+      .groupBy(col("event_type"), col("pct"))
+      .agg(min(col("v")).as("est_value"))
+  }
+
   /** KLL sketch quantiles per type, CALIBRATED against the exact
     * cell-frame answer — q166's exact/estimate pairing with the
     * mergeable-sketch estimator instead of the log histogram: p50/p90/
@@ -1049,48 +1080,84 @@ object AnalyticsOps5 {
     * data); this query runs both on the same column so every run
     * SHOWS the calibration.
     *
-    * Rows-only driver check BY DESIGN: deterministic KLL compaction
-    * is a pure function of the merge tree, but Spark's partial-merge
-    * order isn't fixed run to run, so estimates can move within the
-    * bound — which is the honest semantics of a sketch.
-    * SketchAggregatesSpec pins the rank-error bound (≤ 2% of n at
-    * k = 1024, 1-partition and 32-partition builds) and the serialize
-    * roundtrip; the rel_rank_err column re-demonstrates it on every
-    * run.
+    * Hash-gate protocol (the winnow/LSH fixture-dump pattern, r10
+    * verdict #1): sketch estimates move across runs with Spark's
+    * partial-merge order, so Verify dumps [[kllEstimatesFrame]] and
+    * BOTH engines read the same estimate bytes; everything downstream
+    * — the exact rank pick, the estimate's measured rank in the true
+    * data, rel_rank_err, and the within_bound ≤ 2% verdict — is then
+    * deterministic and hash-checked end to end. The bound itself is
+    * additionally spec-pinned at 1- and 32-partition builds
+    * (SketchAggregatesSpec) and under streaming state
+    * (StreamingKllSpec).
     *
     * Scale shape: one data pass for the sketch (ObjectHashAggregate
     * partial+final, ~24 KB per type), one (type, cents) count for the
     * exact side; everything downstream is ≤ |types|·(3k + |cents|)
     * metadata. */
-  val q196KllQuantiles: QueryDef = QueryDef.rowsOnly { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+  val q196KllQuantiles: QueryDef = QueryDef.withOracle(
+    s"""WITH e AS (
+      |  SELECT event_type, CAST(pct AS BIGINT) AS pct, est_value
+      |  FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/kll_estimates.parquet/*.parquet')),
+      |v AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |cells AS (
+      |  SELECT event_type, cents, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM cells GROUP BY 1),
+      |tg AS (
+      |  SELECT e.event_type, e.pct, t.n, (e.pct * t.n + 99) // 100 AS r,
+      |    e.est_value
+      |  FROM e JOIN t USING (event_type)),
+      |cum AS (
+      |  SELECT event_type, cents, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+      |  FROM cells),
+      |exact AS (
+      |  SELECT tg.event_type, tg.pct,
+      |    CAST(cum.cents AS DOUBLE) / 100 AS exact_value
+      |  FROM tg JOIN cum ON cum.event_type = tg.event_type
+      |    AND cum.cum >= tg.r AND cum.cum - cum.cnt < tg.r),
+      |rk AS (
+      |  SELECT tg.event_type, tg.pct, tg.n, tg.r, tg.est_value,
+      |    CAST(sum(CASE WHEN c.cents
+      |        <= CAST(floor(tg.est_value * 100 + 0.5) AS BIGINT)
+      |      THEN c.cnt ELSE 0 END) AS BIGINT) AS est_rank
+      |  FROM tg JOIN cells c ON c.event_type = tg.event_type
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |fin AS (
+      |  SELECT rk.event_type, rk.pct, rk.n, rk.est_value, rk.est_rank,
+      |    floor((CAST(abs(rk.est_rank - rk.r) AS DOUBLE) / rk.n) * 1000000
+      |      + 0.5) / 1000000 AS rel_rank_err
+      |  FROM rk)
+      |SELECT fin.event_type, fin.pct, fin.n, fin.est_value,
+      |  exact.exact_value, fin.est_rank, fin.rel_rank_err,
+      |  fin.rel_rank_err <= 0.02 AS within_bound
+      |FROM fin JOIN exact
+      |  ON exact.event_type = fin.event_type AND exact.pct = fin.pct"""
+      .stripMargin
+  ) { (s, d) =>
+    // Under Verify the estimates come from the dumped fixture — the
+    // SAME bytes the oracle reads, making the whole output (including
+    // est_value) hash-checkable even though sketch contents move
+    // across runs with the partial-merge order. Standalone (bench,
+    // specs) the frame is computed live; semantics are identical.
+    val fxPath = s"${SmartHomeOracle.fixtureDir}/sf_" +
+      s"${graft.Verify.sfTagOf(d)}/kll_estimates.parquet"
+    val estSrc =
+      if (new java.io.File(fxPath).isDirectory) s.read.parquet(fxPath)
+      else kllEstimatesFrame(s, d)
+    val ev = Tables.events(s, d).select(col("event_type"),
       floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    val byT = Window.partitionBy(col("event_type"))
-    val skr = ev.groupBy(col("event_type"))
-      .agg(graft.functions.SketchAggregates.kllDoubles(col("value"), 1024)
-        .as("sk"))
-      .select(col("event_type"), explode(col("sk")).as("x"))
-      .select(col("event_type"), col("x.v").as("v"), col("x.c").as("c"))
-      .withColumn("cum", sum(col("c")).over(byT.orderBy(col("v"))))
-      .withColumn("n_est", sum(col("c")).over(byT))
     val cells = ev.groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
       .cache() // bounded by value cardinality — the exact side's frame
-    val pcts = explode(expr("array(50L, 90L, 99L)")).as("pct")
     val targets = cells.groupBy(col("event_type"))
       .agg(sum(col("cnt")).as("n"))
-      .select(col("event_type"), col("n"), pcts)
+      .join(broadcast(estSrc), Seq("event_type"))
       .withColumn("r", expr("(pct * n + 99) div 100"))
-    // sketch pick: smallest sketch value whose cumulative weight
-    // reaches the pct share of the SKETCH mass (mass can differ from
-    // n by dropped odd-count minima — that is part of the error being
-    // measured)
-    val est = skr
-      .join(broadcast(targets.select(col("event_type"), col("pct"),
-        col("n"), col("r"))), Seq("event_type"))
-      .filter(col("cum") * 100 >= col("pct") * col("n_est"))
-      .groupBy(col("event_type"), col("pct"), col("n"), col("r"))
-      .agg(min(col("v")).as("est_value"))
     val exact = AnalyticsOps2.groupedPrefixSums(cells, Seq("event_type"),
         Seq(col("cents")), Seq((col("cnt"), "cum", None)))
       .join(broadcast(targets.select(col("event_type"), col("pct"),
@@ -1098,17 +1165,19 @@ object AnalyticsOps5 {
       .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
       .select(col("event_type"), col("pct"),
         (col("cents").cast("double") / 100).as("exact_value"))
-    val estRank = est.join(cells, Seq("event_type"))
+    val estRank = targets.join(cells, Seq("event_type"))
       .groupBy(col("event_type"), col("pct"), col("n"), col("r"),
         col("est_value"))
       .agg(sum(when(col("cents") <=
         floor(col("est_value") * 100 + 0.5).cast("long"), col("cnt"))
         .otherwise(0L)).as("est_rank"))
     estRank.join(exact, Seq("event_type", "pct"))
+      .withColumn("rel_rank_err",
+        floor((abs(col("est_rank") - col("r")).cast("double") / col("n"))
+          * 1000000 + 0.5) / 1000000)
       .select(col("event_type"), col("pct"), col("n"), col("est_value"),
-        col("exact_value"),
-        (floor((abs(col("est_rank") - col("r")).cast("double") / col("n"))
-          * 1000000 + 0.5) / 1000000).as("rel_rank_err"))
+        col("exact_value"), col("est_rank"), col("rel_rank_err"),
+        (col("rel_rank_err") <= 0.02).as("within_bound"))
   }
 
   val all: Map[String, QueryDef] = Map(

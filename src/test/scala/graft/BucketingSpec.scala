@@ -17,6 +17,20 @@ class BucketingSpec extends SparkSpec {
     plan.collect { case e: ShuffleExchangeLike => e }.size
   }
 
+  /** Remove ONLY this spec's table directories from the shared
+    * warehouse — a recursive delete of spark-warehouse itself would
+    * clobber tables any other (or concurrent) spec created there. */
+  private def dropTables(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val dir = new java.io.File("spark-warehouse", t)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
@@ -58,15 +72,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.sql("DROP TABLE IF EXISTS li_b")
-      spark.sql("DROP TABLE IF EXISTS o_b")
-      val wh = new java.io.File("spark-warehouse")
-      if (wh.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(wh)
-      }
+      dropTables("li_b", "o_b")
     }
   }
 
@@ -98,15 +104,7 @@ class BucketingSpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
-      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-      val wh = new java.io.File("spark-warehouse")
-      if (wh.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(wh)
-      }
+      dropTables("lineitem_bucketed", "orders_bucketed")
     }
   }
 }

@@ -143,10 +143,12 @@ class SketchAggregatesSpec extends SparkSpec {
         .orderBy("v")
         .collect()
         .map(r => (r.getDouble(0), r.getLong(1)))
-      // sketch mass ≈ n (odd-count compactions leave items behind,
-      // they never inflate)
+      // compaction conserves weighted mass EXACTLY (even case: m of
+      // 2m items promoted at doubled weight; odd case: min kept at w
+      // plus m items at 2w = (2m+1)w) — strict equality catches any
+      // weight-conservation regression in compact()/merge()
       val mass = pairs.map(_._2).sum
-      assert(mass <= n && mass > n * 9 / 10, s"parts=$parts mass=$mass")
+      assert(mass == n, s"parts=$parts mass=$mass != n=$n")
       for (pct <- Seq(50, 90, 99)) {
         val target = (pct.toLong * mass + 99) / 100
         var cum = 0L

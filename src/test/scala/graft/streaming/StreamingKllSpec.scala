@@ -77,8 +77,10 @@ class StreamingKllSpec extends SparkSpec {
         (ts(1 + (i % 50)), v.toDouble)
       })
     val pairs = runStream(batches, 1024, "kllbound").sortBy(_._1)
+    // compaction conserves weighted mass exactly (see
+    // SketchAggregatesSpec) — streaming state merges must preserve it
     val mass = pairs.map(_._2).sum
-    assert(mass <= n && mass > n * 9 / 10, s"mass=$mass")
+    assert(mass == n, s"mass=$mass != n=$n")
     for (pct <- Seq(50, 90, 99)) {
       val target = (pct.toLong * mass + 99) / 100
       var cum = 0L
