@@ -25,7 +25,12 @@ object ExplainAudit {
         // index, grouped-prefix conformal rank, one-pass moment
         // algebra, sketch-algebra overlap
         "q169_zorder_layout", "q174_bloom_index",
-        "q176_conformal_interval", "q172_cuped", "q171_hll_overlap")
+        "q176_conformal_interval", "q172_cuped", "q171_hll_overlap",
+        // round-10 shapes: sampled holdout metric + cohort serving
+        // (the sf100 escape hatches), water-fill token budgeting, KLL
+        // sketch calibration
+        "q193_reco_holdout_sampled", "q198_recommend_sampled",
+        "q194_token_budget", "q196_kll_quantiles")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -994,6 +994,12 @@ object CurationOps {
     val caps = Tables.documents(s, d)
       .groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ", -1)).cast("long")).as("cap"))
+      // ≤|sources| rows, but REACHED THROUGH the tokenization scan:
+      // the water-fill algebra branches this frame (anchor, budget,
+      // ranks, saturation) and without the cache every branch would
+      // replay the full documents pass — 8 scans where the design
+      // says ONE (caught by the q194 PlanSpec lock)
+      .cache()
     val anchor = caps.agg(min(col("source")).as("anchor_src"))
     val weighted = caps.crossJoin(broadcast(anchor))
       .withColumn("wt",
@@ -1054,11 +1060,19 @@ object CurationOps {
     * to exactly one cell, so the count vector has L1 sensitivity 1
     * and per-cell Laplace(1/ε) noise (ε = 1) is the standard
     * mechanism. Noise is DETERMINISTIC — the inverse Laplace CDF
-    * applied to u = (60-bit md5 of the cell key)/2⁶⁰ — which is the
-    * seeded-noise practice real DP releases use for reproducibility,
-    * and what makes the mechanism exactly checkable cross-engine.
-    * The gate emits n_true beside the noised value to VALIDATE the
-    * mechanism; a production release projects n_released only.
+    * applied to u = (60-bit md5 of the cell key)/2⁶⁰ — which is what
+    * makes the mechanism exactly checkable cross-engine. PRIVACY
+    * CAVEAT (this gate demonstrates the mechanism's SHAPE, not a
+    * deployable guarantee): u here is a PUBLIC hash of the cell key,
+    * so a mechanism-aware adversary recomputes and subtracts the
+    * noise exactly — the ε-DP guarantee only holds when u is derived
+    * from a key the adversary cannot know. A production release must
+    * key the hash with a secret (e.g. u = HMAC(secret_key, cell_key)
+    * / 2⁶⁰ — the seeded-noise practice real DP systems use for
+    * reproducible releases), which changes nothing in this plan
+    * except the hash input. The gate emits n_true beside the noised
+    * value to VALIDATE the mechanism; a production release projects
+    * n_released only.
     *
     * Exactness: u is one IEEE division of an exact int by 2⁶⁰; the
     * CASE splits the CDF at u < 0.5 (noise = ln(2u) ≤ 0, else

@@ -1005,6 +1005,68 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q193: sampled holdout keeps q182's shapes — cached basket frame, " +
+      "post-agg leftsemi, scalar-only nested-loop joins") {
+    val p = plan("q193_reco_holdout_sampled")
+    // the (order, part, is_train) frame materializes once and both
+    // split branches read the cache; the md5-mod sampling filters are
+    // in-plan (they are the scale knob)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("md5"), p)
+    // eval-item restriction lands POST-agg as a semi join (the
+    // measured pre-agg dead end is documented in the scaladoc)
+    assert(p.contains("LeftSemi"), p)
+    // top-3 neighbor rank pushes partial WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+    // the ONLY nested-loop joins are the four-scalar result assembly
+    // (1-row broadcast frames); the data-sized legs are all equi-joins
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q198: cohort serving fans out through equi-joins only") {
+    val p = plan("q198_recommend_sampled")
+    // both md5-mod knobs (train-basket sample, serving cohort) in-plan
+    assert(p.contains("md5"), p)
+    // owned-item cache feeds the fan-out join AND the anti-join
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.toLowerCase.contains("leftanti"), p)
+    // per-cust top-3 pushes partial WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+    // the cohort fan-out must never plan nested-loop: every data-sized
+    // leg is an item- or (cust,item)-keyed equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("q194: water-fill rides one tokenization pass; no data-sized joins") {
+    val p = plan("q194_token_budget")
+    // ONE pass over documents for the source-keyed token sum; the
+    // water-fill branches (anchor, budget, ranks, saturation) all read
+    // the cached ≤|sources| frame — broadcast scalars only downstream
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q196: live sketch builds as a partial+final ObjectHashAggregate") {
+    // pin the LIVE estimator path explicitly (under Verify the gate
+    // query swaps in the dumped fixture, so its own plan is mode-
+    // dependent): the KLL state must pre-combine map-side like every
+    // mergeable sketch — never collect values
+    val live = operators.AnalyticsOps5
+      .kllEstimatesFrame(spark, sf("sf0.001"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(live.toLowerCase.contains("klldoubles"), live)
+    assert(nodes(live, "ObjectHashAggregate") >= 2, live)
+    // downstream calibration (either mode): cells cache + broadcast
+    // joins on the metadata frames, no cartesian anywhere
+    val p = plan("q196_kll_quantiles")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
