@@ -36,6 +36,7 @@ object SparkEntry {
     operators.AnalyticsOps5.all,
     operators.LayoutOps.all,
     operators.AnalyticsOps6.all,
+    operators.AnalyticsOps7.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -64,6 +64,11 @@ object Verify {
     // the rank-error calibration downstream is deterministic.
     operators.AnalyticsOps5.kllEstimatesFrame(spark, sfDir)
       .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/kll_estimates.parquet")
+    // Per-doc DEFLATE ratios (1e-6 fixed point): zlib can't run in
+    // DuckDB, so q203's oracle re-derives its banding/aggregation
+    // from these engine-computed values (the minhash/simhash pattern)
+    operators.AnalyticsOps7.deflateRatioFrame(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$fx/sf_$sfTag/deflate_ratios.parquet")
     multimodal.Multimodal.decode(
       multimodal.Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sfDir)))
       .select("media_id", "kind", "width", "height", "duration_ms")

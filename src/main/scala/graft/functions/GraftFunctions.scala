@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   graft_cosine(a, b)         cosine similarity
   *   graft_simhash(tokens)      64-bit SimHash of array<string>
   *   graft_rolling_fp(tokens)   order-sensitive rolling fingerprint
+  *   graft_deflate_ratio(text)  DEFLATE compression ratio (quality signal)
   *   graft_lsh_sig(a, L, k)     hyperplane LSH buckets (L tables × k bits;
   *                              L and k must be foldable integers)
   *   graft_morton(a, b)         Z-order interleave of two bigints' low 31 bits
@@ -57,6 +58,7 @@ object GraftFunctions {
     },
     unary("graft_simhash")(TextExpressions.SimHash64(_)),
     unary("graft_rolling_fp")(TextExpressions.RollingFingerprint(_)),
+    unary("graft_deflate_ratio")(TextExpressions.DeflateRatio(_)),
     binary("graft_morton")(LayoutExpressions.MortonCode(_, _)),
     "graft_lsh_sig" -> { args =>
       require(args.length == 3, "graft_lsh_sig expects 3 arguments")

@@ -1067,6 +1067,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q200: moment sums ride the cached joint cells; marginals broadcast") {
+    val p = plan("q200_spearman")
+    // ONE data pass builds the joint (source, chars, tokens) cells;
+    // the doubled-rank marginals join back as broadcasts
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q201: pair CDF walk runs on replicated CELLS, never on data") {
+    val p = plan("q201_wasserstein")
+    // one (type, cents) cell pass; the |types|² pair frame is a
+    // broadcast inequality join over the totals (metadata), and the
+    // merged-CDF windows partition on the pair key
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("windowspecdefinition(ta"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q202: quantile match is the union+suffix-window on cell frames") {
+    val p = plan("q202_quantile_normalize")
+    // one (source, chars) cell pass; the pooled frame aggregates FROM
+    // the cached cells (no second scan); the unpartitioned pooled
+    // prefix window and the per-source match window both run on
+    // value-cardinality-bounded frames — metadata sorts by design
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q203: DEFLATE scoring is a map-side scalar on the one scan") {
+    val p = plan("q203_compress_quality")
+    // the native expression rides the scan; the ONLY exchange is the
+    // final ≤|sources| partial+final aggregate
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.toLowerCase.contains("deflateratio"), p)
+    assert(nodes(p, "Exchange") == 1, p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
