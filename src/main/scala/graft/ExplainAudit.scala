@@ -30,7 +30,12 @@ object ExplainAudit {
         // (the sf100 escape hatches), water-fill token budgeting, KLL
         // sketch calibration
         "q193_reco_holdout_sampled", "q198_recommend_sampled",
-        "q194_token_budget", "q196_kll_quantiles")
+        "q194_token_budget", "q196_kll_quantiles",
+        // round-11 shapes: joint-cell rank correlations, pairwise
+        // cell-replicated tests, dense-frame divergences, cached-edge
+        // iterative HITS, one-pass split-cell LM audits
+        "q200_spearman", "q201_wasserstein", "q204_kendall_tau",
+        "q205_mann_whitney", "q208_hits", "q209_perplexity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

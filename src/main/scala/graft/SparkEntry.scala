@@ -37,6 +37,7 @@ object SparkEntry {
     operators.LayoutOps.all,
     operators.AnalyticsOps6.all,
     operators.AnalyticsOps7.all,
+    operators.AnalyticsOps8.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -132,7 +132,12 @@ class PlanCoverageSpec extends SparkSpec {
       "(cumcap/cumw over cap/weight order) runs over the per-source " +
       "capacity AGGREGATE — one row per source, metadata-sized by " +
       "construction; the data-sized work is the single tokenization " +
-      "pass feeding that aggregate"))
+      "pass feeding that aggregate"),
+    "q210_oov_rate" -> ("the unpartitioned top-K vocabulary rank runs " +
+      "over the corpus-wide train token AGGREGATE — one row per " +
+      "distinct token, Heaps-bounded metadata (the q194/q202 " +
+      "argument); the data-sized work is the two split-predicate " +
+      "token-cell passes feeding it"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet

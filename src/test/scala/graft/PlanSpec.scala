@@ -1111,6 +1111,68 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("q204: grid tau-b rides cached cells; pair algebra never touches data") {
+    val p = plan("q204_kendall_tau")
+    // ONE data pass builds the raw joint cells (cached — min/max AND
+    // banding read the same frame); the ≤64² banded cells cache again
+    // and feed n/S/tie branches; the lexicographic self-join is
+    // cell×cell metadata
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(nodes(p, "InMemoryTableScan") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q205: pairwise rank-sum walks replicated CELLS (the q201 posture)") {
+    val p = plan("q205_mann_whitney")
+    // one (source, value) cell pass; the |sources|² pair frame
+    // replicates cells via broadcast joins; rank windows partition on
+    // the pair key
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("windowspecdefinition(sa"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q206: JSD shares q158's one-pass dense-frame shape") {
+    val p = plan("q206_js_divergence")
+    // one token-cell pass feeds the corpus margin, source margin, AND
+    // the dense join; margins ride in as broadcasts
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q208: HITS half-steps are cached state; scalar-only cross joins") {
+    // the formatted explain INLINES unmaterialized cached plans (with
+    // fresh ids per reference), so string node-counting overstates —
+    // walk the optimized LOGICAL plan instead, where each cached
+    // half-step is an InMemoryRelation leaf.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val qe = SparkEntry.queries("q208_hits")(spark, sf("sf0.001"))
+      .queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    // above the cache boundaries only the TWO final normalizers
+    // remain, and their cross joins carry a 1-row broadcast max frame
+    val cross = joins.filter(_.condition.isEmpty)
+    assert(cross.length == 2, qe.optimizedPlan.treeString)
+    assert(joins.forall(j => j.condition.nonEmpty || j.hint.rightHint
+      .exists(_.strategy.nonEmpty)), qe.optimizedPlan.treeString)
+    val caches = qe.optimizedPlan.collect { case r: InMemoryRelation => r }
+    assert(caches.nonEmpty, qe.optimizedPlan.treeString)
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q209: perplexity is ONE corpus pass — no scoring join at all") {
+    val p = plan("q209_perplexity")
+    // both splits are conditional counts on the same cached cell
+    // frame; the only join is the broadcast ≤|sources| margin
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
