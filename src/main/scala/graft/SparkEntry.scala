@@ -38,6 +38,7 @@ object SparkEntry {
     operators.AnalyticsOps6.all,
     operators.AnalyticsOps7.all,
     operators.AnalyticsOps8.all,
+    operators.AnalyticsOps9.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -606,9 +606,14 @@ object AnalyticsOps8 {
       |FROM h""".stripMargin
   ) { (s, d) =>
     // ONE corpus pass: both splits land in the same (source, token)
-    // cell via conditional counts — no second scan, no scoring join
+    // cell via conditional counts — no second scan, no scoring join.
+    // The bucket is projected BEFORE the explode: a single select
+    // with generator + md5 would compute the md5 in the Project
+    // ABOVE the Generate — once per token instead of once per doc
+    // (measured 3.2 s → sub-second at sf1).
     val cells = Tables.documents(s, d)
-      .select(col("source"), bucketCol.as("b"),
+      .select(col("source"), bucketCol.as("b"), col("text"))
+      .select(col("source"), col("b"),
         explode(split(col("text"), " ", -1)).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(sum(when(col("b") < 80, 1L).otherwise(0L)).as("ct"),
@@ -676,7 +681,8 @@ object AnalyticsOps8 {
       |GROUP BY 1""".stripMargin
   ) { (s, d) =>
     val cells = Tables.documents(s, d)
-      .select(col("source"), bucketCol.as("b"),
+      .select(col("source"), bucketCol.as("b"), col("text"))
+      .select(col("source"), col("b"), // md5 below the Generate (q209)
         explode(split(col("text"), " ", -1)).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(sum(when(col("b") < 80, 1L).otherwise(0L)).as("ct"),

@@ -137,7 +137,14 @@ class PlanCoverageSpec extends SparkSpec {
       "over the corpus-wide train token AGGREGATE — one row per " +
       "distinct token, Heaps-bounded metadata (the q194/q202 " +
       "argument); the data-sized work is the two split-predicate " +
-      "token-cell passes feeding it"))
+      "token-cell passes feeding it"),
+    "q213_isotonic_calibration" -> ("the prefix-sum and cummax windows " +
+      "run over the ≤|bands| reliability-cell AGGREGATE (scores band " +
+      "to whole currency units — value-range-bounded metadata); the " +
+      "data-sized work is the one banded count feeding it"),
+    "q214_ndcg" -> ("the unpartitioned popularity rank runs over the " +
+      "≤|event types| margin AGGREGATE (metadata); the per-user ideal " +
+      "rank partitions on user_id (a real key) with the limit pushed"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet

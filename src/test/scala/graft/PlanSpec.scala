@@ -786,6 +786,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q211: both curve layouts ride CELL prefix sums; one events scan") {
+    val p = plan("q211_hilbert_layout")
+    // Morton AND Hilbert file assignments are grouped prefix sums over
+    // the 16-bit-key cell frames (the q169 collapse applied twice) —
+    // range-partitioned, never a single-task row rank; the Hilbert
+    // recurrence itself is map-side integer CASE arithmetic on the scan
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q170: gram containment is an equi semi-join on hash keys") {
     val p = plan("q170_ngram_decontam")
     // the only data-sized join is LeftSemi on the 16-byte gram hash —
