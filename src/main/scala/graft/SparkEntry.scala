@@ -39,6 +39,7 @@ object SparkEntry {
     operators.AnalyticsOps7.all,
     operators.AnalyticsOps8.all,
     operators.AnalyticsOps9.all,
+    operators.AnalyticsOps10.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -1186,6 +1186,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q217: all 32 bootstrap replicates ride ONE exploded hash aggregate") {
+    val p = plan("q217_poisson_bootstrap")
+    // the Poisson trick's whole point: B replicates must be ONE scan
+    // exploded ×32 into a partial+final aggregate keyed on the
+    // replicate id (≤32 cells per task pre-shuffle), plus one plain
+    // pass for the exact point estimate — never B shuffled resamples
+    assert(nodes(p, "Generate") >= 1, p) // the ×32 replicate explode
+    assert(nodes(p, "Scan parquet") == 2, p) // replicate pass + point pass
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(p.contains("InMemoryTableScan"), p) // 32-row frame reused 4×
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q218: jackknife is one 64-cell aggregate — no window, no resort") {
+    val p = plan("q218_bucket_jackknife")
+    // per-bucket sums collapse map-side; every leave-one-out ratio and
+    // the variance ride the cached 64-row frame with broadcast scalars
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q219: doc offsets ride the two-phase prefix; fit is on bucket cells") {
+    val p = plan("q219_heaps_law")
+    // doc start positions must come from the range-partitioned
+    // two-phase prefix sum (never one task sorting all docs), the
+    // corpus pass is ONE posexplode into the min-per-term aggregate,
+    // and the regression runs on the ≤64-cell power-of-two rollup
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(nodes(p, "Generate") >= 1, p) // the one posexplode pass
+    assert(p.contains("InMemoryTableScan"), p) // vocab frame reused
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q220: ANOVA is one k-cell moment aggregate, joinless on data") {
+    val p = plan("q220_anova")
+    // the F statistic needs only per-source (n, Σx, Σx²) — one
+    // map-side-combined pass; everything else is the k-row frame with
+    // a broadcast 1-row total
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
