@@ -459,9 +459,401 @@ object AnalyticsOps10 {
         (ssb / sst).as("eta_sq"))
   }
 
+  /** Brier score with Murphy decomposition for the purchase-propensity
+    * score — q115's AUC grades the RANKING, q151/q213 grade and repair
+    * the LEVELS; this grades the full probabilistic forecast and says
+    * WHERE the loss lives: Brier = reliability − resolution +
+    * uncertainty (miscalibration cost, discrimination credit,
+    * irreducible base-rate noise). Scores normalize to [0,1] by the
+    * global min/max; the decomposition bins p into 20 equal-width
+    * cells (the binned identity differs from raw Brier by the
+    * within-bin forecast variance — reported as decomp_gap, not
+    * hidden).
+    *
+    * Exactness: the raw Brier is FULLY integer — with cents c, min m,
+    * range R, label y: (p−y)² = ((c−m) − y·R)²/R², so the numerator
+    * sums exact int64 squares into decimal(38,0)/HUGEINT and Brier is
+    * two divisions. Bin ids are integer division; per-bin means are
+    * divisions of exact sums; REL/RES terms quantize SCALE-FREE as
+    * (n_k/N)·Δ² at 1e-9 on the 20-cell frame.
+    *
+    * Scale shape: one min/max aggregate, one (bin) aggregate over a
+    * second pass (≤20 cells, map-side combined), everything downstream
+    * on the broadcast cell frame. */
+  val q221BrierDecomposition: QueryDef = QueryDef.withOracle(
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+      |    CAST(event_type = 'purchase' AS BIGINT) AS y
+      |  FROM events),
+      |mm AS (
+      |  SELECT min(c) AS m, max(c) - min(c) AS r FROM ev),
+      |raw AS (
+      |  SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST((c - m - y * r) * (c - m - y * r) AS HUGEINT)) AS s2
+      |  FROM ev CROSS JOIN mm),
+      |cell AS (
+      |  SELECT least(19, ((c - m) * 20) // r) AS k, count(*) AS nk,
+      |    CAST(sum(y) AS BIGINT) AS syk,
+      |    CAST(sum(c - m) AS BIGINT) AS sck
+      |  FROM ev CROSS JOIN mm GROUP BY 1),
+      |dc AS (
+      |  SELECT
+      |    CAST(sum(CAST(floor((CAST(nk AS DOUBLE) / n)
+      |      * ((CAST(sck AS DOUBLE) / nk / r - CAST(syk AS DOUBLE) / nk)
+      |        * (CAST(sck AS DOUBLE) / nk / r - CAST(syk AS DOUBLE) / nk))
+      |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS rel_fp,
+      |    CAST(sum(CAST(floor((CAST(nk AS DOUBLE) / n)
+      |      * ((CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n)
+      |        * (CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n))
+      |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS res_fp
+      |  FROM cell CROSS JOIN raw CROSS JOIN mm)
+      |SELECT n AS n_events,
+      |  (CAST(s2 AS DOUBLE) / (CAST(r AS DOUBLE) * r)) / n AS brier,
+      |  CAST(rel_fp AS DOUBLE) / 1000000000 AS reliability,
+      |  CAST(res_fp AS DOUBLE) / 1000000000 AS resolution,
+      |  (CAST(sy AS DOUBLE) / n) * (1 - CAST(sy AS DOUBLE) / n)
+      |    AS uncertainty,
+      |  (CAST(s2 AS DOUBLE) / (CAST(r AS DOUBLE) * r)) / n
+      |    - (CAST(rel_fp AS DOUBLE) / 1000000000
+      |       - CAST(res_fp AS DOUBLE) / 1000000000
+      |       + (CAST(sy AS DOUBLE) / n) * (1 - CAST(sy AS DOUBLE) / n))
+      |    AS decomp_gap
+      |FROM raw CROSS JOIN mm CROSS JOIN dc""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .cache() // one events materialization feeds min/max, raw, cells
+    val mm = ev.agg(min(col("c")).as("m"),
+      (max(col("c")) - min(col("c"))).as("r"))
+    val num = (col("c") - col("m") - col("y") * col("r"))
+    val raw = ev.crossJoin(broadcast(mm))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("sy"),
+        sum(dec(num * num)).as("s2"))
+    val cell = ev.crossJoin(broadcast(mm))
+      .groupBy(least(lit(19),
+        expr("((c - m) * 20) div r")).as("k"))
+      .agg(count(lit(1)).as("nk"),
+        sum(col("y")).cast("long").as("syk"),
+        sum(col("c") - col("m")).cast("long").as("sck"))
+    val pk = col("sck").cast("double") / col("nk") / col("r")
+    val yk = col("syk").cast("double") / col("nk")
+    val yb = col("sy").cast("double") / col("n")
+    val dcf = cell.crossJoin(broadcast(raw)).crossJoin(broadcast(mm))
+      .select(
+        floor((col("nk").cast("double") / col("n"))
+          * ((pk - yk) * (pk - yk)) * 1000000000L + 0.5)
+          .cast("long").as("relt"),
+        floor((col("nk").cast("double") / col("n"))
+          * ((yk - yb) * (yk - yb)) * 1000000000L + 0.5)
+          .cast("long").as("rest"))
+      .agg(sum(col("relt")).as("rel_fp"), sum(col("rest")).as("res_fp"))
+    val brier = (col("s2").cast("double")
+      / (col("r").cast("double") * col("r"))) / col("n")
+    val rel = col("rel_fp").cast("double") / 1000000000L
+    val res = col("res_fp").cast("double") / 1000000000L
+    val unc = yb * (lit(1) - yb)
+    raw.crossJoin(broadcast(mm)).crossJoin(broadcast(dcf))
+      .select(col("n").as("n_events"),
+        brier.as("brier"),
+        rel.as("reliability"),
+        res.as("resolution"),
+        unc.as("uncertainty"),
+        (brier - (rel - res + unc)).as("decomp_gap"))
+  }
+
+  /** MRR and MAP@10 for the popularity recommender — q214's nDCG on
+    * the SAME prediction (the global event-type popularity top-10) and
+    * the same one-pass (user, type) frame, completing the ranking-eval
+    * triad: nDCG grades graded relevance, MRR grades time-to-first-hit,
+    * MAP grades precision across every hit. Per user, the relevant set
+    * is their top-3 event types (count desc, type tiebreak); AP@10 =
+    * Σ_{i-th hit at position p_i} (i/p_i) / |relevant|; RR = 1/position
+    * of the user's single top type (0 when outside the top-10).
+    *
+    * Exactness: positions and ranks are integers; each i/p term
+    * quantizes to 1e-9 fixed point per (user, hit) — ≤3 terms per
+    * user, order-free; per-user AP and RR land on a 1e-6 grid before
+    * the final mean (the q214 convention, int64 sums / one division).
+    *
+    * Scale shape: ONE events pass into the (user, type) aggregate
+    * (cached — margin, per-user ranks, and hits all reuse it); the
+    * global top-10 is a ≤|types| metadata sort; per-user windows
+    * partition on user_id (a real key, q214's shape); the hit join is
+    * broadcast(top-10). */
+  val q222MrrMap: QueryDef = QueryDef.withOracle(
+    """WITH uc AS (
+      |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+      |gt AS (
+      |  SELECT event_type,
+      |    row_number() OVER (ORDER BY c DESC, event_type) AS pos
+      |  FROM (SELECT event_type, CAST(sum(c) AS BIGINT) AS c
+      |        FROM uc GROUP BY 1)
+      |  QUALIFY pos <= 10),
+      |ur AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY c DESC, event_type) AS urank
+      |  FROM uc QUALIFY urank <= 3),
+      |rel AS (SELECT user_id, count(*) AS rel_cnt FROM ur GROUP BY 1),
+      |ii AS (
+      |  SELECT ur.user_id, ur.urank, gt.pos,
+      |    row_number() OVER (PARTITION BY ur.user_id ORDER BY gt.pos) AS i
+      |  FROM ur JOIN gt USING (event_type)),
+      |ap AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(CAST(i AS DOUBLE) / pos * 1000000000 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS ap_fp,
+      |    min(CASE WHEN urank = 1 THEN pos END) AS top1pos
+      |  FROM ii GROUP BY 1),
+      |per AS (
+      |  SELECT rel.user_id,
+      |    CAST(floor((CAST(coalesce(ap_fp, 0) AS DOUBLE) / 1000000000)
+      |      / rel_cnt * 1000000 + 0.5) AS BIGINT) AS ap6,
+      |    CAST(floor(coalesce(1.0 / top1pos, 0) * 1000000 + 0.5)
+      |      AS BIGINT) AS rr6,
+      |    CASE WHEN top1pos IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM rel LEFT JOIN ap USING (user_id))
+      |SELECT count(*) AS n_users,
+      |  floor(CAST(sum(rr6) AS DOUBLE) / count(*) + 0.5) / 1000000 AS mrr,
+      |  floor(CAST(sum(ap6) AS DOUBLE) / count(*) + 0.5) / 1000000
+      |    AS map_at10,
+      |  CAST(sum(hit) AS BIGINT) AS n_hits
+      |FROM per""".stripMargin
+  ) { (s, d) =>
+    val uc = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // one events pass feeds the margin and per-user ranks
+    val gt = uc.groupBy(col("event_type")).agg(sum(col("c")).as("gc"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("gc").desc, col("event_type"))))
+      .filter(col("pos") <= 10)
+      .select(col("event_type"), col("pos"))
+    val ur = uc
+      .withColumn("urank", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("c").desc, col("event_type"))))
+      .filter(col("urank") <= 3)
+      .select(col("user_id"), col("event_type"), col("urank"))
+      .cache() // feeds both the relevant-set counts and the hit join
+    val rel = ur.groupBy(col("user_id")).agg(count(lit(1)).as("rel_cnt"))
+    val ii = ur.join(broadcast(gt), Seq("event_type"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("pos"))))
+    val ap = ii.groupBy(col("user_id"))
+      .agg(sum(floor(col("i").cast("double") / col("pos")
+          * 1000000000L + 0.5).cast("long")).as("ap_fp"),
+        min(when(col("urank") === 1, col("pos"))).as("top1pos"))
+    val per = rel.join(ap, Seq("user_id"), "left")
+      .select(
+        floor((coalesce(col("ap_fp"), lit(0L)).cast("double")
+          / 1000000000L) / col("rel_cnt") * 1000000L + 0.5)
+          .cast("long").as("ap6"),
+        floor(coalesce(lit(1.0) / col("top1pos"), lit(0.0))
+          * 1000000L + 0.5).cast("long").as("rr6"),
+        when(col("top1pos").isNull, 0L).otherwise(1L).as("hit"))
+    per.agg(count(lit(1)).as("n_users"),
+      (floor(sum(col("rr6")).cast("double") / count(lit(1)) + 0.5)
+        / 1000000L).as("mrr"),
+      (floor(sum(col("ap6")).cast("double") / count(lit(1)) + 0.5)
+        / 1000000L).as("map_at10"),
+      sum(col("hit")).cast("long").as("n_hits"))
+  }
+
+  /** Blocking-quality audit — the two numbers that grade ANY blocking
+    * scheme before a record-linkage or dedup run commits to it
+    * (Christen, "Data Matching", ch. 4): reduction ratio (what share
+    * of the N² comparison space the blocks eliminate) and pairs
+    * completeness (what share of TRUE duplicate pairs land in the same
+    * block — recall of the candidate generation). Truth is the q49
+    * MinHash near-dup clustering; the audited scheme is the cheap
+    * (lang, n_chars div 64) key a pre-LSH pass would use.
+    *
+    * Both metrics COUNT pairs without materializing any: candidate
+    * pairs are Σ n_b(n_b−1)/2 over block sizes, truth pairs are
+    * Σ g(g−1)/2 over cluster sizes, co-blocked truth pairs are
+    * Σ m(m−1)/2 over (cluster, block) cell sizes — three aggregates,
+    * no joins between documents. Doubled pair counts accumulate in
+    * decimal(38,0)/HUGEINT (n(n−1) crosses 2^63 past ~3e9 docs); each
+    * ratio is one division; outputs are the doubled counts (exact
+    * ints) plus 1e-6-floored ratios.
+    *
+    * Scale shape: reads the memoized q49 canonical frame (its label
+    * propagation is spec'd and plan-audited at q49/q133/q141); one
+    * (block) aggregate, one (cluster) aggregate, one (cluster, block)
+    * aggregate — all map-side combined; the rollups are cell frames. */
+  val q223BlockingMetrics: QueryDef = QueryDef.withOracle(
+    s"""WITH RECURSIVE sg AS (
+      |  SELECT doc_id, sig FROM read_parquet('${SmartHomeOracle.fixtureDir}/sf___SFTAG__/minhash_sigs.parquet/*.parquet')),
+      |banded AS (
+      |  SELECT doc_id, sig, b AS band, sig[b*4+1:b*4+4] AS band_sig
+      |  FROM sg, LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sig AS sig_a, b.sig AS sig_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_sig = b.band_sig
+      |    AND a.doc_id < b.doc_id),
+      |prs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+      |    / 16 >= 0.25),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM prs
+      |  UNION SELECT doc_b AS a, doc_a AS b FROM prs),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r AS r
+      |  FROM edges e JOIN reach ON reach.doc_id = e.b),
+      |canon AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY 1),
+      |db AS (
+      |  SELECT doc_id, lang || ':' || CAST(n_chars // 64 AS VARCHAR) AS blk
+      |  FROM documents),
+      |blocks AS (
+      |  SELECT count(*) AS n_blocks,
+      |    sum(CAST(nb AS HUGEINT) * (nb - 1)) AS cand2
+      |  FROM (SELECT blk, count(*) AS nb FROM db GROUP BY 1)),
+      |tot AS (SELECT count(*) AS n_docs FROM db),
+      |truth AS (
+      |  SELECT sum(CAST(g AS HUGEINT) * (g - 1)) AS truth2
+      |  FROM (SELECT canonical_id, count(*) AS g FROM canon GROUP BY 1)),
+      |cob AS (
+      |  SELECT sum(CAST(m AS HUGEINT) * (m - 1)) AS co2
+      |  FROM (SELECT canonical_id, blk, count(*) AS m
+      |        FROM canon JOIN db USING (doc_id) GROUP BY 1, 2))
+      |SELECT n_docs, n_blocks,
+      |  CAST(cand2 AS BIGINT) AS cand_pairs2,
+      |  CAST(truth2 AS BIGINT) AS truth_pairs2,
+      |  CAST(co2 AS BIGINT) AS co_pairs2,
+      |  floor((1 - CAST(cand2 AS DOUBLE)
+      |    / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) * 1000000 + 0.5)
+      |    / 1000000 AS reduction_ratio,
+      |  floor((CAST(co2 AS DOUBLE) / CAST(truth2 AS DOUBLE))
+      |    * 1000000 + 0.5) / 1000000 AS pairs_completeness
+      |FROM tot CROSS JOIN blocks CROSS JOIN truth CROSS JOIN cob""".stripMargin
+  ) { (s, d) =>
+    val db = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("lang"), lit(":"),
+          expr("n_chars div 64").cast("string")).as("blk"))
+      .cache() // feeds the block rollup and the co-block join
+    val blocks = db.groupBy(col("blk")).agg(count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(dec(col("nb")) * (col("nb") - 1)).as("cand2"))
+    val tot = db.agg(count(lit(1)).as("n_docs"))
+    val canon = DedupOps.q49DedupClusters.fn(s, d)
+    val truth = canon.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("g"))
+      .agg(sum(dec(col("g")) * (col("g") - 1)).as("truth2"))
+    val cob = canon.join(db, Seq("doc_id"))
+      .groupBy(col("canonical_id"), col("blk"))
+      .agg(count(lit(1)).as("m"))
+      .agg(sum(dec(col("m")) * (col("m") - 1)).as("co2"))
+    tot.crossJoin(broadcast(blocks)).crossJoin(broadcast(truth))
+      .crossJoin(broadcast(cob))
+      .select(col("n_docs"), col("n_blocks"),
+        col("cand2").cast("long").as("cand_pairs2"),
+        col("truth2").cast("long").as("truth_pairs2"),
+        col("co2").cast("long").as("co_pairs2"),
+        (floor((lit(1) - col("cand2").cast("double")
+          / (col("n_docs").cast("double") * (col("n_docs") - 1)))
+          * 1000000L + 0.5) / 1000000L).as("reduction_ratio"),
+        (floor((col("co2").cast("double") / col("truth2").cast("double"))
+          * 1000000L + 0.5) / 1000000L).as("pairs_completeness"))
+  }
+
+  /** Bias-corrected Cramér's V between lang and source — the
+    * NORMALIZED χ² association on a [0,1] scale, closing the
+    * association family: q184 raw mutual information, q212 Theil's U
+    * (asymmetric, entropy-based), this one symmetric and
+    * χ²-based with the Bergsma–Wicher small-sample correction (the
+    * uncorrected V systematically overstates association when the
+    * table is sparse relative to N).
+    *
+    * χ² sums over OBSERVED cells only via the zero-cell identity
+    * χ² = Σ_obs((o−e)²/e − e) + N — the unobserved cells' Σe folds
+    * into N, so no dense lang×source grid is ever materialized. Each
+    * cell term quantizes to 1e-9 fixed point (≤|langs|·|sources|
+    * cells, order-free); expected counts are divisions of exact int64
+    * margins; both V's are single sqrt's of ratios of deterministic
+    * doubles, 1e-6-floored.
+    *
+    * Scale shape: ONE (lang, source) count collapses the corpus;
+    * margins and totals ride the cell frame with broadcast joins —
+    * the q212/q178 posture. */
+  val q224CramersV: QueryDef = QueryDef.withOracle(
+    """WITH cell AS (
+      |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM cell GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cell GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    count(DISTINCT lang) AS r, count(DISTINCT source) AS cc
+      |  FROM cell),
+      |x2 AS (
+      |  SELECT CAST(sum(CAST(floor(
+      |    ((c - (CAST(nl AS DOUBLE) * ns) / n)
+      |      * (c - (CAST(nl AS DOUBLE) * ns) / n)
+      |      / ((CAST(nl AS DOUBLE) * ns) / n)
+      |      - (CAST(nl AS DOUBLE) * ns) / n) * 1000000000 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS t_fp
+      |  FROM cell JOIN nl USING (lang) JOIN ns USING (source)
+      |  CROSS JOIN tot)
+      |SELECT n AS n_docs, r AS n_langs, cc AS n_sources,
+      |  CAST(t_fp AS DOUBLE) / 1000000000 + n AS chi2,
+      |  floor(sqrt((CAST(t_fp AS DOUBLE) / 1000000000 + n) / n
+      |      / least(r - 1, cc - 1)) * 1000000 + 0.5) / 1000000 AS v,
+      |  floor(sqrt(
+      |    greatest(0, (CAST(t_fp AS DOUBLE) / 1000000000 + n) / n
+      |      - CAST((r - 1) * (cc - 1) AS DOUBLE) / (n - 1))
+      |    / least(r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1) - 1,
+      |            cc - CAST((cc - 1) * (cc - 1) AS DOUBLE) / (n - 1) - 1))
+      |    * 1000000 + 0.5) / 1000000 AS v_corrected
+      |FROM tot CROSS JOIN x2""".stripMargin
+  ) { (s, d) =>
+    val cell = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .cache() // one corpus pass feeds margins, totals, and χ²
+    val nl = cell.groupBy(col("lang")).agg(sum(col("c")).as("nl"))
+    val ns = cell.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val tot = cell.agg(sum(col("c")).cast("long").as("n"),
+      countDistinct(col("lang")).as("r"),
+      countDistinct(col("source")).as("cc"))
+    val e = (col("nl").cast("double") * col("ns")) / col("n")
+    val x2 = cell.join(broadcast(nl), Seq("lang"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(floor(((col("c") - e) * (col("c") - e) / e - e)
+        * 1000000000L + 0.5).cast("long").as("t"))
+      .agg(sum(col("t")).as("t_fp"))
+    val chi2 = col("t_fp").cast("double") / 1000000000L + col("n")
+    val phi2 = chi2 / col("n")
+    val corrPhi2 = greatest(lit(0), phi2
+      - ((col("r") - 1) * (col("cc") - 1)).cast("double") / (col("n") - 1))
+    val rTilde = (col("r")
+      - ((col("r") - 1) * (col("r") - 1)).cast("double") / (col("n") - 1))
+    val cTilde = (col("cc")
+      - ((col("cc") - 1) * (col("cc") - 1)).cast("double") / (col("n") - 1))
+    tot.crossJoin(broadcast(x2))
+      .select(col("n").as("n_docs"), col("r").as("n_langs"),
+        col("cc").as("n_sources"),
+        chi2.as("chi2"),
+        (floor(sqrt(phi2 / least(col("r") - 1, col("cc") - 1))
+          * 1000000L + 0.5) / 1000000L).as("v"),
+        (floor(sqrt(corrPhi2 / least(rTilde - 1, cTilde - 1))
+          * 1000000L + 0.5) / 1000000L).as("v_corrected"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q217_poisson_bootstrap" -> q217PoissonBootstrap,
     "q218_bucket_jackknife" -> q218BucketJackknife,
     "q219_heaps_law" -> q219HeapsLaw,
-    "q220_anova" -> q220Anova)
+    "q220_anova" -> q220Anova,
+    "q221_brier_decomposition" -> q221BrierDecomposition,
+    "q222_mrr_map" -> q222MrrMap,
+    "q223_blocking_metrics" -> q223BlockingMetrics,
+    "q224_cramers_v" -> q224CramersV)
 }

@@ -1234,6 +1234,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q221: Brier rides one cached event pass; decomposition on 20 cells") {
+    val p = plan("q221_brier_decomposition")
+    // min/max, the exact-integer Brier sum, and the bin cells must all
+    // read ONE materialized (cents, y) frame; no data-sized window
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "HashAggregate") >= 4, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q222: MRR/MAP share q214's one-pass shape — user-keyed windows only") {
+    val p = plan("q222_mrr_map")
+    // one events pass into the cached (user, type) frame; the top-10
+    // margin is metadata; hits join broadcast; per-user ranks
+    // partition on user_id (a real key)
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q223: blocking metrics COUNT pairs — no pair materialization") {
+    val p = plan("q223_blocking_metrics")
+    // candidate/truth/co-blocked pairs come from three size rollups
+    // (Σ n(n−1) over cells), never an enumerated pair join; the truth
+    // clusters read the memoized q49 canonical frame
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p, "HashAggregate") >= 6, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q224: Cramér's V is one cell aggregate + broadcast margins") {
+    val p = plan("q224_cramers_v")
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
