@@ -466,9 +466,10 @@ object AnalyticsOps10 {
     * uncertainty (miscalibration cost, discrimination credit,
     * irreducible base-rate noise). Scores normalize to [0,1] by the
     * global min/max; the decomposition bins p into 20 equal-width
-    * cells (the binned identity differs from raw Brier by the
-    * within-bin forecast variance — reported as decomp_gap, not
-    * hidden).
+    * cells (the binned identity is exact only for bin-constant
+    * forecasts — the residual, within-bin forecast variance minus
+    * twice the within-bin forecast–outcome covariance, is reported as
+    * decomp_gap, not hidden).
     *
     * Exactness: the raw Brier is FULLY integer — with cents c, min m,
     * range R, label y: (p−y)² = ((c−m) − y·R)²/R², so the numerator
@@ -847,6 +848,234 @@ object AnalyticsOps10 {
           * 1000000L + 0.5) / 1000000L).as("v_corrected"))
   }
 
+  /** Dimension-truncation recall for the embedding index — the
+    * Matryoshka question a 100 TB vector pipeline must answer before
+    * it ships a cheaper index: if ANN scores only the first k of 64
+    * dims (k ∈ {8, 16, 32} — 8×/4×/2× less compute and memory
+    * bandwidth), what fraction of the TRUE cosine top-10 survives?
+    * Ground truth and all three truncated rankings come from ONE
+    * scored fan-out (q50's broadcast-cohort brute force, the exact
+    * baseline the LSH/IVF/PQ paths are graded against); recall@10 is
+    * the per-k overlap count divided by 10·|queries|.
+    *
+    * Determinism: scores round to 6 dp with vec_id tiebreaks (the q50
+    * convention — both engines fold the same doubles in the same
+    * order); overlaps are exact integer set intersections; the final
+    * recall is one division on a 1e-6 grid.
+    *
+    * Scale shape: one corpus scan joined to the broadcast query
+    * cohort, all four cosines computed per candidate row in one
+    * codegen stage (the slice reuses the already-loaded vector — no
+    * extra scan per k); per-(query, k) top-10 is a user-keyed window;
+    * the hit join is (q_id, neighbor_id)-keyed. Brute force is the
+    * eval harness by design — production retrieval at scale is
+    * q51/q53/q69/q72's bucketed paths. */
+  val q225DimTruncationRecall: QueryDef = QueryDef.withOracle(
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM c WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q_emb, c.emb), 6) AS c64,
+      |    round(list_cosine_similarity(q_emb[1:8], c.emb[1:8]), 6) AS c8,
+      |    round(list_cosine_similarity(q_emb[1:16], c.emb[1:16]), 6) AS c16,
+      |    round(list_cosine_similarity(q_emb[1:32], c.emb[1:32]), 6) AS c32
+      |  FROM q JOIN c ON q.q_id <> c.vec_id),
+      |gt AS (
+      |  SELECT q_id, neighbor_id FROM (
+      |    SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY c64 DESC, neighbor_id) AS rnk FROM scored)
+      |  WHERE rnk <= 10),
+      |tr AS (
+      |  SELECT q_id, neighbor_id, k_dims FROM (
+      |    SELECT q_id, neighbor_id, g.k_dims,
+      |      row_number() OVER (PARTITION BY q_id, g.k_dims
+      |        ORDER BY CASE g.k_dims WHEN 8 THEN c8 WHEN 16 THEN c16
+      |          ELSE c32 END DESC, neighbor_id) AS rnk
+      |    FROM scored, LATERAL (SELECT unnest([8, 16, 32]) AS k_dims) g)
+      |  WHERE rnk <= 10),
+      |nq AS (SELECT count(*) AS n_queries FROM q),
+      |h AS (
+      |  SELECT k_dims, count(*) AS n_hits
+      |  FROM tr JOIN gt USING (q_id, neighbor_id) GROUP BY 1)
+      |SELECT k_dims, n_queries, n_hits,
+      |  floor(CAST(n_hits AS DOUBLE) / (n_queries * 10) * 1000000 + 0.5)
+      |    / 1000000 AS recall
+      |FROM h CROSS JOIN nq""".stripMargin
+  ) { (s, d) =>
+    import graft.functions.VectorExpressions.cosine
+    val c = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("c64"),
+        round(cosine(slice(col("q_emb"), 1, 8),
+          slice(col("embedding"), 1, 8)), 6).as("c8"),
+        round(cosine(slice(col("q_emb"), 1, 16),
+          slice(col("embedding"), 1, 16)), 6).as("c16"),
+        round(cosine(slice(col("q_emb"), 1, 32),
+          slice(col("embedding"), 1, 32)), 6).as("c32"))
+      .cache() // ONE fan-out pass feeds the truth and all three ranks
+    val gt = scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("c64").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("neighbor_id"))
+    val tr = scored
+      .select(col("q_id"), col("neighbor_id"),
+        expr("stack(3, 8, c8, 16, c16, 32, c32) AS (k_dims, cs)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"), col("k_dims"))
+          .orderBy(col("cs").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("neighbor_id"), col("k_dims"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    tr.join(gt, Seq("q_id", "neighbor_id"))
+      .groupBy(col("k_dims")).agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("k_dims"), col("n_queries"), col("n_hits"),
+        (floor(col("n_hits").cast("double") / (col("n_queries") * 10)
+          * 1000000L + 0.5) / 1000000L).as("recall"))
+  }
+
+  /** Daily sample-ratio-mismatch check for the hashed A/B assignment —
+    * the guardrail every experimentation platform runs before reading
+    * any metric: if the md5 split isn't 50/50 over randomization UNITS
+    * (distinct users active that day, never raw events — a chatty user
+    * must not tilt the ratio), the assignment or logging pipeline is
+    * broken and q104's readout is invalid. Per day: arm counts, the
+    * 1-df χ² against 50/50, and the standard p<0.001 trigger flag
+    * (χ² > 10.83 — Fabijan et al., "Diagnosing Sample Ratio
+    * Mismatch", KDD'19).
+    *
+    * Exactness: arms come from the shared 60-bit md5 recipe mod 2;
+    * χ² = (n_a−n_b)²/(n_a+n_b) is one division of exact int64s,
+    * 1e-6-floored; the flag compares that same deterministic double.
+    *
+    * Scale shape: one distinct over (day, user) — map-side combined,
+    * the exchange carries the distinct frame, not events — then a
+    * ≤|days| conditional-count rollup. */
+  val q226SrmCheck: QueryDef = QueryDef.withOracle(
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |c AS (
+      |  SELECT day,
+      |    count(*) FILTER (WHERE ('0x' || substring(md5(
+      |      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0) AS n_a,
+      |    count(*) FILTER (WHERE ('0x' || substring(md5(
+      |      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 1) AS n_b
+      |  FROM du GROUP BY 1)
+      |SELECT day, n_a, n_b,
+      |  floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+      |    * 1000000 + 0.5) / 1000000 AS chi2,
+      |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 10.83
+      |    AS srm_flag
+      |FROM c""".stripMargin
+  ) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("user_id"))
+      .distinct()
+    val arm = h60(col("user_id").cast("string")) % 2
+    val c = du.groupBy(col("day"))
+      .agg(count(when(arm === 0, 1)).as("n_a"),
+        count(when(arm === 1, 1)).as("n_b"))
+    val chi2 = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / (col("n_a") + col("n_b"))
+    c.select(col("day"), col("n_a"), col("n_b"),
+      (floor(chi2 * 1000000L + 0.5) / 1000000L).as("chi2"),
+      (chi2 > 10.83).as("srm_flag"))
+  }
+
+  /** Neyman-optimal stratified sample allocation — the sampling DESIGN
+    * operator beside the sampling EXECUTORS (q37/q48/q91/q216): given
+    * a 10% row budget, how many samples should each source stratum
+    * get to minimize the variance of the estimated mean doc length?
+    * n_h ∝ N_h·S_h (big and internally-diverse strata earn more than
+    * proportional; uniform strata earn less), integerized by the
+    * largest-remainder (Hamilton) method so allocations sum EXACTLY
+    * to the budget.
+    *
+    * Exactness: per-stratum S_h comes from exact decimal(38,0)/HUGEINT
+    * moments (one sqrt of a deterministic double, clamped at 0 against
+    * ulp-negative variance); the weights quantize SCALE-FREE as
+    * (N_h/N)·S_h at 1e-9 (bounded by the value range, not the row
+    * count); every division/remainder after that is exact integer
+    * arithmetic in decimal(38,0)/HUGEINT, and the remainder rank is a
+    * ≤|sources| metadata sort with a source-name tiebreak.
+    *
+    * Scale shape: ONE documents pass into the ≤|sources| moment
+    * aggregate; allocation algebra rides the cell frame with broadcast
+    * 1-row totals. The q194 water-fill posture, closed-form. */
+  val q228NeymanAllocation: QueryDef = QueryDef.withOracle(
+    """WITH cell AS (
+      |  SELECT source, count(*) AS nh,
+      |    sum(CAST(n_chars AS HUGEINT)) AS sh,
+      |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS qh
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(nh) AS BIGINT) AS n FROM cell),
+      |u AS (
+      |  SELECT source, nh,
+      |    sqrt(greatest(0, (CAST(qh AS DOUBLE)
+      |      - (CAST(sh AS DOUBLE) / nh) * (CAST(sh AS DOUBLE) / nh) * nh)
+      |      / (nh - 1))) AS sigma,
+      |    CAST(floor((CAST(nh AS DOUBLE) / n)
+      |      * sqrt(greatest(0, (CAST(qh AS DOUBLE)
+      |        - (CAST(sh AS DOUBLE) / nh) * (CAST(sh AS DOUBLE) / nh) * nh)
+      |        / (nh - 1))) * 1000000000 + 0.5) AS BIGINT) AS ufp
+      |  FROM cell CROSS JOIN tot),
+      |su AS (SELECT CAST(sum(ufp) AS BIGINT) AS s FROM u),
+      |al AS (
+      |  SELECT source, nh, sigma,
+      |    CAST((CAST(n // 10 AS HUGEINT) * ufp) // s AS BIGINT) AS base,
+      |    CAST((CAST(n // 10 AS HUGEINT) * ufp) % s AS BIGINT) AS rem
+      |  FROM u CROSS JOIN su CROSS JOIN tot),
+      |lo AS (
+      |  SELECT CAST(max(n // 10) - sum(base) AS BIGINT) AS leftover
+      |  FROM al CROSS JOIN tot),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk
+      |  FROM al)
+      |SELECT source, nh AS n_pop,
+      |  floor(sigma * 1000000 + 0.5) / 1000000 AS sigma,
+      |  base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS alloc
+      |FROM rk CROSS JOIN lo""".stripMargin
+  ) { (s, d) =>
+    val cell = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"),
+        sum(dec(col("n_chars"))).as("sh"),
+        sum(dec(col("n_chars")) * col("n_chars")).as("qh"))
+      .cache() // one corpus pass feeds totals and the weight frame
+    val tot = cell.agg(sum(col("nh")).cast("long").as("n"))
+    val sigma = sqrt(greatest(lit(0), (col("qh").cast("double")
+      - (col("sh").cast("double") / col("nh"))
+        * (col("sh").cast("double") / col("nh")) * col("nh"))
+      / (col("nh") - 1)))
+    val u = cell.crossJoin(broadcast(tot))
+      .select(col("source"), col("nh"), col("n"), sigma.as("sigma"),
+        floor((col("nh").cast("double") / col("n")) * sigma
+          * 1000000000L + 0.5).cast("long").as("ufp"))
+      .cache() // ≤|sources| rows feed the total and the allocation
+    val su = u.agg(sum(col("ufp")).cast("long").as("s"))
+    val al = u.crossJoin(broadcast(su))
+      .select(col("source"), col("nh"), col("sigma"),
+        expr("CAST((CAST(n div 10 AS DECIMAL(38,0)) * ufp) div s AS LONG)")
+          .as("base"),
+        expr("CAST((CAST(n div 10 AS DECIMAL(38,0)) * ufp) % s AS LONG)")
+          .as("rem"),
+        expr("n div 10").as("budget"))
+    val lo = al.agg((max(col("budget")) - sum(col("base")))
+      .cast("long").as("leftover"))
+    al.withColumn("rnk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(lo))
+      .select(col("source"), col("nh").as("n_pop"),
+        (floor(col("sigma") * 1000000L + 0.5) / 1000000L).as("sigma"),
+        (col("base") + when(col("rnk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q217_poisson_bootstrap" -> q217PoissonBootstrap,
     "q218_bucket_jackknife" -> q218BucketJackknife,
@@ -855,5 +1084,8 @@ object AnalyticsOps10 {
     "q221_brier_decomposition" -> q221BrierDecomposition,
     "q222_mrr_map" -> q222MrrMap,
     "q223_blocking_metrics" -> q223BlockingMetrics,
-    "q224_cramers_v" -> q224CramersV)
+    "q224_cramers_v" -> q224CramersV,
+    "q225_dim_truncation_recall" -> q225DimTruncationRecall,
+    "q226_srm_check" -> q226SrmCheck,
+    "q228_neyman_allocation" -> q228NeymanAllocation)
 }

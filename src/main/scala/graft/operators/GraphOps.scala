@@ -1102,6 +1102,98 @@ object GraphOps {
         col("n_src"), (col("score_fp").cast("double") / 1000000).as("score"))
   }
 
+  /** Local clustering coefficient distribution over the co-purchase
+    * graph — q85 counts the GLOBAL triangle/wedge census; this says
+    * how closure is DISTRIBUTED: per node, c = 2·t/(d(d−1)) (what
+    * fraction of the node's neighbor pairs are themselves connected),
+    * rolled into 10 coefficient bins with per-bin mean. The audit that
+    * separates a clique-y graph from a star-y one at the same global
+    * transitivity — input for choosing between q102's item-item
+    * scoring and q126's neighborhood serving.
+    *
+    * Same degree-ordered orientation as q85 (each triangle discovered
+    * once at its lowest-(degree, id) corner), then the corner frame
+    * explodes ×3 into a per-node count. Bin ids are PURE integer:
+    * floor(10c) = (20t) div (d(d−1)); the per-node coefficient
+    * quantizes to 1e-9 (exact-integer division both sides) and per-bin
+    * sums ride decimal(38,0)/HUGEINT.
+    *
+    * Scale shape: q85's posture — edges and oriented adjacency cached
+    * once, wedge join keyed on the corner node, degree-ordering bounds
+    * the per-corner fan-out by the graph's arboricity; the rollup is a
+    * 10-cell frame. Nodes with d < 2 (coefficient undefined) are
+    * excluded, not zero-filled. */
+  val q227LocalClustering: QueryDef = QueryDef.withOracle(
+    """WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ok AS (SELECT o FROM bp GROUP BY o HAVING count(*) BETWEEN 2 AND 1000),
+      |pc AS (
+      |  SELECT a.p AS u, b.p AS v, count(*) AS n
+      |  FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+      |  JOIN ok ON a.o = ok.o
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM pc WHERE n >= 2),
+      |deg AS (SELECT node, count(*) AS d FROM
+      |  (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      |  GROUP BY 1),
+      |tric AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pt AS (
+      |  SELECT node, count(*) AS t
+      |  FROM (SELECT unnest([a, b, c3]) AS node FROM tric) GROUP BY 1),
+      |nodes AS (
+      |  SELECT deg.node, deg.d, coalesce(pt.t, 0) AS t
+      |  FROM deg LEFT JOIN pt USING (node) WHERE deg.d >= 2)
+      |SELECT least(9, (20 * t) // (d * (d - 1))) AS bin,
+      |  count(*) AS n_nodes,
+      |  (CAST(sum(CAST(floor(CAST(2 * t AS DOUBLE) / (d * (d - 1))
+      |    * 1000000000 + 0.5) AS HUGEINT)) AS DOUBLE) / count(*))
+      |    / 1000000000 AS mean_coef
+      |FROM nodes GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val e = basketPairs(s, d).filter(col("n_orders") >= 2)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
+      .cache() // feeds degrees AND the orientation join (q85 convention)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .cache()
+    val keyed = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    def k(dc: String, nc: String) = struct(col(dc).as("d"), col(nc).as("n"))
+    val lower = k("du", "u") < k("dv", "v")
+    val oriented = keyed.select(
+      when(lower, col("u")).otherwise(col("v")).as("src"),
+      when(lower, col("v")).otherwise(col("u")).as("dst"),
+      when(lower, k("dv", "v")).otherwise(k("du", "u")).as("kd"))
+      .cache() // both wedge sides + the closure probe
+    val wedgeAB = oriented
+      .select(col("src"), col("dst").as("a"), col("kd").as("ka"))
+      .join(oriented.select(col("src"), col("dst").as("b"),
+        col("kd").as("kb")), Seq("src"))
+      .filter(col("ka") < col("kb"))
+    val tric = wedgeAB
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"))
+      .select(col("src"), col("a"), col("b"))
+    val pt = tric
+      .select(explode(array(col("src"), col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val nodes = deg.filter(col("d") >= 2)
+      .join(pt, Seq("node"), "left")
+      .na.fill(0L, Seq("t"))
+    nodes
+      .groupBy(least(lit(9L), expr("(20 * t) div (d * (d - 1))")).as("bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(floor((lit(2) * col("t")).cast("double")
+          / (col("d") * (col("d") - 1)) * 1000000000L + 0.5)
+          .cast("long").cast("decimal(38,0)")).as("sfp"))
+      .select(col("bin"), col("n_nodes"),
+        ((col("sfp").cast("double") / col("n_nodes")) / 1000000000L)
+          .as("mean_coef"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q148_degree_dist" -> q148DegreeDist,
     "q198_recommend_sampled" -> q198RecommendSampled,
@@ -1111,6 +1203,7 @@ object GraphOps {
     "q182_reco_holdout" -> q182RecoHoldout,
     "q193_reco_holdout_sampled" -> q193RecoHoldoutSampled,
     "q85_triangles" -> q85Triangles,
+    "q227_local_clustering" -> q227LocalClustering,
     "q86_copurchase" -> q86Copurchase,
     "q101_khop" -> q101Khop,
     "q102_item_sim" -> q102ItemSim,

@@ -1276,6 +1276,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q225: one scored fan-out feeds the truth and all three truncations") {
+    val p = plan("q225_dim_truncation_recall")
+    // all four cosines ride ONE cached broadcast-cohort pass (q50's
+    // shape); per-(query, k) top-10s are q_id-keyed windows over that
+    // cache — never a re-scored corpus per k
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("windowspecdefinition(q_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q226: SRM is one distinct + one day rollup — no window, no join") {
+    val p = plan("q226_srm_check")
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(nodes(p, "HashAggregate") >= 4, p) // distinct + rollup, partial+final
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q227: clustering coefficients reuse q85's oriented wedge shape") {
+    val p = plan("q227_local_clustering")
+    // edges, degrees, and the oriented adjacency must be cached (the
+    // census reads the adjacency three times); the rollup is 10 cells
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q228: Neyman allocation is one moment aggregate + cell algebra") {
+    val p = plan("q228_neyman_allocation")
+    // one documents pass; the largest-remainder rank is a ≤|sources|
+    // metadata sort on the cached weight frame
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
