@@ -1076,6 +1076,198 @@ object AnalyticsOps10 {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Best decision-stump split of the purchase label on the value
+    * axis — THE distributed tree-learning primitive (every GBDT/RF
+    * round at scale is exactly this: histogram the label over feature
+    * values, prefix-sum, argmax a purity gain): for each candidate
+    * threshold t, Gini gain of splitting events at value ≤ t, top-5
+    * thresholds reported. Also the optimal-1-D-segmentation answer a
+    * curation rule miner wants ("where should the quality cutoff go").
+    *
+    * Exactness: the (cents, n, k) cell frame is exact int64; left/right
+    * counts are the two-phase prefix sums; every impurity is a
+    * division of exact ints (bit-identical); the gain quantizes to
+    * 1e-9 before the global top-5, which is a TakeOrdered with a cents
+    * tiebreak — no full sort, no window over cells.
+    *
+    * Scale shape: ONE events pass into the value-cardinality-bounded
+    * cell frame (the q166/q176 argument: cents cells are bounded by
+    * the value RANGE, not rows); the prefix is the range-partitioned
+    * two-phase idiom; the argmax is TakeOrderedAndProject. */
+  val q229SplitFinding: QueryDef = QueryDef.withOracle(
+    """WITH cell AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS k
+      |  FROM events GROUP BY 1),
+      |pre AS (
+      |  SELECT cents, n, k,
+      |    CAST(sum(n) OVER (ORDER BY cents) AS BIGINT) AS cumn,
+      |    CAST(sum(k) OVER (ORDER BY cents) AS BIGINT) AS cumk
+      |  FROM cell),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(k) AS BIGINT) AS kt
+      |  FROM cell),
+      |g AS (
+      |  SELECT cents, cumn AS n_left, cumk AS k_left,
+      |    CAST(floor((2 * (CAST(kt AS DOUBLE) / nt)
+      |        * (1 - CAST(kt AS DOUBLE) / nt)
+      |      - ((CAST(cumn AS DOUBLE) / nt)
+      |          * (2 * (CAST(cumk AS DOUBLE) / cumn)
+      |            * (1 - CAST(cumk AS DOUBLE) / cumn))
+      |        + (CAST(nt - cumn AS DOUBLE) / nt)
+      |          * (2 * (CAST(kt - cumk AS DOUBLE) / (nt - cumn))
+      |            * (1 - CAST(kt - cumk AS DOUBLE) / (nt - cumn)))))
+      |      * 1000000000 + 0.5) AS BIGINT) AS gain_fp
+      |  FROM pre CROSS JOIN tot WHERE cumn < nt)
+      |SELECT cents AS split_cents, n_left, k_left,
+      |  CAST(gain_fp AS DOUBLE) / 1000000000 AS gini_gain
+      |FROM g ORDER BY gain_fp DESC, cents LIMIT 5""".stripMargin
+  ) { (s, d) =>
+    val cell = Tables.events(s, d)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"))
+    val pre = AnalyticsOps2.groupedPrefixSums(cell, Seq.empty,
+      Seq(col("cents")),
+      Seq((col("n"), "cumn", Some("nt")), (col("k"), "cumk", Some("kt"))))
+    val pAll = col("kt").cast("double") / col("nt")
+    val pL = col("cumk").cast("double") / col("cumn")
+    val pR = ((col("kt") - col("cumk")).cast("double")
+      / (col("nt") - col("cumn")))
+    val gain = (lit(2) * pAll * (lit(1) - pAll)
+      - ((col("cumn").cast("double") / col("nt"))
+          * (lit(2) * pL * (lit(1) - pL))
+        + ((col("nt") - col("cumn")).cast("double") / col("nt"))
+          * (lit(2) * pR * (lit(1) - pR))))
+    pre.filter(col("cumn") < col("nt"))
+      .select(col("cents").as("split_cents"), col("cumn").as("n_left"),
+        col("cumk").as("k_left"),
+        floor(gain * 1000000000L + 0.5).cast("long").as("gain_fp"))
+      .orderBy(col("gain_fp").desc, col("split_cents"))
+      .limit(5)
+      .select(col("split_cents"), col("n_left"), col("k_left"),
+        (col("gain_fp").cast("double") / 1000000000L).as("gini_gain"))
+  }
+
+  /** Vocabulary richness per source — Chao1 unseen-species projection
+    * and Good–Turing unseen mass: with V observed terms of which f1
+    * appear once and f2 twice, Chao1 ≈ V + f1(f1−1)/(2(f2+1)) lower-
+    * bounds the TRUE vocabulary (how much is still unobserved) and
+    * f1/N is the probability the next token is a new type — the two
+    * numbers that, with q219's growth exponent, tell a corpus owner
+    * whether another crawl decade buys new content or reruns. The
+    * bias-corrected Chao1 form stays finite at f2 = 0.
+    *
+    * Exactness: everything is a conditional count over the
+    * (source, term) frequency frame — V, N, f1, f2 are exact int64;
+    * Chao1 and the unseen mass are one division each, 1e-6-floored.
+    *
+    * Scale shape: ONE tokenization pass into the (source, term) count
+    * (the q209/q210 posture — partial counts combine map-side), then
+    * a ≤|sources| conditional rollup. No second pass: f1/f2/V/N all
+    * derive from the same frequency frame. */
+  val q230VocabRichness: QueryDef = QueryDef.withOracle(
+    """WITH tf AS (
+      |  SELECT source, word, count(*) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) t
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, count(*) AS vocab, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CAST(c = 1 AS BIGINT)) AS BIGINT) AS f1,
+      |    CAST(sum(CAST(c = 2 AS BIGINT)) AS BIGINT) AS f2
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, vocab, f1, f2,
+      |  floor((vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)))
+      |    * 1000000 + 0.5) / 1000000 AS chao1,
+      |  floor((CAST(f1 AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000
+      |    AS unseen_mass
+      |FROM r""".stripMargin
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(col("text"), " ", -1)).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val r = tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum((col("c") === 1).cast("long")).cast("long").as("f1"),
+        sum((col("c") === 2).cast("long")).cast("long").as("f2"))
+    r.select(col("source"), col("n_tokens"), col("vocab"),
+      col("f1"), col("f2"),
+      (floor((col("vocab") + (col("f1") * (col("f1") - 1)).cast("double")
+        / (lit(2) * (col("f2") + 1))) * 1000000L + 0.5) / 1000000L)
+        .as("chao1"),
+      (floor((col("f1").cast("double") / col("n_tokens"))
+        * 1000000L + 0.5) / 1000000L).as("unseen_mass"))
+  }
+
+  /** Precision-recall AUC (average precision) of the value score
+    * against the purchase label — the ranking-quality number that
+    * matters under CLASS IMBALANCE, where q115's ROC-AUC flatters (a
+    * 1%-positive corpus scores 0.99 ROC for a model that's useless at
+    * the top of the list). AP = Σ ΔR_i · P_i over thresholds descending
+    * (sklearn's step form, no trapezoid flattery), plus the positive
+    * base rate it should be read against.
+    *
+    * Exactness: the (cents, n, k) cell frame is exact; descending
+    * cumulative counts are the two-phase prefix; each step term
+    * (Δk/K)·(kcum/ncum) is a product of divisions of exact ints,
+    * quantized 1e-9 per CELL into a decimal(38,0)/HUGEINT sum
+    * (cell count is value-range-bounded, but at fleet scale the 1e9
+    * grid times millions of cells wants the wide accumulator).
+    *
+    * Scale shape: ONE events pass into the cell frame; one
+    * range-partitioned descending prefix; one rollup. The q166/q187
+    * posture. */
+  val q231PrAuc: QueryDef = QueryDef.withOracle(
+    """WITH cell AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT) AS k
+      |  FROM events GROUP BY 1),
+      |pre AS (
+      |  SELECT cents, n, k,
+      |    CAST(sum(n) OVER (ORDER BY cents DESC) AS BIGINT) AS cumn,
+      |    CAST(sum(k) OVER (ORDER BY cents DESC) AS BIGINT) AS cumk
+      |  FROM cell),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(k) AS BIGINT) AS kt
+      |  FROM cell),
+      |ap AS (
+      |  SELECT sum(CAST(floor((CAST(k AS DOUBLE) / kt)
+      |      * (CAST(cumk AS DOUBLE) / cumn) * 1000000000 + 0.5)
+      |    AS HUGEINT)) AS ap_fp
+      |  FROM pre CROSS JOIN tot)
+      |SELECT nt AS n_events, kt AS n_pos,
+      |  CAST(kt AS DOUBLE) / nt AS base_rate,
+      |  CAST(ap_fp AS DOUBLE) / 1000000000 AS pr_auc
+      |FROM tot CROSS JOIN ap""".stripMargin
+  ) { (s, d) =>
+    val cell = Tables.events(s, d)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"))
+      .cache() // one events pass; the prefix AND the totals reuse it
+    val pre = AnalyticsOps2.groupedPrefixSums(cell, Seq.empty,
+      Seq(col("cents").desc),
+      Seq((col("n"), "cumn", Some("nt")), (col("k"), "cumk", Some("kt"))))
+    val ap = pre
+      .select(floor((col("k").cast("double") / col("kt"))
+        * (col("cumk").cast("double") / col("cumn"))
+        * 1000000000L + 0.5).cast("long").as("t"))
+      .agg(sum(dec(col("t"))).as("ap_fp"))
+    val tot = cell.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("k")).cast("long").as("kt"))
+    tot.crossJoin(broadcast(ap))
+      .select(col("nt").as("n_events"), col("kt").as("n_pos"),
+        (col("kt").cast("double") / col("nt")).as("base_rate"),
+        (col("ap_fp").cast("double") / 1000000000L).as("pr_auc"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q217_poisson_bootstrap" -> q217PoissonBootstrap,
     "q218_bucket_jackknife" -> q218BucketJackknife,
@@ -1087,5 +1279,8 @@ object AnalyticsOps10 {
     "q224_cramers_v" -> q224CramersV,
     "q225_dim_truncation_recall" -> q225DimTruncationRecall,
     "q226_srm_check" -> q226SrmCheck,
-    "q228_neyman_allocation" -> q228NeymanAllocation)
+    "q228_neyman_allocation" -> q228NeymanAllocation,
+    "q229_split_finding" -> q229SplitFinding,
+    "q230_vocab_richness" -> q230VocabRichness,
+    "q231_pr_auc" -> q231PrAuc)
 }

@@ -1312,6 +1312,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q229: split search is cells + two-phase prefix + TakeOrdered") {
+    val p = plan("q229_split_finding")
+    // candidate thresholds live on the value-cardinality-bounded cell
+    // frame; cumulative label counts are the range-partitioned prefix;
+    // the winning splits come from TakeOrdered, never a global sort
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q230: richness is one tokenization pass + frequency rollup") {
+    val p = plan("q230_vocab_richness")
+    assert(nodes(p, "Scan parquet") == 1, p)
+    assert(nodes(p, "Generate") == 1, p)
+    assert(nodes(p, "HashAggregate") >= 4, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q231: AP rides one cached cell frame + descending two-phase prefix") {
+    val p = plan("q231_pr_auc")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

@@ -155,6 +155,44 @@ class AnalyticsOps10Spec extends SparkSpec {
     }
   }
 
+  test("q229: gains are valid and the reported splits beat the median cell") {
+    val rows = AnalyticsOps10.q229SplitFinding.fn(spark, d).collect()
+    assert(rows.length == 5)
+    val gains = rows.map(_.getAs[Double]("gini_gain"))
+    // Gini gain of a binary split is bounded by the root impurity ≤ 0.5
+    gains.foreach(g => assert(g >= 0 && g <= 0.5, s"gain $g"))
+    // output is ordered best-first with the fixed-point tiebreak
+    assert(gains.sameElements(gains.sorted(Ordering[Double].reverse)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_left") <= r.getAs[Long]("n_left"))
+    }
+  }
+
+  test("q230: Chao1 dominates observed vocab; unseen mass is a ratio") {
+    val rows = AnalyticsOps10.q230VocabRichness.fn(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vocab")
+      assert(r.getAs[Double]("chao1") >= v - 1e-6,
+        "Chao1 is a lower bound on TRUE vocab, so ≥ observed")
+      assert(r.getAs[Long]("f1") + r.getAs[Long]("f2") <= v)
+      val u = r.getAs[Double]("unseen_mass")
+      assert(u >= 0 && u <= 1)
+    }
+  }
+
+  test("q231: AP sits between base rate and 1; counts reconcile") {
+    val r = AnalyticsOps10.q231PrAuc.fn(spark, d).head()
+    val (base, ap) = (r.getAs[Double]("base_rate"), r.getAs[Double]("pr_auc"))
+    assert(base > 0 && base < 1)
+    assert(ap >= 0 && ap <= 1)
+    // a score with ANY signal (and even a random one, in expectation)
+    // yields AP ≥ a vanishing fraction under the base rate — sanity
+    // floor only, the real value is pinned by the three-SF hash gate
+    assert(ap >= base * 0.5, s"ap=$ap base=$base")
+    assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_events"))
+  }
+
   test("q228: allocations conserve the exact budget and are Neyman-shaped") {
     import org.apache.spark.sql.functions._
     val out = AnalyticsOps10.q228NeymanAllocation.fn(spark, d)
