@@ -35,7 +35,13 @@ object ExplainAudit {
         // cell-replicated tests, dense-frame divergences, cached-edge
         // iterative HITS, one-pass split-cell LM audits
         "q200_spearman", "q201_wasserstein", "q204_kendall_tau",
-        "q205_mann_whitney", "q208_hits", "q209_perplexity")
+        "q205_mann_whitney", "q208_hits", "q209_perplexity",
+        // round-11 tranche-four shapes: one-pass Poisson bootstrap
+        // (explode ×32 into a replicate-keyed aggregate), Heaps
+        // first-occurrence prefix, truncation-recall fan-out over one
+        // cached cohort pass, split finding on the cell prefix
+        "q217_poisson_bootstrap", "q219_heaps_law",
+        "q225_dim_truncation_recall", "q229_split_finding")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

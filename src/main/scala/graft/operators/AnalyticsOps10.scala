@@ -677,8 +677,9 @@ object AnalyticsOps10 {
     * Σ m(m−1)/2 over (cluster, block) cell sizes — three aggregates,
     * no joins between documents. Doubled pair counts accumulate in
     * decimal(38,0)/HUGEINT (n(n−1) crosses 2^63 past ~3e9 docs); each
-    * ratio is one division; outputs are the doubled counts (exact
-    * ints) plus 1e-6-floored ratios.
+    * ratio is one division; outputs are the doubled counts (as DOUBLE
+    * — audit numbers that must report, not throw, past int64) plus
+    * 1e-6-floored ratios.
     *
     * Scale shape: reads the memoized q49 canonical frame (its label
     * propagation is spec'd and plan-audited at q49/q133/q141); one
@@ -726,9 +727,9 @@ object AnalyticsOps10 {
       |  FROM (SELECT canonical_id, blk, count(*) AS m
       |        FROM canon JOIN db USING (doc_id) GROUP BY 1, 2))
       |SELECT n_docs, n_blocks,
-      |  CAST(cand2 AS BIGINT) AS cand_pairs2,
-      |  CAST(truth2 AS BIGINT) AS truth_pairs2,
-      |  CAST(co2 AS BIGINT) AS co_pairs2,
+      |  CAST(cand2 AS DOUBLE) AS cand_pairs2,
+      |  CAST(truth2 AS DOUBLE) AS truth_pairs2,
+      |  CAST(co2 AS DOUBLE) AS co_pairs2,
       |  floor((1 - CAST(cand2 AS DOUBLE)
       |    / (CAST(n_docs AS DOUBLE) * (n_docs - 1))) * 1000000 + 0.5)
       |    / 1000000 AS reduction_ratio,
@@ -756,9 +757,12 @@ object AnalyticsOps10 {
     tot.crossJoin(broadcast(blocks)).crossJoin(broadcast(truth))
       .crossJoin(broadcast(cob))
       .select(col("n_docs"), col("n_blocks"),
-        col("cand2").cast("long").as("cand_pairs2"),
-        col("truth2").cast("long").as("truth_pairs2"),
-        col("co2").cast("long").as("co_pairs2"),
+        // audit numbers, not join keys: DOUBLE output so a >3e9-doc
+        // corpus (doubled pair counts past int64) reports instead of
+        // throwing on the cast; the accumulation itself is decimal
+        col("cand2").cast("double").as("cand_pairs2"),
+        col("truth2").cast("double").as("truth_pairs2"),
+        col("co2").cast("double").as("co_pairs2"),
         (floor((lit(1) - col("cand2").cast("double")
           / (col("n_docs").cast("double") * (col("n_docs") - 1)))
           * 1000000L + 0.5) / 1000000L).as("reduction_ratio"),
@@ -1016,13 +1020,15 @@ object AnalyticsOps10 {
       |tot AS (SELECT CAST(sum(nh) AS BIGINT) AS n FROM cell),
       |u AS (
       |  SELECT source, nh,
-      |    sqrt(greatest(0, (CAST(qh AS DOUBLE)
-      |      - (CAST(sh AS DOUBLE) / nh) * (CAST(sh AS DOUBLE) / nh) * nh)
-      |      / (nh - 1))) AS sigma,
-      |    CAST(floor((CAST(nh AS DOUBLE) / n)
-      |      * sqrt(greatest(0, (CAST(qh AS DOUBLE)
+      |    CASE WHEN nh = 1 THEN CAST(0 AS DOUBLE)
+      |      ELSE sqrt(greatest(0, (CAST(qh AS DOUBLE)
       |        - (CAST(sh AS DOUBLE) / nh) * (CAST(sh AS DOUBLE) / nh) * nh)
-      |        / (nh - 1))) * 1000000000 + 0.5) AS BIGINT) AS ufp
+      |        / (nh - 1))) END AS sigma,
+      |    CAST(floor((CAST(nh AS DOUBLE) / n)
+      |      * CASE WHEN nh = 1 THEN CAST(0 AS DOUBLE)
+      |        ELSE sqrt(greatest(0, (CAST(qh AS DOUBLE)
+      |          - (CAST(sh AS DOUBLE) / nh) * (CAST(sh AS DOUBLE) / nh) * nh)
+      |          / (nh - 1))) END * 1000000000 + 0.5) AS BIGINT) AS ufp
       |  FROM cell CROSS JOIN tot),
       |su AS (SELECT CAST(sum(ufp) AS BIGINT) AS s FROM u),
       |al AS (
@@ -1048,10 +1054,14 @@ object AnalyticsOps10 {
         sum(dec(col("n_chars")) * col("n_chars")).as("qh"))
       .cache() // one corpus pass feeds totals and the weight frame
     val tot = cell.agg(sum(col("nh")).cast("long").as("n"))
-    val sigma = sqrt(greatest(lit(0), (col("qh").cast("double")
-      - (col("sh").cast("double") / col("nh"))
-        * (col("sh").cast("double") / col("nh")) * col("nh"))
-      / (col("nh") - 1)))
+    // nh = 1 guard: a singleton stratum has no variance signal — the
+    // raw expression divides by zero (Inf) and the 1e-9 cast would
+    // throw; it earns only its largest-remainder floor instead
+    val sigma = when(col("nh") === 1, lit(0.0))
+      .otherwise(sqrt(greatest(lit(0), (col("qh").cast("double")
+        - (col("sh").cast("double") / col("nh"))
+          * (col("sh").cast("double") / col("nh")) * col("nh"))
+        / (col("nh") - 1))))
     val u = cell.crossJoin(broadcast(tot))
       .select(col("source"), col("nh"), col("n"), sigma.as("sigma"),
         floor((col("nh").cast("double") / col("n")) * sigma
@@ -1180,8 +1190,8 @@ object AnalyticsOps10 {
       |    CAST(sum(CAST(c = 2 AS BIGINT)) AS BIGINT) AS f2
       |  FROM tf GROUP BY 1)
       |SELECT source, n_tokens, vocab, f1, f2,
-      |  floor((vocab + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)))
-      |    * 1000000 + 0.5) / 1000000 AS chao1,
+      |  floor((vocab + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE)
+      |    / (2 * (f2 + 1))) * 1000000 + 0.5) / 1000000 AS chao1,
       |  floor((CAST(f1 AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000
       |    AS unseen_mass
       |FROM r""".stripMargin
@@ -1197,7 +1207,9 @@ object AnalyticsOps10 {
         sum((col("c") === 2).cast("long")).cast("long").as("f2"))
     r.select(col("source"), col("n_tokens"), col("vocab"),
       col("f1"), col("f2"),
-      (floor((col("vocab") + (col("f1") * (col("f1") - 1)).cast("double")
+      // f1(f1−1) in decimal(38,0)/HUGEINT: a fleet-scale singleton
+      // count (f1 > 3e9) would overflow the int64 product
+      (floor((col("vocab") + (dec(col("f1")) * (col("f1") - 1)).cast("double")
         / (lit(2) * (col("f2") + 1))) * 1000000L + 0.5) / 1000000L)
         .as("chao1"),
       (floor((col("f1").cast("double") / col("n_tokens"))

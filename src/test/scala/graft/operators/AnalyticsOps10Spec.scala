@@ -106,8 +106,8 @@ class AnalyticsOps10Spec extends SparkSpec {
     assert(rr >= 0 && rr <= 1)
     assert(pc >= 0 && pc <= 1)
     // co-blocked truth pairs can never exceed either parent count
-    assert(r.getAs[Long]("co_pairs2") <= r.getAs[Long]("truth_pairs2"))
-    assert(r.getAs[Long]("co_pairs2") <= r.getAs[Long]("cand_pairs2"))
+    assert(r.getAs[Double]("co_pairs2") <= r.getAs[Double]("truth_pairs2"))
+    assert(r.getAs[Double]("co_pairs2") <= r.getAs[Double]("cand_pairs2"))
   }
 
   test("q224: correction only shrinks V; both in [0,1]") {
