@@ -480,7 +480,15 @@ object AnalyticsOps10 {
     *
     * Scale shape: one min/max aggregate, one (bin) aggregate over a
     * second pass (≤20 cells, map-side combined), everything downstream
-    * on the broadcast cell frame. */
+    * on the broadcast cell frame.
+    *
+    * Degenerate input: when every event carries the same score the
+    * range r is 0 and normalization is undefined; rather than throw
+    * (ANSI `div`/`//` by zero, Inf through the quantization cast), the
+    * query degrades to the constant-forecast convention p ≡ ȳ — all
+    * rows in bin 0, the bin forecast defined as the bin outcome rate,
+    * so REL = RES = 0 exactly and Brier = uncertainty = ȳ(1−ȳ),
+    * decomp_gap = 0. Guarded identically in engine and oracle. */
   val q221BrierDecomposition: QueryDef = QueryDef.withOracle(
     """WITH ev AS (
       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
@@ -493,15 +501,21 @@ object AnalyticsOps10 {
       |    sum(CAST((c - m - y * r) * (c - m - y * r) AS HUGEINT)) AS s2
       |  FROM ev CROSS JOIN mm),
       |cell AS (
-      |  SELECT least(19, ((c - m) * 20) // r) AS k, count(*) AS nk,
+      |  SELECT least(19, CASE WHEN r = 0 THEN 0
+      |                        ELSE ((c - m) * 20) // r END) AS k,
+      |    count(*) AS nk,
       |    CAST(sum(y) AS BIGINT) AS syk,
       |    CAST(sum(c - m) AS BIGINT) AS sck
       |  FROM ev CROSS JOIN mm GROUP BY 1),
       |dc AS (
       |  SELECT
       |    CAST(sum(CAST(floor((CAST(nk AS DOUBLE) / n)
-      |      * ((CAST(sck AS DOUBLE) / nk / r - CAST(syk AS DOUBLE) / nk)
-      |        * (CAST(sck AS DOUBLE) / nk / r - CAST(syk AS DOUBLE) / nk))
+      |      * ((CASE WHEN r = 0 THEN CAST(syk AS DOUBLE) / nk
+      |          ELSE CAST(sck AS DOUBLE) / nk / r END
+      |          - CAST(syk AS DOUBLE) / nk)
+      |        * (CASE WHEN r = 0 THEN CAST(syk AS DOUBLE) / nk
+      |           ELSE CAST(sck AS DOUBLE) / nk / r END
+      |           - CAST(syk AS DOUBLE) / nk))
       |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS rel_fp,
       |    CAST(sum(CAST(floor((CAST(nk AS DOUBLE) / n)
       |      * ((CAST(syk AS DOUBLE) / nk - CAST(sy AS DOUBLE) / n)
@@ -509,12 +523,18 @@ object AnalyticsOps10 {
       |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS res_fp
       |  FROM cell CROSS JOIN raw CROSS JOIN mm)
       |SELECT n AS n_events,
-      |  (CAST(s2 AS DOUBLE) / (CAST(r AS DOUBLE) * r)) / n AS brier,
+      |  CASE WHEN r = 0
+      |    THEN (CAST(sy AS DOUBLE) / n) * (1 - CAST(sy AS DOUBLE) / n)
+      |    ELSE (CAST(s2 AS DOUBLE) / (CAST(r AS DOUBLE) * r)) / n
+      |  END AS brier,
       |  CAST(rel_fp AS DOUBLE) / 1000000000 AS reliability,
       |  CAST(res_fp AS DOUBLE) / 1000000000 AS resolution,
       |  (CAST(sy AS DOUBLE) / n) * (1 - CAST(sy AS DOUBLE) / n)
       |    AS uncertainty,
-      |  (CAST(s2 AS DOUBLE) / (CAST(r AS DOUBLE) * r)) / n
+      |  CASE WHEN r = 0
+      |    THEN (CAST(sy AS DOUBLE) / n) * (1 - CAST(sy AS DOUBLE) / n)
+      |    ELSE (CAST(s2 AS DOUBLE) / (CAST(r AS DOUBLE) * r)) / n
+      |  END
       |    - (CAST(rel_fp AS DOUBLE) / 1000000000
       |       - CAST(res_fp AS DOUBLE) / 1000000000
       |       + (CAST(sy AS DOUBLE) / n) * (1 - CAST(sy AS DOUBLE) / n))
@@ -533,12 +553,16 @@ object AnalyticsOps10 {
         sum(dec(num * num)).as("s2"))
     val cell = ev.crossJoin(broadcast(mm))
       .groupBy(least(lit(19),
-        expr("((c - m) * 20) div r")).as("k"))
+        when(col("r") === 0, lit(0L))
+          .otherwise(expr("((c - m) * 20) div r"))).as("k"))
       .agg(count(lit(1)).as("nk"),
         sum(col("y")).cast("long").as("syk"),
         sum(col("c") - col("m")).cast("long").as("sck"))
-    val pk = col("sck").cast("double") / col("nk") / col("r")
     val yk = col("syk").cast("double") / col("nk")
+    // r = 0 → the bin forecast is DEFINED as the bin outcome rate, so
+    // (pk - yk)² vanishes and REL = 0 exactly (constant-forecast path)
+    val pk = when(col("r") === 0, yk)
+      .otherwise(col("sck").cast("double") / col("nk") / col("r"))
     val yb = col("sy").cast("double") / col("n")
     val dcf = cell.crossJoin(broadcast(raw)).crossJoin(broadcast(mm))
       .select(
@@ -549,11 +573,13 @@ object AnalyticsOps10 {
           * ((yk - yb) * (yk - yb)) * 1000000000L + 0.5)
           .cast("long").as("rest"))
       .agg(sum(col("relt")).as("rel_fp"), sum(col("rest")).as("res_fp"))
-    val brier = (col("s2").cast("double")
-      / (col("r").cast("double") * col("r"))) / col("n")
     val rel = col("rel_fp").cast("double") / 1000000000L
     val res = col("res_fp").cast("double") / 1000000000L
     val unc = yb * (lit(1) - yb)
+    // r = 0 → 0/0 NaN without the guard; Brier of p ≡ ȳ is ȳ(1−ȳ)
+    val brier = when(col("r") === 0, unc)
+      .otherwise((col("s2").cast("double")
+        / (col("r").cast("double") * col("r"))) / col("n"))
     raw.crossJoin(broadcast(mm)).crossJoin(broadcast(dcf))
       .select(col("n").as("n_events"),
         brier.as("brier"),

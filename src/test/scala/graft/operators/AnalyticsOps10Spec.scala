@@ -88,6 +88,24 @@ class AnalyticsOps10Spec extends SparkSpec {
     assert(math.abs(gap) <= 0.01, s"gap=$gap exceeds the binning bound")
   }
 
+  test("q221: constant scores (r = 0) degrade to p ≡ ȳ, never throw") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-brier0").toString
+    // every event carries the same score → min = max → range 0; two of
+    // four events are purchases → ȳ = 0.5, uncertainty = 0.25
+    Seq((1L, "purchase", 2.5), (2L, "view", 2.5),
+      (3L, "click", 2.5), (4L, "purchase", 2.5))
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = AnalyticsOps10.q221BrierDecomposition.fn(spark, dir).head()
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.0)
+    assert(math.abs(r.getAs[Double]("uncertainty") - 0.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("brier") - 0.25) < 1e-12)
+    assert(r.getAs[Double]("decomp_gap") == 0.0)
+  }
+
   test("q222: metric ordering invariants (hit rate bounds MRR ≥ MAP terms)") {
     val r = AnalyticsOps10.q222MrrMap.fn(spark, d).head()
     val (n, mrr, map) = (r.getAs[Long]("n_users"),
