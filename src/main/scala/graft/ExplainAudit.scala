@@ -41,7 +41,12 @@ object ExplainAudit {
         // first-occurrence prefix, truncation-recall fan-out over one
         // cached cohort pass, split finding on the cell prefix
         "q217_poisson_bootstrap", "q219_heaps_law",
-        "q225_dim_truncation_recall", "q229_split_finding")
+        "q225_dim_truncation_recall", "q229_split_finding",
+        // round-11 tranche-five shapes: pooled-rank cell walk, vocab
+        // keyness margin join, bitmask vocabulary rollup, order-stat
+        // threshold walk
+        "q232_kruskal_wallis", "q233_llr_keyness",
+        "q239_vocab_jaccard", "q241_hill_tail")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -40,6 +40,7 @@ object SparkEntry {
     operators.AnalyticsOps8.all,
     operators.AnalyticsOps9.all,
     operators.AnalyticsOps10.all,
+    operators.AnalyticsOps11.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =
