@@ -41,6 +41,7 @@ object SparkEntry {
     operators.AnalyticsOps9.all,
     operators.AnalyticsOps10.all,
     operators.AnalyticsOps11.all,
+    operators.AnalyticsOps12.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =
