@@ -51,8 +51,8 @@ object AnalyticsOps11 {
     * (Σh6/1e6 − 3(N+1))/C is the last double chain.
     *
     * Scale shape: ONE documents pass → (source, v) cells; the global
-    * rank walk is a window over the ≤|values| pooled cells (value-
-    * cardinality metadata, the q166 argument); everything after is
+    * rank walk is a TWO-PHASE range-partitioned prefix over the pooled
+    * value cells (the q166/q229 idiom — never a one-task sort); everything after is
     * ≤|sources| rows. */
   val q232KruskalWallis: QueryDef = QueryDef.withOracle(
     """WITH c AS (
@@ -92,9 +92,11 @@ object AnalyticsOps11 {
       .agg(count(lit(1)).as("cnt"))
       .cache() // one documents pass; ranks, margins, ties all reuse it
     val tv = c.groupBy(col("v")).agg(sum(col("cnt")).cast("long").as("t"))
-    val w = tv.withColumn("r2",
-      lit(2) * sum(col("t")).over(Window.orderBy(col("v")))
-        - col("t") + 1)
+    // two-phase prefix (the q166/q229 idiom), never a one-task sort:
+    // r2 = 2·cum(t) − t + 1 off the inclusive prefix
+    val w = AnalyticsOps2.groupedPrefixSums(tv, Seq.empty,
+      Seq(col("v")), Seq((col("t"), "cumt", None)))
+      .withColumn("r2", lit(2) * col("cumt") - col("t") + 1)
     val g = c.join(w.select(col("v"), col("r2")), Seq("v"))
       .groupBy(col("source"))
       .agg(sum(col("cnt")).cast("long").as("ng"),
@@ -151,7 +153,8 @@ object AnalyticsOps11 {
       |    mw.mw - c.a AS b, ns.ng - c.a AS cc,
       |    tot.n - mw.mw - ns.ng + c.a AS dd
       |  FROM c JOIN ns USING (source) JOIN mw USING (word) CROSS JOIN tot
-      |  WHERE c.a * tot.n > ns.ng * mw.mw),
+      |  WHERE CAST(c.a AS HUGEINT) * tot.n
+      |    > CAST(ns.ng AS HUGEINT) * mw.mw),
       |g2 AS (
       |  SELECT source, word, a,
       |    floor(2 * (
@@ -183,7 +186,8 @@ object AnalyticsOps11 {
     val sc = c.join(mw, Seq("word"))
       .join(broadcast(ns), Seq("source"))
       .crossJoin(broadcast(tot))
-      .filter(col("a") * col("n") > col("ng") * col("mw"))
+      // decimal, not int64: a·N reaches ~1e25 at fleet token counts
+      .filter(dec(col("a")) * col("n") > dec(col("ng")) * col("mw"))
       .withColumn("b", col("mw") - col("a"))
       .withColumn("cc", col("ng") - col("a"))
       .withColumn("dd", col("n") - col("mw") - col("ng") + col("a"))
@@ -833,7 +837,8 @@ object AnalyticsOps11 {
     *
     * Scale shape: ONE orders pass → value cells; the rank walk is a
     * window over cells (value-cardinality, the q166 argument);
-    * output is one row. */
+    * output is one row. The
+    * threshold walk is the two-phase descending prefix (q231's idiom). */
   val q241HillTail: QueryDef = QueryDef.withOracle(
     """WITH c AS (
       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
@@ -849,9 +854,10 @@ object AnalyticsOps11 {
       |xk AS (
       |  SELECT max(w.v) AS xk FROM w CROSS JOIN k WHERE w.cum >= k.k),
       |t AS (
-      |  SELECT CAST(sum(
-      |    w.cnt * CAST(floor(ln(CAST(w.v AS DOUBLE) / xk.xk) * 1000000000
-      |        + 0.5) AS BIGINT)) AS BIGINT) AS s9
+      |  SELECT sum(
+      |    CAST(w.cnt AS HUGEINT)
+      |    * CAST(floor(ln(CAST(w.v AS DOUBLE) / xk.xk) * 1000000000
+      |        + 0.5) AS BIGINT)) AS s9
       |  FROM w CROSS JOIN xk
       |  WHERE w.v > xk.xk)
       |SELECT k.n AS n_orders, CAST(k.k AS BIGINT) AS k,
@@ -868,21 +874,24 @@ object AnalyticsOps11 {
     val n = c.agg(sum(col("cnt")).cast("long").as("n"))
     val k = n.select(col("n"),
       least(greatest(lit(10L), expr("n div 100")), col("n") - 1).as("k"))
-    val w = c.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("v").desc)))
+    // two-phase descending prefix (the q231 idiom) over the value cells
+    val w = AnalyticsOps2.groupedPrefixSums(c, Seq.empty,
+      Seq(col("v").desc), Seq((col("cnt"), "cum", None)))
     val xk = w.crossJoin(broadcast(k))
       .filter(col("cum") >= col("k"))
       .agg(max(col("v")).as("xk"))
     val t = w.crossJoin(broadcast(xk))
       .filter(col("v") > col("xk"))
-      .select((col("cnt")
+      // decimal: a single cell's cnt·(ln·1e9) crosses int64 when one
+      // value holds ~1e9 of the top-k rows at fleet scale
+      .select((dec(col("cnt"))
         * floor(log(col("v").cast("double") / col("xk")) * 1000000000L
           + 0.5).cast("long")).as("term"))
-      .agg(sum(col("term")).cast("long").as("s9"))
+      .agg(sum(col("term")).as("s9"))
     k.crossJoin(broadcast(xk)).crossJoin(broadcast(t))
       .select(col("n").as("n_orders"), col("k").cast("long").as("k"),
         col("xk").as("xk_cents"),
-        when(coalesce(col("s9"), lit(0L)) === 0, lit(0.0))
+        when(coalesce(col("s9"), dec(lit(0))) === dec(lit(0)), lit(0.0))
           .otherwise(floor((col("k").cast("double")
             / (col("s9").cast("double") / 1000000000L)) * 1000000L + 0.5)
             / 1000000L).as("hill_alpha"))

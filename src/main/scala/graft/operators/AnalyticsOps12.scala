@@ -114,6 +114,12 @@ object AnalyticsOps12 {
     * at its planned end) and q226's SRM guardrail. The day a boundary
     * is first crossed, the experiment could have STOPPED.
     *
+    * Caveat (stated, not hidden): a REGISTERED SPRT fixes p0 before
+    * any data arrives; here p0 is arm A's rate over the whole window
+    * — a deterministic, oracle-able stand-in that demonstrates the
+    * walk's shape but mildly peeks. Production use would pass a
+    * pre-registered p0 constant instead (one-line change).
+    *
     * Exactness: arm/day cells are exact counts off one pass (the
     * q226 md5-arm convention); p0 is a ratio of exact int64s; the
     * LLR per day k·ln(p1/p0) + (n−k)·ln(q1/q0) is one IEEE chain on
@@ -207,7 +213,7 @@ object AnalyticsOps12 {
     * in both engines).
     *
     * Scale shape: one events pass → value cells; the median walk is a
-    * window over cells; one more cell-frame aggregate against the
+    * two-phase range-partitioned prefix over cells (the q166 idiom); one more cell-frame aggregate against the
     * broadcast threshold yields the 2×2; output is one row. */
   val q244ConfusionPanel: QueryDef = QueryDef.withOracle(
     """WITH ev AS (
@@ -257,11 +263,9 @@ object AnalyticsOps12 {
       .groupBy(col("c"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("k"))
       .cache() // one events pass; median and the 2×2 reuse the cells
-    val w = cell
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("c"))))
-      .withColumn("n", sum(col("cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    // two-phase prefix (the q166/q229 idiom) for the median walk
+    val w = AnalyticsOps2.groupedPrefixSums(cell, Seq.empty,
+      Seq(col("c")), Seq((col("cnt"), "cum", Some("n"))))
     val med = w.filter(lit(2) * col("cum") >= col("n"))
       .agg(min(col("c")).as("med"))
     val cm = cell.crossJoin(broadcast(med))
@@ -314,8 +318,9 @@ object AnalyticsOps12 {
     * prefix algebra on the descending value cells; capture and lift
     * are one division each, floored 1e-6.
     *
-    * Scale shape: one events pass → value cells; ONE descending
-    * prefix window over cells; the 10 boundary rows broadcast-join
+    * Scale shape: one events pass → value cells; ONE two-phase descending
+    * range-partitioned prefix over cells (both measures share the
+    * shuffle); the 10 boundary rows broadcast-join
     * the cell frame (range predicate on metadata). Output: 10 rows. */
   val q245GainsLift: QueryDef = QueryDef.withOracle(
     """WITH ev AS (
@@ -357,10 +362,11 @@ object AnalyticsOps12 {
       .groupBy(col("c"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("k"))
       .cache() // one events pass; prefix walk and totals reuse it
-    val wn = Window.orderBy(col("c").desc)
-    val w = cell
-      .withColumn("cum", sum(col("cnt")).over(wn).cast("long"))
-      .withColumn("cumk", sum(col("k")).over(wn).cast("long"))
+    // two-phase descending prefix (the q231 idiom), both measures in
+    // ONE range shuffle
+    val w = AnalyticsOps2.groupedPrefixSums(cell, Seq.empty,
+      Seq(col("c").desc),
+      Seq((col("cnt"), "cum", None), (col("k"), "cumk", None)))
     val tot = cell.agg(sum(col("cnt")).cast("long").as("n"),
       sum(col("k")).cast("long").as("kt"))
     val b = tot.select(explode(sequence(lit(1), lit(10))).as("decile"),

@@ -144,7 +144,20 @@ class PlanCoverageSpec extends SparkSpec {
       "data-sized work is the one banded count feeding it"),
     "q214_ndcg" -> ("the unpartitioned popularity rank runs over the " +
       "≤|event types| margin AGGREGATE (metadata); the per-user ideal " +
-      "rank partitions on user_id (a real key) with the limit pushed"))
+      "rank partitions on user_id (a real key) with the limit pushed"),
+    "q234_good_turing" -> ("the unpartitioned lead() runs over the " +
+      "frequency-of-frequencies AGGREGATE — one row per distinct " +
+      "bigram count, O(√tokens) rows (Σ over distinct r of r ≤ N " +
+      "bounds the count) — doubly-collapsed metadata; the data-sized " +
+      "work is the bigram pass feeding it"),
+    "q239_vocab_jaccard" -> ("the unpartitioned source-bit rank runs " +
+      "over SELECT DISTINCT source — ≤|sources| rows by construction; " +
+      "the data-sized work is the distinct (source, word) pass and " +
+      "the per-word bitmask fold, both plain aggregates"),
+    "q243_sprt" -> ("the unpartitioned cumulative LLR walk runs over " +
+      "arm B's (day) AGGREGATE — one row per calendar day, " +
+      "time-range-bounded metadata; the data-sized work is the one " +
+      "(arm, day) cell pass feeding it"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet

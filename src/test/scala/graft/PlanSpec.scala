@@ -1340,6 +1340,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q232: pooled rank walk is a two-phase prefix over value cells") {
+    val p = plan("q232_kruskal_wallis")
+    // the doubled-rank walk must range-partition the pooled (v) cells
+    // — never a one-task global sort — and everything after the cells
+    // is metadata-sized aggregation
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q241: Hill threshold walk is a descending two-phase prefix") {
+    val p = plan("q241_hill_tail")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q244: median walk is a two-phase prefix; the 2x2 is one conditional agg") {
+    val p = plan("q244_confusion_panel")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q245: gains walk carries BOTH prefixes in one range shuffle") {
+    val p = plan("q245_gains_lift")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    // one Window node carries cum AND cumk (same spec → one physical
+    // node), so exactly one __pid window spec appears per frame pass
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
