@@ -386,9 +386,163 @@ object AnalyticsOps12 {
             / 1000000L).as("lift"))
   }
 
+  /** Cochran-Armitage trend test: is the purchase rate MONOTONE in
+    * the value score, tested across q221's 20 ordered equal-width
+    * bins (doses 0..19)? The trend question beside q232 (any level
+    * difference, unordered) and q192's Mann-Kendall (trend in a time
+    * series): a significant z here justifies using the score as a
+    * RANKER at all — the precondition for q231/q245 readings.
+    *
+    * Exactness: all four sufficient statistics (Σwn, Σw²n, Σwk, K, N)
+    * are exact integer sums over the ≤20-bin frame; cross products
+    * N·Σwk, K·Σwn, (Σwn)² run in decimal(38,0)/HUGEINT (they reach
+    * N² — int64 dies at ~3e9 events); z is one double chain floored
+    * 1e-6. Zero variance (single bin, or p̄ ∈ {0,1}) degrades to
+    * z = 0 — which includes the r = 0 degenerate score range.
+    *
+    * Scale shape: q221's binning — one min/max pass, one ≤20-cell
+    * aggregate, one metadata rollup. Output: one row. */
+  val q246CochranArmitage: QueryDef = QueryDef.withOracle(
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+      |    CAST(event_type = 'purchase' AS BIGINT) AS y
+      |  FROM events),
+      |mm AS (
+      |  SELECT min(c) AS m, max(c) - min(c) AS r FROM ev),
+      |cell AS (
+      |  SELECT least(19, CASE WHEN r = 0 THEN 0
+      |                        ELSE ((c - m) * 20) // r END) AS w,
+      |    count(*) AS n, CAST(sum(y) AS BIGINT) AS k
+      |  FROM ev CROSS JOIN mm GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk,
+      |    CAST(sum(w * n) AS BIGINT) AS swn,
+      |    CAST(sum(w * w * n) AS BIGINT) AS swwn,
+      |    CAST(sum(w * k) AS BIGINT) AS swk
+      |  FROM cell)
+      |SELECT nn AS n_events, kk AS n_pos,
+      |  CASE WHEN kk = 0 OR kk = nn
+      |    OR CAST(nn AS HUGEINT) * swwn = CAST(swn AS HUGEINT) * swn
+      |    THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((
+      |      CAST(CAST(nn AS HUGEINT) * swk
+      |        - CAST(kk AS HUGEINT) * swn AS DOUBLE)
+      |      / sqrt((CAST(kk AS DOUBLE) * (nn - kk))
+      |        * CAST(CAST(nn AS HUGEINT) * swwn
+      |            - CAST(swn AS HUGEINT) * swn AS DOUBLE) / nn))
+      |      * 1000000 + 0.5) / 1000000 END AS z_trend
+      |FROM s""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .cache() // one events materialization feeds min/max and the bins
+    val mm = ev.agg(min(col("c")).as("m"),
+      (max(col("c")) - min(col("c"))).as("r"))
+    val cell = ev.crossJoin(broadcast(mm))
+      .groupBy(least(lit(19),
+        when(col("r") === 0, lit(0L))
+          .otherwise(expr("((c - m) * 20) div r"))).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"))
+    val st = cell.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("k")).cast("long").as("kk"),
+      sum(col("w") * col("n")).cast("long").as("swn"),
+      sum(col("w") * col("w") * col("n")).cast("long").as("swwn"),
+      sum(col("w") * col("k")).cast("long").as("swk"))
+    val num = (dec(col("nn")) * col("swk")
+      - dec(col("kk")) * col("swn")).cast("double")
+    val varTerm = (col("kk").cast("double") * (col("nn") - col("kk"))) *
+      (dec(col("nn")) * col("swwn") - dec(col("swn")) * col("swn"))
+        .cast("double") / col("nn")
+    st.select(col("nn").as("n_events"), col("kk").as("n_pos"),
+      when(col("kk") === 0 || col("kk") === col("nn")
+        || dec(col("nn")) * col("swwn") === dec(col("swn")) * col("swn"),
+        lit(0.0))
+        .otherwise(floor(num / sqrt(varTerm) * 1000000L + 0.5) / 1000000L)
+        .as("z_trend"))
+  }
+
+  /** Youden-J optimal threshold: the cut on the value score that
+    * maximizes TPR − FPR for predicting purchases — q244 reports the
+    * panel AT a fixed (median) cut; this SEARCHES every candidate cut
+    * in one pass and returns the best operating point, the number a
+    * deployment actually sets. Ties on the quantized J break toward
+    * the LOWEST threshold (the more sensitive cut), stated.
+    *
+    * Exactness: candidate thresholds are exactly the distinct score
+    * values; TP/FP at each come from the exact two-phase prefix
+    * (exclusive counts below the cut); TPR, FPR, J are one double
+    * chain per cell quantized 1e-9 BEFORE the arg-max, so the winner
+    * is deterministic. Degenerate labels (no positives or no
+    * negatives — J undefined) yield an EMPTY result in both engines
+    * rather than a fabricated row.
+    *
+    * Scale shape: one events pass → value cells → ONE two-phase
+    * ascending prefix (the q229 idiom) → per-cell chains →
+    * TakeOrdered(1). Never a global sort. */
+  val q247YoudenThreshold: QueryDef = QueryDef.withOracle(
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+      |    CAST(event_type = 'purchase' AS BIGINT) AS y
+      |  FROM events),
+      |cell AS (
+      |  SELECT c, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS k
+      |  FROM ev GROUP BY 1),
+      |w AS (
+      |  SELECT c, cnt, k,
+      |    CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) - cnt AS below_n,
+      |    CAST(sum(k) OVER (ORDER BY c) AS BIGINT) - k AS below_k,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n,
+      |    CAST(sum(k) OVER () AS BIGINT) AS kt
+      |  FROM cell),
+      |j AS (
+      |  SELECT c,
+      |    CAST(floor(((CAST(kt - below_k AS DOUBLE) / kt)
+      |      - (CAST(n - kt - (below_n - below_k) AS DOUBLE) / (n - kt)))
+      |      * 1000000000 + 0.5) AS BIGINT) AS j9,
+      |    kt - below_k AS tp, n - kt - (below_n - below_k) AS fp, kt, n
+      |  FROM w WHERE kt > 0 AND kt < n)
+      |SELECT c AS threshold_cents,
+      |  floor((CAST(tp AS DOUBLE) / kt) * 1000000 + 0.5) / 1000000 AS tpr,
+      |  floor((CAST(fp AS DOUBLE) / (n - kt)) * 1000000 + 0.5) / 1000000
+      |    AS fpr,
+      |  CAST(j9 AS DOUBLE) / 1000000000 AS youden_j
+      |FROM j ORDER BY j9 DESC, c LIMIT 1""".stripMargin
+  ) { (s, d) =>
+    val cell = Tables.events(s, d)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("y"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).cast("long").as("k"))
+      .cache() // one events pass; prefix and totals reuse the cells
+    val w0 = AnalyticsOps2.groupedPrefixSums(cell, Seq.empty,
+      Seq(col("c")),
+      Seq((col("cnt"), "cum", Some("n")), (col("k"), "cumk", Some("kt"))))
+    val w = w0
+      .withColumn("below_n", col("cum") - col("cnt"))
+      .withColumn("below_k", col("cumk") - col("k"))
+    val tp = col("kt") - col("below_k")
+    val fp = col("n") - col("kt") - (col("below_n") - col("below_k"))
+    val j = w.filter(col("kt") > 0 && col("kt") < col("n"))
+      .select(col("c"),
+        floor(((tp.cast("double") / col("kt"))
+          - (fp.cast("double") / (col("n") - col("kt"))))
+          * 1000000000L + 0.5).cast("long").as("j9"),
+        tp.as("tp"), fp.as("fp"), col("kt"), col("n"))
+    j.orderBy(col("j9").desc, col("c")).limit(1)
+      .select(col("c").as("threshold_cents"),
+        (floor((col("tp").cast("double") / col("kt")) * 1000000L + 0.5)
+          / 1000000L).as("tpr"),
+        (floor((col("fp").cast("double") / (col("n") - col("kt")))
+          * 1000000L + 0.5) / 1000000L).as("fpr"),
+        (col("j9").cast("double") / 1000000000L).as("youden_j"))
+  }
+
   val all: Map[String, QueryDef] = Map(
     "q242_calibration_error" -> q242CalibrationError,
     "q243_sprt" -> q243Sprt,
     "q244_confusion_panel" -> q244ConfusionPanel,
-    "q245_gains_lift" -> q245GainsLift)
+    "q245_gains_lift" -> q245GainsLift,
+    "q246_cochran_armitage" -> q246CochranArmitage,
+    "q247_youden_threshold" -> q247YoudenThreshold)
 }

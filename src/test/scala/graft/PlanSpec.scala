@@ -1364,6 +1364,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q247: threshold search is cells + two-phase prefix + TakeOrdered") {
+    val p = plan("q247_youden_threshold")
+    // candidate cuts live on the value cells; TP/FP come off the
+    // range-partitioned prefix (totals ride the metadata offsets
+    // frame); the winner is TakeOrdered(1), never a global sort
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q245: gains walk carries BOTH prefixes in one range shuffle") {
     val p = plan("q245_gains_lift")
     assert(p.contains("rangepartitioning"), p)

@@ -109,6 +109,41 @@ class AnalyticsOps12Spec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 1.0)
   }
 
+  test("q246: hand-computed trend z on a two-bin fixture; constant degrades to 0") {
+    val dir = tmp("graft-ca")
+    // bin 0: 10 events, 0 purchases; bin 19: 10 events, 8 purchases
+    writeEvents(dir, (1L to 10L).map(i => (i, "view", 0.0)) ++
+      (11L to 18L).map(i => (i, "purchase", 1.0)) ++
+      Seq((19L, "view", 1.0), (20L, "view", 1.0)))
+    val r = AnalyticsOps12.q246CochranArmitage.fn(spark, dir).head()
+    assert(r.getAs[Long]("n_events") == 20L && r.getAs[Long]("n_pos") == 8L)
+    // N·Σwk − K·Σwn = 20·152 − 8·190 = 1520;
+    // var = K(N−K)·(N·Σw²n − (Σwn)²)/N = 96·36100/20
+    val ref = math.floor(1520.0 / math.sqrt(96.0 * 36100 / 20) * 1e6 + 0.5) / 1e6
+    assert(math.abs(r.getAs[Double]("z_trend") - ref) < 1e-9,
+      s"z=${r.getAs[Double]("z_trend")} ref=$ref")
+    assert(r.getAs[Double]("z_trend") > 2.0)
+    val dir2 = tmp("graft-ca0")
+    writeEvents(dir2, Seq((1L, "purchase", 5.0), (2L, "view", 5.0)))
+    assert(AnalyticsOps12.q246CochranArmitage.fn(spark, dir2)
+      .head().getAs[Double]("z_trend") == 0.0)
+  }
+
+  test("q247: the separating cut wins with J = 1; degenerate labels are empty") {
+    val dir = tmp("graft-yj")
+    // c=100: 2 views; c=200: 1 purchase; c=300: 1 purchase
+    // threshold 200 separates perfectly → TPR 1, FPR 0, J 1
+    writeEvents(dir, Seq((1L, "view", 1.0), (2L, "view", 1.0),
+      (3L, "purchase", 2.0), (4L, "purchase", 3.0)))
+    val r = AnalyticsOps12.q247YoudenThreshold.fn(spark, dir).head()
+    assert(r.getAs[Long]("threshold_cents") == 200L)
+    assert(r.getAs[Double]("tpr") == 1.0 && r.getAs[Double]("fpr") == 0.0)
+    assert(r.getAs[Double]("youden_j") == 1.0)
+    val dir2 = tmp("graft-yj0")
+    writeEvents(dir2, Seq((1L, "purchase", 1.0), (2L, "purchase", 2.0)))
+    assert(AnalyticsOps12.q247YoudenThreshold.fn(spark, dir2).count() == 0L)
+  }
+
   test("q245: ten distinct scores, purchases on top — capture and lift") {
     val dir = tmp("graft-gl")
     // scores 10..1, purchases at the two highest
