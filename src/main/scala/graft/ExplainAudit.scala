@@ -46,7 +46,12 @@ object ExplainAudit {
         // keyness margin join, bitmask vocabulary rollup, order-stat
         // threshold walk
         "q232_kruskal_wallis", "q233_llr_keyness",
-        "q239_vocab_jaccard", "q241_hill_tail")
+        "q239_vocab_jaccard", "q241_hill_tail",
+        // round-12 shapes: densified-CDF pair sweep, two-phase DeLong
+        // components, broadcast-centroid silhouette, day-cell BH sweep,
+        // cached-feature Mahalanobis double pass, limit-then-rank RBO
+        "q248_cliffs_delta", "q249_rbo", "q251_delong_auc",
+        "q253_silhouette", "q254_bh_fdr", "q256_mahalanobis")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

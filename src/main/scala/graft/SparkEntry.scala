@@ -42,6 +42,8 @@ object SparkEntry {
     operators.AnalyticsOps10.all,
     operators.AnalyticsOps11.all,
     operators.AnalyticsOps12.all,
+    operators.AnalyticsOps13.all,
+    operators.AnalyticsOps14.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

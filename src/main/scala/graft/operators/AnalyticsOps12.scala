@@ -114,11 +114,14 @@ object AnalyticsOps12 {
     * at its planned end) and q226's SRM guardrail. The day a boundary
     * is first crossed, the experiment could have STOPPED.
     *
-    * Caveat (stated, not hidden): a REGISTERED SPRT fixes p0 before
-    * any data arrives; here p0 is arm A's rate over the whole window
-    * — a deterministic, oracle-able stand-in that demonstrates the
-    * walk's shape but mildly peeks. Production use would pass a
-    * pre-registered p0 constant instead (one-line change).
+    * A REGISTERED SPRT fixes p0 before any data arrives, so the walk
+    * is parameterized: [[sprtWalk]] takes a pre-registered p0
+    * constant, and production passes one. The GATE release (this
+    * QueryDef) uses the self-estimated default — arm A's rate over
+    * the whole window — because the oracle needs a value derivable
+    * from the same tables; the scaladoc'd peeking caveat applies to
+    * that default only, not to the constant-p0 overload (spec'd in
+    * AnalyticsOps12Spec).
     *
     * Exactness: arm/day cells are exact counts off one pass (the
     * q226 md5-arm convention); p0 is a ratio of exact int64s; the
@@ -163,7 +166,18 @@ object AnalyticsOps12 {
       |    WHEN llr <= -ln(CAST(19 AS DOUBLE)) THEN 'accept_h0'
       |    ELSE 'continue' END AS decision
       |FROM l""".stripMargin
-  ) { (s, d) =>
+  )((s, d) => sprtWalk(s, d, p0Registered = None))
+
+  /** The parameterized SPRT walk behind q243. `p0Registered = Some(c)`
+    * is the production shape — a pre-registered null rate fixed before
+    * the data, no peeking; `None` self-estimates p0 from arm A over
+    * the window (the gate's oracle-able default, with the stated
+    * peeking caveat). The LLR algebra, quantization, and decision
+    * boundaries are identical in both modes. */
+  private[operators] def sprtWalk(s: SparkSession, d: String,
+      p0Registered: Option[Double]): DataFrame = {
+    p0Registered.foreach(c => require(c > 0.0 && c < 1.0,
+      s"pre-registered p0 must be in (0,1), got $c"))
     val ev = Tables.events(s, d)
       .select(when(expr(
         "conv(substring(md5(cast(user_id AS string)), 1, 15), 16, 10)")
@@ -173,17 +187,25 @@ object AnalyticsOps12 {
       .groupBy(col("arm"), col("day"))
       .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("k"))
       .cache() // one events pass; the null and the walk reuse it
-    val pa = ev.filter(col("arm") === "A")
-      .agg(sum(col("n")).cast("long").as("na"),
-        sum(col("k")).cast("long").as("ka"))
+    // the null as a 1-row frame carrying p0r: either the registered
+    // constant, or arm A's exact-int ratio (ka = 0 / ka = na are the
+    // degenerate cases; as doubles those are exactly 0.0 / 1.0, so the
+    // shared p0r-range guard below is equivalent to the old int test)
+    val pa = p0Registered match {
+      case Some(c) => s.range(1).select(lit(c).as("p0r"))
+      case None => ev.filter(col("arm") === "A")
+        .agg(sum(col("n")).cast("long").as("na"),
+          sum(col("k")).cast("long").as("ka"))
+        .select((col("ka").cast("double") / col("na")).as("p0r"))
+    }
     val wn = Window.orderBy(col("day"))
     val b = ev.filter(col("arm") === "B")
       .select(col("day"),
         sum(col("n")).over(wn).cast("long").as("cn"),
         sum(col("k")).over(wn).cast("long").as("ck"))
-    val p0 = col("ka").cast("double") / col("na")
+    val p0 = col("p0r")
     val p1 = least(lit(0.999), lit(1.1) * p0)
-    val llr = when(col("ka") === 0 || col("ka") === col("na"), lit(0.0))
+    val llr = when(col("p0r") <= 0.0 || col("p0r") >= 1.0, lit(0.0))
       .otherwise(floor((col("ck") * log(p1 / p0)
         + (col("cn") - col("ck")) * log((lit(1) - p1) / (lit(1) - p0)))
         * 1000000L + 0.5) / 1000000L)

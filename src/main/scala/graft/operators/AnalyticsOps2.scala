@@ -252,6 +252,27 @@ object AnalyticsOps2 {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Top-k rows in `sortCols` order with an optional rank attached
+    * AFTER the cap — the shared limit-then-rank idiom (r11 verdict
+    * #3). `orderBy(...).limit(k)` plans as TakeOrderedAndProject:
+    * every task keeps its local top-k and one k-row merge finishes
+    * the pick, so no full sort and no global shuffle ever happen.
+    * The optional `row_number` that follows runs over ≤ k rows of
+    * metadata. The ANTI-pattern this replaces — rank the full frame
+    * with a global Window, then filter rank ≤ k — funnels the whole
+    * frame through ONE reducer, and Spark's InferWindowGroupLimit
+    * only rescues it when the filter sits in the same DataFrame
+    * layer (the q238 r11 lesson: a `.cache()` or a separate layer
+    * between rank and filter leaves the window uncapped). `sortCols`
+    * must totally order rows (tiebreak on a unique column) or both
+    * the cap and the rank are nondeterministic. */
+  private[operators] def topKByCount(df: DataFrame, sortCols: Seq[Column],
+      k: Int, rankOut: Option[String] = None): DataFrame = {
+    val capped = df.orderBy(sortCols: _*).limit(k)
+    rankOut.fold(capped)(r => capped.withColumn(r,
+      row_number().over(Window.orderBy(sortCols: _*))))
+  }
+
   /** GROUPED two-phase prefix sum — [[globalRowNumber]]'s per-group
     * sibling, for the skewed-key case where the group column has few
     * values (q132's 2-value `step`, q134's 5-value segment): a

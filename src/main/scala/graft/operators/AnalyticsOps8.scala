@@ -690,10 +690,10 @@ object AnalyticsOps8 {
       .cache() // ONE corpus pass feeds the vocab pick AND the scoring
     val gv = cells.filter(col("ct") > 0)
       .groupBy(col("tok")).agg(sum(col("ct")).as("c"))
-    // ≤|V| rows: the unpartitioned rank is a metadata sort
-    val vk = gv.withColumn("rn",
-      row_number().over(Window.orderBy(col("c").desc, col("tok"))))
-      .filter(col("rn") <= 16)
+    // limit-then-rank idiom: TakeOrderedAndProject caps map-side, so
+    // the vocab pick never funnels the ≤|V| margin through one reducer
+    val vk = AnalyticsOps2.topKByCount(gv,
+        Seq(col("c").desc, col("tok")), 16)
       .select(col("tok"), lit(1).as("in_v"))
     cells.filter(col("cv") > 0)
       .join(broadcast(vk), Seq("tok"), "left")

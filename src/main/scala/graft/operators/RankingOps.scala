@@ -342,9 +342,9 @@ object RankingOps {
         col("rt"), col("rv"),
         (coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0))).as("rrf"))
-    fused.orderBy(col("rrf").desc, col("id")).limit(10)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+    AnalyticsOps2.topKByCount(fused,
+        Seq(col("rrf").desc, col("id")), 10, Some("rank"))
+      .withColumn("rank", col("rank").cast("long"))
       .select(col("rank"), col("id"), coalesce(col("rt"), lit(0L)).as("rt"),
         coalesce(col("rv"), lit(0L)).as("rv"), round(col("rrf"), 6).as("rrf"))
   }

@@ -678,9 +678,8 @@ object TextOps {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .cache() // consumed by the vocab count and the top-1000
     val tot = w.agg(count(lit(1)).as("n_vocab"))
-    val top = w.orderBy(col("cnt").desc, col("word")).limit(1000)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word"))))
+    val top = AnalyticsOps2.topKByCount(w,
+      Seq(col("cnt").desc, col("word")), 1000, Some("rnk"))
     val q = top.select(
       floor(log(col("rnk").cast("double")) * 10000 + 0.5).cast("long").as("x"),
       floor(log(col("cnt").cast("double")) * 10000 + 0.5).cast("long").as("y"))

@@ -133,11 +133,6 @@ class PlanCoverageSpec extends SparkSpec {
       "capacity AGGREGATE — one row per source, metadata-sized by " +
       "construction; the data-sized work is the single tokenization " +
       "pass feeding that aggregate"),
-    "q210_oov_rate" -> ("the unpartitioned top-K vocabulary rank runs " +
-      "over the corpus-wide train token AGGREGATE — one row per " +
-      "distinct token, Heaps-bounded metadata (the q194/q202 " +
-      "argument); the data-sized work is the two split-predicate " +
-      "token-cell passes feeding it"),
     "q213_isotonic_calibration" -> ("the prefix-sum and cummax windows " +
       "run over the ≤|bands| reliability-cell AGGREGATE (scores band " +
       "to whole currency units — value-range-bounded metadata); the " +
@@ -157,7 +152,19 @@ class PlanCoverageSpec extends SparkSpec {
     "q243_sprt" -> ("the unpartitioned cumulative LLR walk runs over " +
       "arm B's (day) AGGREGATE — one row per calendar day, " +
       "time-range-bounded metadata; the data-sized work is the one " +
-      "(arm, day) cell pass feeding it"))
+      "(arm, day) cell pass feeding it"),
+    "q249_rbo" -> ("both unpartitioned rank windows run AFTER a " +
+      "limit-50 cap (the topKByCount limit-then-rank idiom: " +
+      "TakeOrderedAndProject feeds them ≤50 rows); the data-sized " +
+      "work is the one tokenization pass into per-word half-counts"),
+    "q250_pettitt" -> ("the rank and prefix windows run over the " +
+      "daily-revenue AGGREGATE — one row per calendar day, " +
+      "time-range-bounded metadata (the q243 argument); the " +
+      "data-sized work is the one orders pass into day cells"),
+    "q254_bh_fdr" -> ("the BH rank and reverse-cummin windows run " +
+      "over the per-day test AGGREGATE — one row per calendar day, " +
+      "time-range-bounded metadata (the q243 argument); the " +
+      "data-sized work is the one events pass into day cells"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet
@@ -169,6 +176,16 @@ class PlanCoverageSpec extends SparkSpec {
     val blanket = (all -- locked -- exempt.keySet).toSeq.sorted
     val offenders = blanket.flatMap { name =>
       val qe = SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+      // r11 verdict #1: cache substitution replaces every cached
+      // subframe with an InMemoryRelation LEAF, so anything upstream
+      // of a `.cache()` was invisible to this scan (q238 hid an
+      // uncapped global-rank window there for a round). fn() only
+      // REGISTERS its caches — the plan is still unresolved here —
+      // so evicting them before the first plan access makes the
+      // optimizer see the full pre-cache-substitution plan. Eviction
+      // is hygiene-safe (suites run sequentially in the forked JVM;
+      // a later materialization simply re-caches).
+      CacheHygiene.sweep(spark)
       val p = qe.explainString(ExplainMode.fromString("formatted"))
       val cart = p.contains("CartesianProduct")
       val badWin = !windowExempt.contains(name) &&
@@ -187,8 +204,12 @@ class PlanCoverageSpec extends SparkSpec {
   test("the low-cardinality-window detector actually fires (planted fixtures)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.{Window => W}
-    def flagged(df: org.apache.spark.sql.DataFrame) =
+    def flagged(df: org.apache.spark.sql.DataFrame) = {
+      // same pre-scan eviction as the blanket: a registered cache
+      // must not occlude the subframe under inspection
+      CacheHygiene.sweep(spark)
       lowCardWindows(df.queryExecution.optimizedPlan).nonEmpty
+    }
     val base = spark.range(100).toDF("id")
     // 2-value derived pid — the exact q132 r7 shape
     val modWin = base.withColumn("pid", col("id") % 2)
@@ -210,5 +231,22 @@ class PlanCoverageSpec extends SparkSpec {
     val okWin = base
       .withColumn("r", row_number().over(W.partitionBy("id").orderBy("id")))
     assert(!flagged(okWin), "attribute-keyed window must pass")
+    // the r11 q238 occlusion class: the global window sits BEHIND a
+    // .cache() boundary and a downstream layer reads the cached frame
+    // — substitution would swallow it into an InMemoryRelation leaf;
+    // the pre-scan eviction must keep it visible
+    val cachedWin = base
+      .withColumn("r", row_number().over(W.orderBy("id"))).cache()
+    val downstream = cachedWin.filter(col("r") <= 5).select("id")
+    assert(flagged(downstream),
+      "a cached global-window subframe must be flagged")
+    // and limit-then-rank (the fix idiom) behind a cache still passes:
+    // the surviving window is over the capped ≤k-row frame — but it IS
+    // an empty-partition window, so it must be exempted or locked when
+    // used in a gate query; here we only assert the cap is visible
+    val cappedTop = base.orderBy(col("id").desc).limit(5)
+    assert(!lowCardWindows(
+      { CacheHygiene.sweep(spark); cappedTop.queryExecution.optimizedPlan })
+      .nonEmpty, "TakeOrdered cap without a rank must pass")
   }
 }

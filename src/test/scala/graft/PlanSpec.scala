@@ -1384,6 +1384,66 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q238: marker-word pick is TakeOrdered (limit-then-rank), pairs broadcast") {
+    val p = plan("q238_burrows_delta")
+    // the r11 verdict fix: the top-30 word pick must plan as
+    // TakeOrderedAndProject (map-side capped), never a global
+    // row_number over the Heaps-bounded word margin through one
+    // reducer — and the cache boundary must not hide a Window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q210: vocab-budget pick is TakeOrdered (limit-then-rank)") {
+    val p = plan("q210_oov_rate")
+    // same idiom as q238/q129: the top-K vocabulary pick is
+    // TakeOrderedAndProject off the train margin, not a global rank
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q248: pair sweep is cells × cumulative cells — no pair materialization") {
+    val p = plan("q248_cliffs_delta")
+    // the only windows partition by source (a real key) over the
+    // densified metadata grid; the source list broadcasts onto the
+    // grid (BroadcastNestedLoopJoin, never CartesianProduct); the
+    // a-cells × b-cumulative join is an equi-join on v
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q251: DeLong components ride the two-phase prefix over cents cells") {
+    val p = plan("q251_delong_auc")
+    // the cumulative pos/neg walk is range-partitioned with the local
+    // __pid window (the q247 device) — never a one-task global sort;
+    // totals attach broadcast
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("__pid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q253: silhouette is one posexplode + broadcast centroid attach") {
+    val p = plan("q253_silhouette")
+    // centroids (label × dim metadata) broadcast onto the exploded
+    // term frame; no shuffle carries a vector twice, no window at all
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q256: Mahalanobis is two passes over one cached feature frame") {
+    val p = plan("q256_mahalanobis")
+    // the parameter row (means + inverse entries) attaches by
+    // broadcast; scoring re-reads the cached features — no join keyed
+    // on data, no window
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the

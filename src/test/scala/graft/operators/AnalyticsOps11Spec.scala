@@ -161,6 +161,45 @@ class AnalyticsOps11Spec extends SparkSpec {
     assert(rows(("A", "C")) == ((0L, 0.0)), rows.toString)
   }
 
+  test("q239: a 64th source raises the bitmask width guard, never overflows") {
+    val dir = tmp("graft-vj64")
+    writeDocs(dir, (1L to 64L).map(i => (i, f"s$i%02d", "a b")))
+    val e = intercept[Exception] {
+      AnalyticsOps11.q239VocabJaccard.fn(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains(">63 sources")),
+      e.toString)
+    // and exactly 63 sources still works (bit 62 is the last safe one)
+    val dir2 = tmp("graft-vj63")
+    writeDocs(dir2, (1L to 63L).map(i => (i, f"s$i%02d", "a b")))
+    val n = AnalyticsOps11.q239VocabJaccard.fn(spark, dir2).count()
+    assert(n == 63L * 62 / 2)
+  }
+
+  test("q240: a single-token source degrades simpson to 0, never NaN") {
+    val dir = tmp("graft-sd1")
+    writeDocs(dir, Seq((1L, "A", "solo")))
+    val r = AnalyticsOps11.q240SimpsonDiversity.fn(spark, dir).head()
+    assert(r.getAs[Long]("n_tokens") == 1L)
+    assert(r.getAs[Double]("simpson") == 0.0)
+    assert(r.getAs[Double]("inv_simpson") == 0.0)
+  }
+
+  test("q238: delta divides by the actual marker-word count, not 30") {
+    // 4-word vocabulary → |top| = 4 < 30; two one-doc sources with
+    // frequency profiles A=(2a,1b,1c) B=(1a,1b,2d) over n=4 tokens.
+    // f9 grids: a: A .5 B .25; b: both .25; c: A .25 B 0; d: A 0 B .5
+    // population SD over 2 sources = half the gap → z = ±1 for every
+    // word with a gap, 0 for b → Σ|za−zb| = 2+0+2+2 = 6e6 → mean over
+    // FOUR words = 1.5 (a literal /30 would deflate this to 0.2)
+    val dir = tmp("graft-bd4")
+    writeDocs(dir, Seq((1L, "A", "a a b c"), (2L, "B", "a b d d")))
+    val r = AnalyticsOps11.q238BurrowsDelta.fn(spark, dir).head()
+    assert(math.abs(r.getAs[Double]("delta") - 1.5) < 1e-6, r.toString)
+  }
+
   test("q240: uniform 3-word source has inv-Simpson 5 (n=6,c=2) and H=ln3") {
     val dir = tmp("graft-sd")
     // counts {2,2,2}: λ = 3·2·1/(6·5) = 0.2 → inv 5; H = ln 3

@@ -78,6 +78,38 @@ class AnalyticsOps12Spec extends SparkSpec {
     }
   }
 
+  test("q243: pre-registered constant p0 — no peeking, same algebra") {
+    import org.apache.spark.sql.functions._
+    // the production shape: p0 fixed BEFORE the data; recompute the
+    // Wald walk in plain Scala from the engine's own cumulative counts
+    val p0 = 0.9 // registered null far above any observed purchase rate
+    val rows = AnalyticsOps12.sprtWalk(spark, d, Some(p0))
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.schema.fieldNames.toSeq ==
+      Seq("day", "n_cum", "k_cum", "llr", "decision"))
+    val p1 = math.min(0.999, 1.1 * p0)
+    val bound = math.log(19.0)
+    rows.foreach { r =>
+      val (cn, ck) = (r.getAs[Long]("n_cum"), r.getAs[Long]("k_cum"))
+      val ref = math.floor((ck * math.log(p1 / p0)
+        + (cn - ck) * math.log((1 - p1) / (1 - p0))) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("llr") - ref) < 1e-9)
+      assert(r.getAs[String]("decision") == (if (ref >= bound) "accept_h1"
+        else if (ref <= -bound) "accept_h0" else "continue"))
+    }
+    // a 90% null against a low observed rate must reject upward drift:
+    // the last day's walk sits at/under the h0 boundary, never above
+    assert(rows.last.getAs[Double]("llr") < 0.0)
+    // out-of-range registrations are refused at the driver
+    intercept[IllegalArgumentException] {
+      AnalyticsOps12.sprtWalk(spark, d, Some(1.0))
+    }
+    intercept[IllegalArgumentException] {
+      AnalyticsOps12.sprtWalk(spark, d, Some(0.0))
+    }
+  }
+
   test("q244: hand-computed confusion panel (med splits the cells)") {
     val dir = tmp("graft-cm")
     // 3 events at 1.00 (no purchases), 5 at 2.00 (3 purchases)
