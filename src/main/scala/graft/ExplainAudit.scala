@@ -51,7 +51,10 @@ object ExplainAudit {
         // components, broadcast-centroid silhouette, day-cell BH sweep,
         // cached-feature Mahalanobis double pass, limit-then-rank RBO
         "q248_cliffs_delta", "q249_rbo", "q251_delong_auc",
-        "q253_silhouette", "q254_bh_fdr", "q256_mahalanobis")
+        "q253_silhouette", "q254_bh_fdr", "q256_mahalanobis",
+        // round-12 tranche-three shapes: one-prefix dual CDFs, dense
+        // month-grid pair sweep, two-phase pooled AD walk
+        "q258_cvm_drift", "q259_jonckheere", "q264_k_sample_ad")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

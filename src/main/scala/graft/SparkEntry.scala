@@ -44,6 +44,7 @@ object SparkEntry {
     operators.AnalyticsOps12.all,
     operators.AnalyticsOps13.all,
     operators.AnalyticsOps14.all,
+    operators.AnalyticsOps15.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -1444,6 +1444,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q258: both CDFs ride ONE two-phase prefix over score cells") {
+    val p = plan("q258_cvm_drift")
+    // the q153 device: one range shuffle, one pinned __pid window
+    // carrying both running sums — never a one-task global sort
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("__pid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q264: pooled AD walk is two-phase; per-source walks key on source") {
+    val p = plan("q264_k_sample_ad")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("__pid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // grid × sources
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
