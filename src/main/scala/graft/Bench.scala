@@ -85,6 +85,8 @@ object Bench {
     // moving DURING the sweep is visible at the point it moved
     val AnchorEvery = 50
     val anchorSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    anchorOnce() // discard: the first execution carries the anchor's
+    // own whole-stage-codegen cost, which would fake a start spike
     anchorSamples += anchorOnce()
 
     // Three timed runs per query, report the MEDIAN (r6 protocol

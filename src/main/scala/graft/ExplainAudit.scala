@@ -54,7 +54,11 @@ object ExplainAudit {
         "q253_silhouette", "q254_bh_fdr", "q256_mahalanobis",
         // round-12 tranche-three shapes: one-prefix dual CDFs, dense
         // month-grid pair sweep, two-phase pooled AD walk
-        "q258_cvm_drift", "q259_jonckheere", "q264_k_sample_ad")
+        "q258_cvm_drift", "q259_jonckheere", "q264_k_sample_ad",
+        // round-12 tranche-four shapes: vocab-keyed LM pair sweep,
+        // gram-cell covariance traces, degree-attach edge moments
+        "q265_cross_entropy_matrix", "q266_participation_ratio",
+        "q269_assortativity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -45,6 +45,7 @@ object SparkEntry {
     operators.AnalyticsOps13.all,
     operators.AnalyticsOps14.all,
     operators.AnalyticsOps15.all,
+    operators.AnalyticsOps16.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -250,6 +250,47 @@ object AnalyticsOps14 {
     * engines (16.2662361962381 · 1e6, floored). */
   private val Chi3Cut = 16266236L
 
+  /** The shared document shape-feature frame (q256/q270): chars,
+    * tokens, chars-per-token on a 1e-3 int grid. */
+  private[operators] def docShapeFeatures(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("x1"),
+        size(split(col("text"), " ", -1)).cast("long").as("x2"))
+      .withColumn("x3", floor((col("x1").cast("double") / col("x2"))
+        * 1000 + 0.5).cast("long"))
+
+  /** Means + the six 1e-6-quantized sample covariances of the shape
+    * features, as ONE row (decimal moment sums — the q236
+    * convention). Shared by q256's Mahalanobis inverse and q270's
+    * partial correlations so the two panels read the same matrix. */
+  private[operators] def docShapeCovariance(f: DataFrame): DataFrame = {
+    val m = f.agg(count(lit(1)).as("n"),
+      sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+      sum(dec(col("x3"))).as("s3"),
+      sum(dec(col("x1")) * col("x1")).as("s11"),
+      sum(dec(col("x2")) * col("x2")).as("s22"),
+      sum(dec(col("x3")) * col("x3")).as("s33"),
+      sum(dec(col("x1")) * col("x2")).as("s12"),
+      sum(dec(col("x1")) * col("x3")).as("s13"),
+      sum(dec(col("x2")) * col("x3")).as("s23"))
+    def cov(sij: String, si: String, sj: String): Column =
+      floor((col(sij).cast("double")
+        - (col(si).cast("double") / col("n")) * col(sj))
+        / (col("n") - 1) * 1000000L + 0.5) / 1000000L
+    m.filter(col("n") > 1)
+      .select(col("n"),
+        (col("s1").cast("double") / col("n")).as("m1"),
+        (col("s2").cast("double") / col("n")).as("m2"),
+        (col("s3").cast("double") / col("n")).as("m3"),
+        cov("s11", "s1", "s1").as("c11"),
+        cov("s22", "s2", "s2").as("c22"),
+        cov("s33", "s3", "s3").as("c33"),
+        cov("s12", "s1", "s2").as("c12"),
+        cov("s13", "s1", "s3").as("c13"),
+        cov("s23", "s2", "s3").as("c23"))
+  }
+
   /** Mahalanobis multivariate outlier panel over three document shape
     * features (chars, tokens, chars-per-token): per-source count of
     * docs whose squared Mahalanobis distance clears the χ²₃ 99.9%
@@ -339,36 +380,9 @@ object AnalyticsOps14 {
       |    / 1000000 AS max_d2
       |FROM sc GROUP BY 1""".stripMargin
   ) { (s, d) =>
-    val f = Tables.documents(s, d)
-      .select(col("source"), col("n_chars").cast("long").as("x1"),
-        size(split(col("text"), " ", -1)).cast("long").as("x2"))
-      .withColumn("x3", floor((col("x1").cast("double") / col("x2"))
-        * 1000 + 0.5).cast("long"))
+    val f = docShapeFeatures(s, d)
       .cache() // one pass builds features; moments and scoring reuse it
-    val m = f.agg(count(lit(1)).as("n"),
-      sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
-      sum(dec(col("x3"))).as("s3"),
-      sum(dec(col("x1")) * col("x1")).as("s11"),
-      sum(dec(col("x2")) * col("x2")).as("s22"),
-      sum(dec(col("x3")) * col("x3")).as("s33"),
-      sum(dec(col("x1")) * col("x2")).as("s12"),
-      sum(dec(col("x1")) * col("x3")).as("s13"),
-      sum(dec(col("x2")) * col("x3")).as("s23"))
-    def cov(sij: String, si: String, sj: String): Column =
-      floor((col(sij).cast("double")
-        - (col(si).cast("double") / col("n")) * col(sj))
-        / (col("n") - 1) * 1000000L + 0.5) / 1000000L
-    val cv = m.filter(col("n") > 1)
-      .select(col("n"),
-        (col("s1").cast("double") / col("n")).as("m1"),
-        (col("s2").cast("double") / col("n")).as("m2"),
-        (col("s3").cast("double") / col("n")).as("m3"),
-        cov("s11", "s1", "s1").as("c11"),
-        cov("s22", "s2", "s2").as("c22"),
-        cov("s33", "s3", "s3").as("c33"),
-        cov("s12", "s1", "s2").as("c12"),
-        cov("s13", "s1", "s3").as("c13"),
-        cov("s23", "s2", "s3").as("c23"))
+    val cv = docShapeCovariance(f)
     val inv = cv.select(col("n"), col("m1"), col("m2"), col("m3"),
       (col("c11") * (col("c22") * col("c33") - col("c23") * col("c23"))
         - col("c12") * (col("c12") * col("c33") - col("c23") * col("c13"))
