@@ -46,6 +46,7 @@ object SparkEntry {
     operators.AnalyticsOps14.all,
     operators.AnalyticsOps15.all,
     operators.AnalyticsOps16.all,
+    operators.AnalyticsOps17.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =
