@@ -530,9 +530,221 @@ object Multimodal {
     }
   }
 
-  /** The deterministic payload-derived fake feature vector — the ONE
-    * remaining stub output (a real build computes it by decoding
-    * pixels via an external codec per batch). */
+  // ---- transform-coded video: a REAL intra-frame integer-DCT codec
+  // (the JPEG / H.264-intra mechanism — 8×8 DCT-II, flat quantizer,
+  // zigzag, zero-run/level entropy coding), pure JVM on both sides:
+  // the fixture ENCODES with the forward transform, the decoder below
+  // runs dequant + inverse DCT + clamp. This closes the
+  // "transform-coded pixels" seam for the engine's own mp4 track
+  // format (sample magic "GDCT" in mdat); real-world H.264/VP9
+  // bitstreams (arithmetic entropy coding, inter prediction) remain
+  // out of scope and still fall through to container-metadata +
+  // deterministic fake, stated below.
+
+  /** Flat quantizer step (flat tables are what MJPEG hardware profiles
+    * use; constant blocks round-trip EXACTLY: dequant(round(8c/16))/8
+    * = c for even c — the fixture exploits this for exact tests). */
+  private val DctQ = 16
+
+  private val dctCos: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (u, x) => math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+  private val dctC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+
+  private val zigzag: Array[(Int, Int)] = {
+    val order = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    for (s <- 0 until 15; i <- 0 to s; if i < 8 && (s - i) < 8)
+      order += (if (s % 2 == 0) (s - i, i) else (i, s - i))
+    order.toArray
+  }
+
+  /** Forward: 8×8 spatial block → 64 quantized zigzag coefficients. */
+  private[multimodal] def fdctQuant(block: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      val (u, v) = zigzag(k)
+      var acc = 0.0
+      var x = 0
+      while (x < 8) {
+        var y = 0
+        while (y < 8) {
+          acc += block(y * 8 + x) * dctCos(u)(x) * dctCos(v)(y)
+          y += 1
+        }
+        x += 1
+      }
+      val f = 0.25 * dctC(u) * dctC(v) * acc
+      out(k) = math.round(f / DctQ).toInt
+      k += 1
+    }
+    out
+  }
+
+  /** Inverse: 64 quantized zigzag coefficients → 8×8 clamped pixels. */
+  private[multimodal] def idctDequant(coef: Array[Int]): Array[Int] = {
+    val f = new Array[Double](64)
+    var k = 0
+    while (k < 64) {
+      val (u, v) = zigzag(k)
+      f(v * 8 + u) = coef(k).toDouble * DctQ
+      k += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            acc += dctC(u) * dctC(v) * f(v * 8 + u) *
+              dctCos(u)(x) * dctCos(v)(y)
+            v += 1
+          }
+          u += 1
+        }
+        val p = math.round(0.25 * acc).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Entropy-code one block: zero-run/level pairs over the zigzag
+    * scan (the JPEG AC scheme without the Huffman layer): [nPairs: u8]
+    * then nPairs × [zeroRun: u8][level: s16 LE]. */
+  private def encodeBlock(coef: Array[Int],
+      out: java.io.ByteArrayOutputStream): Unit = {
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var run = 0
+    var k = 0
+    while (k < 64) {
+      if (coef(k) == 0) run += 1
+      else {
+        while (run > 255) { pairs += ((255, 0)); run -= 255 }
+        pairs += ((run, coef(k))); run = 0
+      }
+      k += 1
+    }
+    out.write(pairs.length)
+    pairs.foreach { case (r, lvl) =>
+      out.write(r); out.write(lvl & 0xff); out.write((lvl >> 8) & 0xff)
+    }
+  }
+
+  private def decodeBlock(bytes: Array[Byte], off0: Int)
+      : (Array[Int], Int) = {
+    val coef = new Array[Int](64)
+    var off = off0
+    val n = bytes(off) & 0xff
+    off += 1
+    var k = 0
+    var i = 0
+    while (i < n) {
+      k += bytes(off) & 0xff
+      val lvl = ((bytes(off + 1) & 0xff) |
+        ((bytes(off + 2) & 0xff) << 8)).toShort.toInt
+      if (lvl != 0) { coef(k) = lvl; k += 1 }
+      off += 3
+      i += 1
+    }
+    (coef, off)
+  }
+
+  /** Decode a GDCT frame (grayscale, dims padded to 8) → pixels in
+    * raster order, or None on a malformed stream. */
+  private def decodeDctFrame(bytes: Array[Byte], w: Int, h: Int)
+      : Option[Array[Int]] =
+    try {
+      val bw = (w + 7) / 8
+      val bh = (h + 7) / 8
+      val px = new Array[Int](w * h)
+      var off = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val (coef, next) = decodeBlock(bytes, off)
+          off = next
+          val block = idctDequant(coef)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val (gx, gy) = (bx * 8 + x, by * 8 + y)
+              if (gx < w && gy < h) px(gy * w + gx) = block(y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      Some(px)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode the engine's transform-coded mp4 track: container dims +
+    * duration from the real moov parse, pixels from the GDCT
+    * intra-DCT samples in mdat (magic "GDCT" + be16 w/h/nFrames +
+    * be32-length-prefixed frames). Returns the 8-bin first-frame
+    * luminance histogram — the REAL feature the metadata-only path
+    * cannot produce. Non-GDCT mdat (real-world H.264/VP9) returns
+    * None and falls through to the stated metadata + fake path. */
+  private def decodeMp4Dct(content: Array[Byte])
+      : Option[(Int, Int, Int, Array[Float])] =
+    decodeMp4Meta(content).flatMap { case (w, h, durMs) =>
+      try {
+        // top-level box walk for mdat (the builder writes it top-level)
+        def be32(o: Int): Long =
+          ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+            ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+        var off = 0L
+        var body = -1L
+        while (body < 0 && off + 8 <= content.length) {
+          val size = be32(off.toInt)
+          val typ = new String(content, off.toInt + 4, 4, "US-ASCII")
+          if (size < 8 || off + size > content.length) off = content.length
+          else {
+            if (typ == "mdat") body = off + 8
+            off += size
+          }
+        }
+        if (body < 0 || body + 10 > content.length) None
+        else if (new String(content, body.toInt, 4, "US-ASCII") != "GDCT")
+          None
+        else {
+          val b = body.toInt + 4
+          def be16(o: Int): Int =
+            ((content(o) & 0xff) << 8) | (content(o + 1) & 0xff)
+          val (fw, fh, nf) = (be16(b), be16(b + 2), be16(b + 4))
+          if (fw <= 0 || fh <= 0 || nf <= 0) None
+          else {
+            val flen = be32(b + 6).toInt
+            val fbytes = java.util.Arrays.copyOfRange(
+              content, b + 10, b + 10 + flen)
+            decodeDctFrame(fbytes, fw, fh).map { px =>
+              val bins = new Array[Float](8)
+              px.foreach(p => bins(math.min(7, p / 32)) += 1f)
+              val n = px.length.toFloat
+              (fw, fh, durMs, bins.map(_ / n))
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** The deterministic payload-derived fake feature vector — the
+    * remaining stub output for REAL-WORLD transform-coded containers
+    * (H.264/VP9 bitstreams: a real build decodes those via an
+    * external codec per batch; the engine's own GDCT intra-DCT track
+    * decodes for real above). */
   private def fakeFeature(content: Array[Byte]): Array[Float] = {
     val h = content.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
     Array.tabulate(8)(i => (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
@@ -564,8 +776,12 @@ object Multimodal {
       }.orElse(decodeAviMjpeg(content).map {
         case (w, h, durMs, feature) =>
           Row(id, kind, w, h, "avi", durMs, feature)
+      }).orElse(decodeMp4Dct(content).map {
+        case (w, h, durMs, feature) => // REAL transform-coded decode
+          Row(id, kind, w, h, "mp4", durMs, feature)
       }).orElse(decodeMp4Meta(content).map {
-        case (w, h, durMs) => // container facts real; pixels = seam
+        case (w, h, durMs) => // container facts real; pixel seam =
+          // real-world H.264/VP9 entropy streams only
           Row(id, kind, w, h, "mp4", durMs, fakeFeature(content))
       }) else None
     real.getOrElse {
@@ -769,8 +985,8 @@ object Multimodal {
     * (w × h in tkhd's 16.16 fields, duration/timescale in mvhd) over
     * a transform-coded-pixel body the decoder cannot (and does not
     * pretend to) read. */
-  def syntheticMp4(w: Int = 640, h: Int = 360,
-      durationMs: Int = 2500): Array[Byte] = {
+  def syntheticMp4(w: Int = 640, h: Int = 360, durationMs: Int = 2500,
+      mdatPayload: Option[Array[Byte]] = None): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Long): Unit = { out.write(((v >> 24) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
@@ -795,9 +1011,51 @@ object Multimodal {
     Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
       .foreach(be32)
     be32(w.toLong << 16); be32(h.toLong << 16) // 16.16 fixed
-    be32(24); tag("mdat")
-    (0 until 16).foreach(i => out.write(i * 7 & 0xff)) // opaque payload
+    mdatPayload match {
+      case Some(p) =>
+        be32(8L + p.length); tag("mdat"); out.write(p, 0, p.length)
+      case None =>
+        be32(24); tag("mdat")
+        (0 until 16).foreach(i => out.write(i * 7 & 0xff)) // opaque
+    }
     out.toByteArray
+  }
+
+  /** Deterministic transform-coded MP4: the same container as
+    * [[syntheticMp4]], but the mdat carries the engine's GDCT
+    * intra-DCT track — every frame REALLY forward-DCT'd, quantized,
+    * zigzagged, and run/level-coded by [[fdctQuant]]/[[encodeBlock]],
+    * so [[decodeMp4Dct]]'s inverse transform is a genuine codec
+    * round-trip, not a fixture echo. The default frame is flat
+    * half-cards (luminance 16 | 240): flat blocks carry only a DC
+    * coefficient and round-trip EXACTLY under the flat quantizer, so
+    * the decoded histogram is precisely [0.5, 0, …, 0, 0.5]. */
+  def syntheticMp4Dct(w: Int = 16, h: Int = 8, nFrames: Int = 2,
+      durationMs: Int = 1500,
+      lum: (Int, Int) => Int = (x, _) => if (x < 8) 16 else 240)
+      : Array[Byte] = {
+    val payload = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = {
+      payload.write((v >> 8) & 0xff); payload.write(v & 0xff)
+    }
+    def be32(v: Int): Unit = { be16(v >>> 16); be16(v & 0xffff) }
+    payload.write("GDCT".getBytes("US-ASCII"))
+    be16(w); be16(h); be16(nFrames)
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    (0 until nFrames).foreach { _ =>
+      val fb = new java.io.ByteArrayOutputStream()
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val block = Array.tabulate(64) { i =>
+          val (x, y) = (bx * 8 + i % 8, by * 8 + i / 8)
+          if (x < w && y < h) lum(x, y) else 0
+        }
+        encodeBlock(fdctQuant(block), fb)
+      }
+      val bytes = fb.toByteArray
+      be32(bytes.length); payload.write(bytes, 0, bytes.length)
+    }
+    syntheticMp4(w, h, durationMs, Some(payload.toByteArray))
   }
 
   /** Deterministic media fixture derived from the documents table:
@@ -805,15 +1063,19 @@ object Multimodal {
     * REAL clip per JVM-decodable video codec (media_ids −1 MJPEG,
     * −2 uncompressed DIB, −3 RLE8, −4 RLE8 with true temporal-delta
     * inter-frames, −5 an MP4 whose container metadata parses for
-    * real — all below the doc_id range) so the q66 pipeline exercises
-    * every real video decoder end-to-end, not just the fake seam. */
+    * real, −6 an MP4 whose GDCT intra-DCT samples DECODE for real
+    * (forward-coded by the fixture, inverse-transformed by the
+    * engine) — all below the doc_id range) so the q66 pipeline
+    * exercises every real video decoder end-to-end, not just the
+    * fake seam. */
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame = {
     val clips = Seq(
       -1L -> syntheticAviMjpeg(),
       -2L -> syntheticAviDib(rle8 = false),
       -3L -> syntheticAviDib(rle8 = true),
       -4L -> syntheticAviDib(rle8 = true, deltaTail = true),
-      -5L -> syntheticMp4())
+      -5L -> syntheticMp4(),
+      -6L -> syntheticMp4Dct())
     val aviRow = clips.map { case (id, avi) =>
       spark.range(1).select(
         lit(id).as("media_id"), lit("video").as("kind"),

@@ -260,6 +260,44 @@ class MultimodalSpec extends SparkSpec {
       d.getInt(5) == 2500, d)
   }
 
+  test("GDCT mp4: the intra-DCT codec round-trips pixels for real") {
+    import spark.implicits._
+    // flat half-cards carry only DC coefficients → EXACT round-trip
+    val clip = Multimodal.syntheticMp4Dct()
+    val row = Multimodal.decode(
+      Seq((1L, "video", clip)).toDF("media_id", "kind", "content")).head()
+    assert(row.getInt(2) == 16 && row.getInt(3) == 8, row)
+    assert(row.getString(4) == "mp4" && row.getInt(5) == 1500, row)
+    assert(row.getSeq[Float](6) ==
+      Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f), row)
+    // and it is NOT the payload fake — the pixels were decoded
+    val h = clip.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    val fake = Array.tabulate(8)(i =>
+      (math.floorMod(h >> (i * 7), 1000) / 1000.0f))
+    assert(row.getSeq[Float](6) != fake.toSeq)
+    // fixture −6 carries the clip end-to-end
+    val fx = Multimodal.mediaFromDocuments(spark,
+      graft.Tables.documents(spark, sf("sf0.001")))
+    val d = Multimodal.decode(fx.filter(col("media_id") === -6L)).head()
+    assert(d.getSeq[Float](6) ==
+      Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f), d)
+  }
+
+  test("GDCT codec: a non-flat block survives quantization within Q-bound") {
+    // gradient block: the forward/inverse pair is a genuine lossy
+    // transform codec — reconstruction error is bounded by the flat
+    // quantizer, not zero (a fixture echo would be exact)
+    val block = Array.tabulate(64)(i => (i * 4 + (i % 8) * 3) % 256)
+    val back = Multimodal.idctDequant(Multimodal.fdctQuant(block))
+    val maxErr = block.zip(back).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr > 0, "suspiciously exact: codec may be echoing input")
+    assert(maxErr <= 16, s"max reconstruction error $maxErr > Q grid")
+    // and a constant block IS exact (only DC, flat quantizer divides)
+    val flat = Array.fill(64)(240)
+    assert(Multimodal.idctDequant(Multimodal.fdctQuant(flat)).toSeq
+      == flat.toSeq)
+  }
+
   test("decode stub: batched, deterministic, schema-stable") {
     val d1 = Multimodal.decode(media, batchSize = 7)
     val d2 = Multimodal.decode(media, batchSize = 64)
