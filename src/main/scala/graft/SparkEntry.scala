@@ -47,6 +47,9 @@ object SparkEntry {
     operators.AnalyticsOps15.all,
     operators.AnalyticsOps16.all,
     operators.AnalyticsOps17.all,
+    operators.AnalyticsOps18.all,
+    operators.AnalyticsOps19.all,
+    operators.AnalyticsOps20.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =
