@@ -50,6 +50,7 @@ object SparkEntry {
     operators.AnalyticsOps18.all,
     operators.AnalyticsOps19.all,
     operators.AnalyticsOps20.all,
+    operators.AnalyticsOps21.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =
