@@ -1,6 +1,16 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "bigdataforsmarthousesspark"
+// A continuation line starting with `-` parses as a DISCARDED
+// unary-minus statement (semicolon inference) — a silent wrong-answer
+// class the q296 oracle gate caught once; fail the build on any
+// non-unit expression statement so it can never land again.
+Compile / scalacOptions ++= Seq(
+  "-Wnonunit-statement", "-Wconf:cat=other-pure-statement:error")
+// scalatest's mid-block `assert` discards Assertion values by idiom —
+// keep the guard on MAIN sources only (tests inherit Compile options)
+Test / scalacOptions := (Test / scalacOptions).value.filterNot(Set(
+  "-Wnonunit-statement", "-Wconf:cat=other-pure-statement:error"))
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

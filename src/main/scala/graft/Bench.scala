@@ -74,7 +74,7 @@ object Bench {
     def anchorOnce(): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(AnchorQuery)(spark, sfDir).count()
+        val _ = SparkEntry.queries(AnchorQuery)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         CacheHygiene.sweep(spark)
         dt
@@ -85,7 +85,7 @@ object Bench {
     // moving DURING the sweep is visible at the point it moved
     val AnchorEvery = 50
     val anchorSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    anchorOnce() // discard: the first execution carries the anchor's
+    val _ = anchorOnce() // discard: the first execution carries the anchor's
     // own whole-stage-codegen cost, which would fake a start spike
     anchorSamples += anchorOnce()
 
@@ -110,7 +110,7 @@ object Bench {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          val _ = fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>

@@ -236,7 +236,8 @@ object Scale {
         sys.error(s"unknown query $name"))
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { val _ = fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[sweep] $name FAILED: ${e.getMessage}")
           Double.NaN
@@ -269,19 +270,20 @@ object Scale {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val plain = medianOf((1 to runs).map { _ =>
-      val t = timed(operators.CurationOps.reconciliationOn(
+      val t = timed { val _ = operators.CurationOps.reconciliationOn(
         Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir))
-        .count())
+        .count() }
       CacheHygiene.sweep(spark); t
     })
     val build = timed(etl.Lake.writeBucketedFacts(spark, sfDir))
     val bucketed = medianOf((1 to runs).map { _ =>
       val (li, o) = etl.Lake.readBucketedFacts(spark)
-      val t = timed(operators.CurationOps.reconciliationOn(o, li).count())
+      val t = timed { val _ = operators.CurationOps
+        .reconciliationOn(o, li).count() }
       CacheHygiene.sweep(spark); t
     })
-    spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
-    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    val _ = spark.sql("DROP TABLE IF EXISTS lineitem_bucketed")
+    val _ = spark.sql("DROP TABLE IF EXISTS orders_bucketed")
     println(s"""{"bucket_ab":"$sfDir","q191_plain_sec":${fmt(plain)},""" +
       s""""bucket_write_sec":${fmt(build)},""" +
       s""""q191_bucketed_sec":${fmt(bucketed)},"runs":$runs}""")

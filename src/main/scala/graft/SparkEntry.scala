@@ -51,6 +51,7 @@ object SparkEntry {
     operators.AnalyticsOps19.all,
     operators.AnalyticsOps20.all,
     operators.AnalyticsOps21.all,
+    operators.AnalyticsOps22.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -96,7 +96,7 @@ object EtlRunner {
         "gold_daily_energy" -> daily.count(),
         "gold_device_health" -> health.count(),
         "gold_business_summary" -> summary.count())
-      silverBack.unpersist()
+      val _ = silverBack.unpersist()
       println("[etl] " + counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
 

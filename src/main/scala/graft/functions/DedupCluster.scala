@@ -130,7 +130,7 @@ object DedupCluster {
       // convergence count): next round's plan starts from this leaf
       val cp = next.localCheckpoint(false)
       val diff = cp.filter(col("canonical_id") =!= col("__old")).count()
-      if (hc ne hopped) hc.unpersist()
+      if (hc ne hopped) { val _ = hc.unpersist() }
       if (prevCp ne null) releaseCheckpoint(prevCp)
       prevCp = cp
       labels = cp.drop("__old")

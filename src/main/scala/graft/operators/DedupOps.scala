@@ -75,7 +75,7 @@ object DedupOps {
     Seq("minhash" -> q49DedupClusters, "semantic" -> q133SemanticClusters)
       .map { case (kind, q) =>
         val t0 = System.nanoTime()
-        q.fn(s, d).count()
+        val _ = q.fn(s, d).count()
         kind -> (System.nanoTime() - t0) / 1e9
       }
 

@@ -35,8 +35,9 @@ object SmartHomeOps {
     * recompute is bitwise-deterministic). `storageLevel` is a cheap
     * cache-manager lookup; `.cache()` is idempotent when registered. */
   private def recache(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.cache()
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val _ = df.cache()
+    }
     df
   }
 
@@ -81,7 +82,7 @@ object SmartHomeOps {
     })
     // the pins' lineage reads silver: re-register it too so a
     // post-sweep pin rebuild hits the cached silver, not the generator
-    silver(s)
+    val _ = silver(s)
     (recache(t._1), recache(t._2), recache(t._3))
   }
 

@@ -113,6 +113,6 @@ object SilverRefinery {
       .option("checkpointLocation", s"$lakeRoot/_checkpoints/silver_refinery")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    val _ = q.awaitTermination(300000)
   }
 }
