@@ -52,6 +52,7 @@ object SparkEntry {
     operators.AnalyticsOps20.all,
     operators.AnalyticsOps21.all,
     operators.AnalyticsOps22.all,
+    operators.AnalyticsOps23.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -164,7 +164,12 @@ class PlanCoverageSpec extends SparkSpec {
     "q254_bh_fdr" -> ("the BH rank and reverse-cummin windows run " +
       "over the per-day test AGGREGATE — one row per calendar day, " +
       "time-range-bounded metadata (the q243 argument); the " +
-      "data-sized work is the one events pass into day cells"))
+      "data-sized work is the one events pass into day cells"),
+    "q299_segmented_fit" -> ("the day index and prefix-moment windows " +
+      "run over the daily-revenue AGGREGATE — one row per calendar " +
+      "day, time-range-bounded metadata (the q250 argument); the " +
+      "data-sized work is the one orders pass into day cells, and " +
+      "the breakpoint argmin is TakeOrdered(1)"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet
