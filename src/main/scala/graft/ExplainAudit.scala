@@ -58,7 +58,14 @@ object ExplainAudit {
         // round-12 tranche-four shapes: vocab-keyed LM pair sweep,
         // gram-cell covariance traces, degree-attach edge moments
         "q265_cross_entropy_matrix", "q266_participation_ratio",
-        "q269_assortativity")
+        "q269_assortativity",
+        // round-12 tranche six-eleven shapes: pooled-LM cell scoring,
+        // 25-window offset explode, per-label gram-cell CKA, bin-index
+        // kernel pair sweep, histogram-vs-truth audit, capped pair join
+        // into min-degree cells, prefix-moment breakpoint sweep
+        "q281_kneser_ney", "q282_mattr", "q283_cka_halves",
+        "q284_mmd_drift", "q285_selectivity_audit", "q280_rich_club",
+        "q299_segmented_fit")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
