@@ -201,19 +201,7 @@ object AnalyticsOps18 {
     * pairing is a 7-way self-join of that same cell frame. At 10
     * years of days this is 3 650 rows per type. */
   val q277LjungBox: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dd AS (
-      |  SELECT t, day, CAST(sum(v) AS BIGINT) AS sc, count(*) AS c
-      |  FROM ev GROUP BY 1, 2),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sc AS DOUBLE) * 10000 / c + 0.5) AS BIGINT)
-      |      AS m6
-      |  FROM dd),
+    s"""${SeriesFrames.dailySql},
       |ix AS (
       |  SELECT t, m6,
       |    row_number() OVER (PARTITION BY t ORDER BY day) AS idx
@@ -253,13 +241,7 @@ object AnalyticsOps18 {
       |    * 1000000 + 0.5) / 1000000 AS q_lb
       |FROM qt""".stripMargin
   ) { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"), cents)
-    val dd = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-    val dm = dd.select(col("t"), col("day"),
-      floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-        .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
     import org.apache.spark.sql.expressions.Window
     // per-type day index: |days|-sized partitions (metadata frame)
     val ix = dm.select(col("t"), col("m6"), row_number()
@@ -321,19 +303,7 @@ object AnalyticsOps18 {
     * sequence walk is a lag window partitioned by type over |days|
     * rows. */
   val q278RunsTest: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dd AS (
-      |  SELECT t, day, CAST(sum(v) AS BIGINT) AS sc, count(*) AS c
-      |  FROM ev GROUP BY 1, 2),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sc AS DOUBLE) * 10000 / c + 0.5) AS BIGINT)
-      |      AS m6
-      |  FROM dd),
+    s"""${SeriesFrames.dailySql},
       |mc AS (SELECT t, m6, count(*) AS cnt FROM dm GROUP BY 1, 2),
       |mw AS (
       |  SELECT t, m6, cnt,
@@ -367,13 +337,7 @@ object AnalyticsOps18 {
       |      * 1000000 + 0.5) / 1000000 END AS z
       |FROM agg""".stripMargin
   ) { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"), cents)
-    val dm = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("day"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
       .cache() // daily metadata frame: median walk + sign walk reuse
     import org.apache.spark.sql.expressions.Window
     val mc = dm.groupBy(col("t"), col("m6")).agg(count(lit(1)).as("cnt"))
@@ -429,19 +393,7 @@ object AnalyticsOps18 {
     * cells (metadata: 8 766 rows/type/year at tau=1). The 4 taus ride
     * a broadcast 4-row explode of the SAME hourly frame. */
   val q279AllanVariance: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |hh AS (
-      |  SELECT t, h, CAST(sum(v) AS BIGINT) AS sc, count(*) AS c
-      |  FROM ev GROUP BY 1, 2),
-      |hm AS (
-      |  SELECT t, h,
-      |    CAST(floor(CAST(sc AS DOUBLE) * 10000 / c + 0.5) AS BIGINT)
-      |      AS m6
-      |  FROM hh),
+    s"""${SeriesFrames.hourlySql},
       |taus AS (SELECT unnest([1, 2, 4, 8]) AS tau),
       |bl AS (
       |  SELECT t, tau, h // tau AS bi, CAST(sum(m6) AS BIGINT) AS sb,
@@ -466,15 +418,7 @@ object AnalyticsOps18 {
       |    * 1000000 + 0.5) / 1000000 AS allan_var
       |FROM ag WHERE pairs >= 1""".stripMargin
   ) { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      call_function("div", unix_micros(col("ts"))
-        - pmod(unix_micros(col("ts")), lit(3600000000L)),
-        lit(3600000000L)).as("h"), cents)
-    val hm = ev.groupBy(col("t"), col("h"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("h"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val hm = SeriesFrames.hourlyMean6(s, d)
     val taus = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(4L),
       Tuple1(8L))).toDF("tau")
     val bl = hm.crossJoin(broadcast(taus))

@@ -660,16 +660,7 @@ object AnalyticsOps19 {
     * lag sweep is a broadcast 15-row explode joined day-to-day —
     * |types|^2 * 15 * |days| cell work, never events. */
   val q286CrossCorrelation: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*) + 0.5)
-      |      AS BIGINT) AS m6
-      |  FROM ev GROUP BY 1, 2),
+    s"""${SeriesFrames.dailySql},
       |st AS (
       |  SELECT t, CAST(sum(m6) AS BIGINT) AS sm,
       |    CAST(count(*) AS BIGINT) AS nd
@@ -695,14 +686,7 @@ object AnalyticsOps19 {
       |      * 1000000 + 0.5) / 1000000 END AS ccf
       |FROM pc JOIN d0 da ON da.t = pc.ta JOIN d0 db ON db.t = pc.tb""".stripMargin
   ) { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"),
-      floor(col("value") * 100 + 0.5).cast("long").as("v"))
-    val dm = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("day"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
     val st = dm.groupBy(col("t"))
       .agg(sum(col("m6")).cast("long").as("sm"), count(lit(1)).as("nd"))
     val y = dm.join(st, Seq("t"))

@@ -297,16 +297,7 @@ object AnalyticsOps20 {
     * is one window per type over its own day cells; moments are a
     * single agg. */
   val q289DickeyFuller: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*) + 0.5)
-      |      AS BIGINT) AS m6
-      |  FROM ev GROUP BY 1, 2),
+    s"""${SeriesFrames.dailySql},
       |lg AS (
       |  SELECT t, day, m6,
       |    lag(day) OVER (PARTITION BY t ORDER BY day) AS dp,
@@ -338,13 +329,7 @@ object AnalyticsOps20 {
       |FROM f""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"), cents)
-    val dm = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("day"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
     val wd = Window.partitionBy(col("t")).orderBy(col("day"))
     val pr = dm.select(col("t"), col("day"), col("m6"),
         lag(col("day"), 1).over(wd).as("dp"),
@@ -397,16 +382,7 @@ object AnalyticsOps20 {
     * 7-row-bounded window per type; the dow means are an 8-cell agg;
     * everything else is per-type scalars. */
   val q290SeasonalStrength: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*) + 0.5)
-      |      AS BIGINT) AS m6
-      |  FROM ev GROUP BY 1, 2),
+    s"""${SeriesFrames.dailySql},
       |ma AS (
       |  SELECT t, day, m6,
       |    sum(m6) OVER (PARTITION BY t ORDER BY day
@@ -452,13 +428,7 @@ object AnalyticsOps20 {
       |FROM vv""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"), cents)
-    val dm = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("day"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
     val w7 = Window.partitionBy(col("t")).orderBy(col("day"))
       .rowsBetween(-3, 3)
     val ma = dm.select(col("t"), col("day"), col("m6"),
@@ -521,16 +491,7 @@ object AnalyticsOps20 {
     * (type, size, block) — <= 32 rows by construction. Everything
     * after the per-block rollup is <= 3 rows per type. */
   val q291HurstRs: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |hm AS (
-      |  SELECT t, h,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*) + 0.5)
-      |      AS BIGINT) AS m6
-      |  FROM ev GROUP BY 1, 2),
+    s"""${SeriesFrames.hourlySql},
       |sz AS (SELECT unnest([8, 16, 32]) AS size),
       |bl AS (
       |  SELECT t, size, h, m6, h // size AS bi,
@@ -582,15 +543,7 @@ object AnalyticsOps20 {
       |FROM pv""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      call_function("div", unix_micros(col("ts"))
-        - pmod(unix_micros(col("ts")), lit(3600000000L)),
-        lit(3600000000L)).as("h"), cents)
-    val hm = ev.groupBy(col("t"), col("h"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("h"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val hm = SeriesFrames.hourlyMean6(s, d)
     val sz = s.createDataFrame(Seq(Tuple1(8L), Tuple1(16L),
       Tuple1(32L))).toDF("size")
     val withBi = hm.crossJoin(broadcast(sz))

@@ -205,16 +205,7 @@ object AnalyticsOps23 {
     * Scale shape: the (type, day) metadata frame joined to itself at
     * day-7 and day-1 — cell joins, no window at all. */
   val q300MaseBacktest: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*) + 0.5)
-      |      AS BIGINT) AS m6
-      |  FROM ev GROUP BY 1, 2),
+    s"""${SeriesFrames.dailySql},
       |ev2 AS (
       |  SELECT a.t, a.day, a.m6, w.m6 AS f7, y.m6 AS f1
       |  FROM dm a
@@ -235,13 +226,7 @@ object AnalyticsOps23 {
       |    END AS mase
       |FROM ag""".stripMargin
   ) { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"), cents)
-    val dm = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("day"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
       .cache() // three-way self-join on the day metadata frame
     val w7 = dm.toDF("t", "dw", "f7")
     val y1 = dm.toDF("t", "dy", "f1")
@@ -283,16 +268,7 @@ object AnalyticsOps23 {
     * plus two median cell walks per type; everything is the same
     * time-range-bounded frame. */
   val q301StlOutlierDays: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*) + 0.5)
-      |      AS BIGINT) AS m6
-      |  FROM ev GROUP BY 1, 2),
+    s"""${SeriesFrames.dailySql},
       |ma AS (
       |  SELECT t, day, m6,
       |    sum(m6) OVER w7 AS s7, count(*) OVER w7 AS c7,
@@ -343,13 +319,7 @@ object AnalyticsOps23 {
       |WHERE mad.mad > 0 AND abs(rr.r - med.med) > 3 * mad.mad""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"), cents)
-    val dm = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("day"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
     val w7 = Window.partitionBy(col("t")).orderBy(col("day"))
       .rowsBetween(-3, 3)
     val dt = dm.select(col("t"), col("day"), col("m6"),
@@ -415,16 +385,7 @@ object AnalyticsOps23 {
     * Scale shape: the (type, day) metadata frame; a 3-lag broadcast
     * explode self-join on day cells. */
   val q302Pacf: QueryDef = QueryDef.withOracle(
-    """WITH ev AS (
-      |  SELECT event_type AS t,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-      |  FROM events),
-      |dm AS (
-      |  SELECT t, day,
-      |    CAST(floor(CAST(sum(v) AS DOUBLE) * 10000 / count(*) + 0.5)
-      |      AS BIGINT) AS m6
-      |  FROM ev GROUP BY 1, 2),
+    s"""${SeriesFrames.dailySql},
       |st AS (
       |  SELECT t, CAST(sum(m6) AS BIGINT) AS sm,
       |    CAST(count(*) AS BIGINT) AS nd
@@ -472,13 +433,7 @@ object AnalyticsOps23 {
       |    END AS pacf3
       |FROM dl2""".stripMargin
   ) { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type").as("t"),
-      AnalyticsOps2.epochDay(unix_micros(col("ts"))).as("day"), cents)
-    val dm = ev.groupBy(col("t"), col("day"))
-      .agg(sum(col("v")).cast("long").as("sc"), count(lit(1)).as("c"))
-      .select(col("t"), col("day"),
-        floor(col("sc").cast("double") * 10000 / col("c") + 0.5)
-          .cast("long").as("m6"))
+    val dm = SeriesFrames.dailyMean6(s, d)
     val st = dm.groupBy(col("t"))
       .agg(sum(col("m6")).cast("long").as("sm"), count(lit(1)).as("nd"))
     val y = dm.join(st, Seq("t"))
