@@ -53,6 +53,7 @@ object SparkEntry {
     operators.AnalyticsOps21.all,
     operators.AnalyticsOps22.all,
     operators.AnalyticsOps23.all,
+    operators.AnalyticsOps24.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

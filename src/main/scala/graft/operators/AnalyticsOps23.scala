@@ -32,29 +32,76 @@ object AnalyticsOps23 {
   private def q6(c: Column): Column =
     floor(c * 1000000L + 0.5) / 1000000L
 
-  /** Segmented regression on daily order revenue — one breakpoint,
-    * exhaustive search: for every candidate split (both segments >= 3
-    * days) fit OLS lines left and right and take the split minimizing
-    * total SSE; report the break day, both slopes, and the variance
-    * explained vs the single-line fit. q250 (Pettitt) detects a LEVEL
-    * shift rank-wise; this detects a SLOPE change and quantifies it —
-    * the "growth changed gear on day X" readout.
-    *
-    * Exactness: the candidate sweep needs only prefix moments (n, Sx,
-    * Sy, Sxx, Sxy, Syy as exact decimal over day-index/revenue-cents
-    * integers) — suffix moments are total minus prefix, so ONE window
-    * walk prices every split in O(1) each; per-candidate SSEs are
-    * mirrored doubles quantized to a 1e-3 cents^2 grid BEFORE the
-    * argmin (ties break to the earliest day, stated); slopes are one
-    * double chain off the winning split's exact moments. Degenerate
-    * segments (zero x-variance can't occur — x is the day index) and
-    * series under 6 days emit no row (stated).
-    *
-    * Scale shape: ONE orders pass -> <= |days| revenue cells; the
-    * prefix walk is ONE unpartitioned window over that time-range-
-    * bounded metadata frame (named blanket exemption, the q250
-    * argument); the argmin is TakeOrdered(1). */
-  val q299SegmentedFit: QueryDef = QueryDef.withOracle(
+  /** q299's per-candidate breakpoint frame — (day, i, n, slope_l,
+    * slope_r, sse3): every admissible split of the daily-revenue
+    * series priced from ONE prefix-moment walk (suffix = total −
+    * prefix). Shared with q304's confidence set so both read the
+    * SAME SSE curve. Unpartitioned walks run over the <= |days|
+    * revenue frame (metadata; named blanket exemption — the q250
+    * argument). */
+  private[operators] def sseCandidates(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .select(AnalyticsOps2.epochDay(unix_micros(col("o_orderdate")))
+        .as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("rc"))
+      .groupBy(col("day")).agg(sum(col("rc")).cast("long").as("rev"))
+    val wD = Window.orderBy(col("day"))
+    val wP = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pf = daily
+      .select(col("day"), col("rev"),
+        row_number().over(wD).cast("long").as("i"))
+      .select(col("day"), col("i"),
+        sum(dec(col("i"))).over(wP).as("sx"),
+        sum(dec(col("rev"))).over(wP).as("sy"),
+        sum(dec(col("i")) * col("i")).over(wP).as("sxx"),
+        sum(dec(col("i")) * col("rev")).over(wP).as("sxy"),
+        sum(dec(col("rev")) * col("rev")).over(wP).as("syy"))
+      .cache() // totals row and the candidate sweep reuse the walk
+    val tt = pf.agg(count(lit(1)).as("n"), max(col("sx")).as("tx"),
+      max(col("sy")).as("ty"), max(col("sxx")).as("txx"),
+      max(col("sxy")).as("txy"), max(col("syy")).as("tyy"))
+    val cand = pf.crossJoin(broadcast(tt))
+      .filter(col("i") >= 3 && col("n") - col("i") >= 3)
+      .select(col("day"), col("i"), col("n"),
+        (col("i").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+          .as("lyy"),
+        (col("i").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          .as("lxy"),
+        (col("i").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          .as("lxx"),
+        ((col("n") - col("i")).cast("double")
+          * (col("tyy") - col("syy")).cast("double")
+          - (col("ty") - col("sy")).cast("double")
+            * (col("ty") - col("sy")).cast("double")).as("ryy"),
+        ((col("n") - col("i")).cast("double")
+          * (col("txy") - col("sxy")).cast("double")
+          - (col("tx") - col("sx")).cast("double")
+            * (col("ty") - col("sy")).cast("double")).as("rxy"),
+        ((col("n") - col("i")).cast("double")
+          * (col("txx") - col("sxx")).cast("double")
+          - (col("tx") - col("sx")).cast("double")
+            * (col("tx") - col("sx")).cast("double")).as("rxx"))
+    cand.filter(col("lxx") > 0 && col("rxx") > 0)
+      .select(col("day"), col("i"), col("n"),
+        (col("lxy") / col("lxx")).as("slope_l"),
+        (col("rxy") / col("rxx")).as("slope_r"),
+        floor(((col("lyy") - col("lxy") / col("lxx") * col("lxy"))
+          / col("i")
+          + (col("ryy") - col("rxy") / col("rxx") * col("rxy"))
+            / (col("n") - col("i"))) / 1000 + 0.5)
+          .cast("decimal(38,0)").as("sse3"))
+  }
+
+  /** q299's oracle-side candidate CTEs (daily..sse) — shared
+    * verbatim with q304 so both engines read ONE spelling of the
+    * SSE curve. */
+  private[operators] val sseCandidatesSql: String =
     """WITH daily AS (
       |  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
       |      AS day,
@@ -107,8 +154,33 @@ object AnalyticsOps23 {
       |    lxy / lxx AS slope_l, rxy / rxx AS slope_r,
       |    CAST(floor(((lyy - lxy / lxx * lxy) / i
       |      + (ryy - rxy / rxx * rxy) / (n - i)) / 1000 + 0.5)
-      |      AS BIGINT) AS sse3
-      |  FROM cand WHERE lxx > 0 AND rxx > 0)
+      |      AS HUGEINT) AS sse3
+      |  FROM cand WHERE lxx > 0 AND rxx > 0)""".stripMargin
+
+  /** Segmented regression on daily order revenue — one breakpoint,
+    * exhaustive search: for every candidate split (both segments >= 3
+    * days) fit OLS lines left and right and take the split minimizing
+    * total SSE; report the break day, both slopes, and the variance
+    * explained vs the single-line fit. q250 (Pettitt) detects a LEVEL
+    * shift rank-wise; this detects a SLOPE change and quantifies it —
+    * the "growth changed gear on day X" readout.
+    *
+    * Exactness: the candidate sweep needs only prefix moments (n, Sx,
+    * Sy, Sxx, Sxy, Syy as exact decimal over day-index/revenue-cents
+    * integers) — suffix moments are total minus prefix, so ONE window
+    * walk prices every split in O(1) each; per-candidate SSEs are
+    * mirrored doubles quantized to a 1e-3 cents^2 grid BEFORE the
+    * argmin (ties break to the earliest day, stated); slopes are one
+    * double chain off the winning split's exact moments. Degenerate
+    * segments (zero x-variance can't occur — x is the day index) and
+    * series under 6 days emit no row (stated).
+    *
+    * Scale shape: ONE orders pass -> <= |days| revenue cells; the
+    * prefix walk is ONE unpartitioned window over that time-range-
+    * bounded metadata frame (named blanket exemption, the q250
+    * argument); the argmin is TakeOrdered(1). */
+  val q299SegmentedFit: QueryDef = QueryDef.withOracle(
+    s"""$sseCandidatesSql
       |SELECT day AS break_day, CAST(i AS BIGINT) AS n_days_left,
       |  CAST(n - i AS BIGINT) AS n_days_right,
       |  floor(slope_l / 100 * 1000000 + 0.5) / 1000000 AS slope_left,
@@ -117,64 +189,7 @@ object AnalyticsOps23 {
       |    + 0.5) / 1000000 AS sse_scaled
       |FROM sse ORDER BY sse3, day LIMIT 1""".stripMargin
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.orders(s, d)
-      .select(AnalyticsOps2.epochDay(unix_micros(col("o_orderdate")))
-        .as("day"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("rc"))
-      .groupBy(col("day")).agg(sum(col("rc")).cast("long").as("rev"))
-    // unpartitioned walks over the <= |days| revenue frame (metadata;
-    // named blanket exemption — the q250 argument)
-    val wD = Window.orderBy(col("day"))
-    val wP = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pf = daily
-      .select(col("day"), col("rev"),
-        row_number().over(wD).cast("long").as("i"))
-      .select(col("day"), col("i"),
-        sum(dec(col("i"))).over(wP).as("sx"),
-        sum(dec(col("rev"))).over(wP).as("sy"),
-        sum(dec(col("i")) * col("i")).over(wP).as("sxx"),
-        sum(dec(col("i")) * col("rev")).over(wP).as("sxy"),
-        sum(dec(col("rev")) * col("rev")).over(wP).as("syy"))
-      .cache() // totals row and the candidate sweep reuse the walk
-    val tt = pf.agg(count(lit(1)).as("n"), max(col("sx")).as("tx"),
-      max(col("sy")).as("ty"), max(col("sxx")).as("txx"),
-      max(col("sxy")).as("txy"), max(col("syy")).as("tyy"))
-    val cand = pf.crossJoin(broadcast(tt))
-      .filter(col("i") >= 3 && col("n") - col("i") >= 3)
-      .select(col("day"), col("i"), col("n"),
-        (col("i").cast("double") * col("syy").cast("double")
-          - col("sy").cast("double") * col("sy").cast("double"))
-          .as("lyy"),
-        (col("i").cast("double") * col("sxy").cast("double")
-          - col("sx").cast("double") * col("sy").cast("double"))
-          .as("lxy"),
-        (col("i").cast("double") * col("sxx").cast("double")
-          - col("sx").cast("double") * col("sx").cast("double"))
-          .as("lxx"),
-        ((col("n") - col("i")).cast("double")
-          * (col("tyy") - col("syy")).cast("double")
-          - (col("ty") - col("sy")).cast("double")
-            * (col("ty") - col("sy")).cast("double")).as("ryy"),
-        ((col("n") - col("i")).cast("double")
-          * (col("txy") - col("sxy")).cast("double")
-          - (col("tx") - col("sx")).cast("double")
-            * (col("ty") - col("sy")).cast("double")).as("rxy"),
-        ((col("n") - col("i")).cast("double")
-          * (col("txx") - col("sxx")).cast("double")
-          - (col("tx") - col("sx")).cast("double")
-            * (col("tx") - col("sx")).cast("double")).as("rxx"))
-    val sse = cand.filter(col("lxx") > 0 && col("rxx") > 0)
-      .select(col("day"), col("i"), col("n"),
-        (col("lxy") / col("lxx")).as("slope_l"),
-        (col("rxy") / col("rxx")).as("slope_r"),
-        floor(((col("lyy") - col("lxy") / col("lxx") * col("lxy"))
-          / col("i")
-          + (col("ryy") - col("rxy") / col("rxx") * col("rxy"))
-            / (col("n") - col("i"))) / 1000 + 0.5).cast("long")
-          .as("sse3"))
-    sse.orderBy(col("sse3"), col("day")).limit(1)
+    sseCandidates(s, d).orderBy(col("sse3"), col("day")).limit(1)
       .select(col("day").as("break_day"),
         col("i").cast("long").as("n_days_left"),
         (col("n") - col("i")).cast("long").as("n_days_right"),

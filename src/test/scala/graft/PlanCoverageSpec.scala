@@ -169,7 +169,12 @@ class PlanCoverageSpec extends SparkSpec {
       "run over the daily-revenue AGGREGATE — one row per calendar " +
       "day, time-range-bounded metadata (the q250 argument); the " +
       "data-sized work is the one orders pass into day cells, and " +
-      "the breakpoint argmin is TakeOrdered(1)"))
+      "the breakpoint argmin is TakeOrdered(1)"),
+    "q304_break_confidence" -> ("reads q299's SSE curve through the " +
+      "SHARED AnalyticsOps23.sseCandidates frame — the same day-index " +
+      "and prefix-moment windows over the daily-revenue AGGREGATE " +
+      "(q299's exemption, one shared instance); everything downstream " +
+      "is a broadcast scalar against the <= |days| candidate frame"))
 
   test("every gate query is locked, exempted with a reason, or blanket-scanned") {
     val all = SparkEntry.queries.keySet
