@@ -158,7 +158,10 @@ object AnalyticsOps19 {
           .as("term_fp"))
       .groupBy(col("source"))
       .agg(sum(col("cv")).cast("long").as("n_test"),
-        sum(col("term_fp")).cast("long").as("sfp"))
+        // decimal from the start: per-term 1e-9 ints can sum past
+        // int64 at fleet-scale test splits (the q304 sse3 class);
+        // DuckDB's sum(BIGINT) already promotes to HUGEINT
+        sum(dec(col("term_fp"))).as("sfp"))
     val h = f.select(col("source"), col("n_test"),
       (floor((-col("sfp").cast("double")
         / (col("n_test").cast("double") * 1000000000L)) * 1000000L + 0.5)
@@ -342,7 +345,9 @@ object AnalyticsOps19 {
       .select(col("label"), col("t.i").as("i"), col("t.j").as("j"),
         col("t.fp").as("fp"))
       .groupBy(col("label"), col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("fp")).cast("long").as("sfp"))
+      // decimal from the start (the q304 sse3 int64-headroom class):
+      // n 1e-9-scale product terms overflow long near n ~ 1e10
+      .agg(count(lit(1)).as("n"), sum(dec(col("fp"))).as("sfp"))
     val sg = c.select(col("label"), explode(expr(
         """transform(sequence(0, size(emb) - 1), i ->
           |  struct(i AS i,
@@ -350,7 +355,7 @@ object AnalyticsOps19 {
           |      AS sp))""".stripMargin)).as("t"))
       .select(col("label"), col("t.i").as("i"), col("t.sp").as("sp"))
       .groupBy(col("label"), col("i"))
-      .agg(sum(col("sp")).cast("long").as("ssp"))
+      .agg(sum(dec(col("sp"))).as("ssp"))
     val cv = pg
       .join(sg.toDF("label", "i", "sspa"), Seq("label", "i"))
       .join(sg.toDF("label", "j", "sspb"), Seq("label", "j"))
@@ -507,10 +512,13 @@ object AnalyticsOps19 {
     * q180 (join skew) and q165 (dataset card) report on.
     *
     * Exactness: histogram boundaries, bin assignment, and actual
-    * counts are pure integer math on the cents grid; estimates are
-    * ONE mirrored double expression (overlap fraction * bin count);
-    * the estimator's internal floor-boundary convention is stated as
-    * part of the estimator, so both engines audit the SAME estimator.
+    * counts are pure integer math on the cents grid; each bin's
+    * estimate term (overlap fraction * bin count, a mirrored double)
+    * quantizes to a 1e-6 integer BEFORE the sum (the q277/q284
+    * per-term convention — r12 ADVICE: a raw double sum is partial-
+    * agg-order-dependent) with ONE divide at the end; the estimator's
+    * internal floor-boundary convention is stated as part of the
+    * estimator, so both engines audit the SAME estimator.
     *
     * Scale shape: ONE lineitem pass -> price-cents cells (the 9
     * probes sum the SAME cell frame under different predicates — no
@@ -535,13 +543,14 @@ object AnalyticsOps19 {
       |  FROM (SELECT unnest(range(0, 9)) AS j) j CROSS JOIN mm),
       |es AS (
       |  SELECT pr.j, pr.lo, pr.hi,
-      |    sum(CASE WHEN mm.mn + (hb.b + 1) * mm.r // 64
+      |    sum(CAST(floor((CASE WHEN mm.mn + (hb.b + 1) * mm.r // 64
       |          - (mm.mn + hb.b * mm.r // 64) <= 0 THEN CAST(0 AS DOUBLE)
       |      ELSE CAST(greatest(0, least(pr.hi,
       |          mm.mn + (hb.b + 1) * mm.r // 64)
       |        - greatest(pr.lo, mm.mn + hb.b * mm.r // 64)) AS DOUBLE)
       |        / (mm.mn + (hb.b + 1) * mm.r // 64
-      |          - (mm.mn + hb.b * mm.r // 64)) * hb.hcnt END) AS est
+      |          - (mm.mn + hb.b * mm.r // 64)) * hb.hcnt END)
+      |      * 1000000 + 0.5) AS BIGINT)) AS e6
       |  FROM pr CROSS JOIN mm CROSS JOIN hb
       |  GROUP BY 1, 2, 3),
       |ac AS (
@@ -550,7 +559,7 @@ object AnalyticsOps19 {
       |  GROUP BY 1),
       |sel AS (
       |  SELECT 'sel_0' || CAST(es.j AS VARCHAR) AS probe,
-      |    floor(es.est * 1000000 + 0.5) / 1000000 AS est_rows,
+      |    CAST(es.e6 AS DOUBLE) / 1000000 AS est_rows,
       |    ac.act AS actual_rows
       |  FROM es JOIN ac ON ac.j = es.j),
       |lk AS (
@@ -601,17 +610,22 @@ object AnalyticsOps19 {
     val bh = col("mn") + idiv((col("b") + 1) * col("r"), lit(64L))
     val es = pr.crossJoin(broadcast(mm)).crossJoin(hb)
       .groupBy(col("j"), col("lo"), col("hi"))
-      .agg(sum(when(bh - bl <= 0, lit(0.0))
+      // per-term 1e-6 quantization BEFORE the order-dependent sum
+      // (the q277/q284 house convention): partial-agg order is not
+      // guaranteed to match DuckDB's, so each bin's fractional
+      // contribution rounds to an integer first and the sum is exact
+      .agg(sum(dec(floor(when(bh - bl <= 0, lit(0.0))
         .otherwise(greatest(lit(0L), least(col("hi"), bh)
           - greatest(col("lo"), bl)).cast("double")
-          / (bh - bl) * col("hcnt"))).as("est"))
+          / (bh - bl) * col("hcnt")) * 1000000L + 0.5).cast("long")))
+        .as("e6"))
     val ac = pr.join(pv,
         col("v") >= col("lo") && col("v") < col("hi"), "left")
       .groupBy(col("j"))
       .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("act"))
     val sel = es.join(ac, Seq("j"))
       .select(concat(lit("sel_0"), col("j").cast("string")).as("probe"),
-        (floor(col("est") * 1000000L + 0.5) / 1000000L).as("est_rows"),
+        (col("e6").cast("double") / 1000000L).as("est_rows"),
         col("act").as("actual_rows"))
     val lk = Tables.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
       .agg(count(lit(1)).as("cl"))

@@ -118,7 +118,7 @@ object AnalyticsOps21 {
           |      AS sp))""".stripMargin)).as("t"))
       .select(col("label"), col("t.i").as("i"), col("t.sp").as("sp"))
       .groupBy(col("label"), col("i"))
-      .agg(sum(col("sp")).cast("long").as("ssp"),
+      .agg(sum(dec(col("sp"))).as("ssp"),
         count(lit(1)).as("n"))
     val cen = sz.select(col("label"), col("i"),
         floor(col("ssp").cast("double") / col("n") / 1000 + 0.5)
@@ -138,7 +138,9 @@ object AnalyticsOps21 {
       floor(sqrt(col("d9").cast("double") / 1000000000L) * 1000000L
         + 0.5).cast("long").as("d6"))
     val si = pt.groupBy(col("label"))
-      .agg(sum(col("d6")).cast("long").as("sd6"),
+      // decimal from the start (the q304 sse3 int64-headroom class):
+      // 1e-6-grid point distances sum past long near n ~ 1e12
+      .agg(sum(dec(col("d6"))).as("sd6"),
         count(lit(1)).as("n"))
     val cb = cen.select(col("label").as("lb"), col("i").as("ib"),
       col("c6").as("cb6"))
@@ -239,7 +241,7 @@ object AnalyticsOps21 {
           |      AS sp))""".stripMargin)).as("t"))
       .select(col("label"), col("t.i").as("i"), col("t.sp").as("sp"))
       .groupBy(col("label"), col("i"))
-      .agg(sum(col("sp")).cast("long").as("ssp"), count(lit(1)).as("n"))
+      .agg(sum(dec(col("sp"))).as("ssp"), count(lit(1)).as("n"))
     val cen = sz.select(col("label"), col("i"),
         floor(col("ssp").cast("double") / col("n") / 1000 + 0.5)
           .cast("long").as("c6"), col("n"))
@@ -256,7 +258,7 @@ object AnalyticsOps21 {
         - col("c6").cast("double") / 1000000L)
         * (element_at(col("emb"), (col("i") + 1).cast("int"))
           - col("c6").cast("double") / 1000000L)
-        * 1000000000L + 0.5).cast("long")).cast("decimal(38,0)")
+        * 1000000000L + 0.5).cast("long").cast("decimal(38,0)"))
         .as("w9"))
     val kk = c.agg(countDistinct(col("label")).as("k"),
       count(lit(1)).as("n"))
@@ -329,7 +331,7 @@ object AnalyticsOps21 {
           |      AS sp))""".stripMargin)).as("t"))
       .select(col("label"), col("t.i").as("i"), col("t.sp").as("sp"))
       .groupBy(col("label"), col("i"))
-      .agg(sum(col("sp")).cast("long").as("ssp"), count(lit(1)).as("n"))
+      .agg(sum(dec(col("sp"))).as("ssp"), count(lit(1)).as("n"))
     val cen = sz.select(col("label"), col("i"),
       floor(col("ssp").cast("double") / col("n") / 1000 + 0.5)
         .cast("long").as("c6"))

@@ -27,8 +27,6 @@ object AnalyticsOps23 {
 
   private val dec = (c: Column) => c.cast("decimal(38,0)")
 
-  private val cents = floor(col("value") * 100 + 0.5).cast("long").as("v")
-
   private def q6(c: Column): Column =
     floor(c * 1000000L + 0.5) / 1000000L
 
