@@ -121,10 +121,20 @@ object AnalyticsOps15 {
     * Exactness: J is pure integer pair-counting in doubled space
     * (J2 = Σ 2·gt + ties) off per-month cumulative counts on the
     * pooled value grid — products in decimal (reach N²); the null
-    * moments E[J] = (N² − Σn_i²)/4 and the standard no-tie variance
-    * (N²(2N+3) − Σn_i²(2n_i+3))/72 are exact integer algebra (the
-    * tie-corrected variance is a stated approximation gap: with heavy
-    * ties z is mildly conservative); z floors 1e-6.
+    * moments are exact integer algebra: E[J] = (N² − Σn_i²)/4 and
+    * the TIE-CORRECTED variance (Hollander & Wolfe 1999, eq. 6.19,
+    * with t_j the pooled tie counts):
+    *   Var = [N(N−1)(2N+5) − Σn_i(n_i−1)(2n_i+5)
+    *            − Σt_j(t_j−1)(2t_j+5)] / 72
+    *       + [Σn_i(n_i−1)(n_i−2)]·[Σt_j(t_j−1)(t_j−2)]
+    *            / (36·N(N−1)(N−2))
+    *       + [Σn_i(n_i−1)]·[Σt_j(t_j−1)] / (8·N(N−1))
+    * (the r12 convention used the no-tie variance
+    * N²(2N+3) − Σn_i²(2n_i+3))/72 — a stated mildly-conservative
+    * approximation under heavy ties, upgraded per the r12 verdict;
+    * the cross-products of the Σ terms can reach N⁶ so they multiply
+    * in DOUBLE, stated); z floors 1e-6, Var ≤ 0 or N < 3 degrade to
+    * z = 0.
     *
     * Scale shape: one orders pass → (month, cents) cells; the dense
     * |months|×|grid| frame (value-range-bounded — the q248 argument)
@@ -152,23 +162,38 @@ object AnalyticsOps15 {
       |  SELECT sum(CAST(b.cnt AS HUGEINT)
       |      * (2 * (w.cum - w.cnt) + w.cnt)) AS j2
       |  FROM c b JOIN w ON b.v = w.v AND w.mon < b.mon),
+      |tv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS tc
+      |       FROM c GROUP BY 1),
+      |tt AS (
+      |  SELECT sum(CAST(tc AS HUGEINT) * (tc - 1) * (2 * tc + 5)) AS t25,
+      |    sum(CAST(tc AS HUGEINT) * (tc - 1) * (tc - 2)) AS t3,
+      |    sum(CAST(tc AS HUGEINT) * (tc - 1)) AS t2
+      |  FROM tv),
       |tot AS (
       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
       |    sum(CAST(n AS HUGEINT) * n) AS sn2,
-      |    sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS sn23
-      |  FROM mn)
+      |    sum(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)) AS n25,
+      |    sum(CAST(n AS HUGEINT) * (n - 1) * (n - 2)) AS n3,
+      |    sum(CAST(n AS HUGEINT) * (n - 1)) AS n2
+      |  FROM mn),
+      |vv AS (
+      |  SELECT CAST(CAST(nn AS HUGEINT) * (nn - 1) * (2 * nn + 5)
+      |        - n25 - t25 AS DOUBLE) / 72
+      |    + CAST(n3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+      |      / (36 * CAST(nn AS DOUBLE) * (nn - 1) * (nn - 2))
+      |    + CAST(n2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+      |      / (8 * CAST(nn AS DOUBLE) * (nn - 1)) AS var_j
+      |  FROM tot CROSS JOIN tt)
       |SELECT nn AS n_orders,
       |  (SELECT CAST(count(*) AS BIGINT) FROM mn) AS n_months,
       |  CAST(j2 AS DOUBLE) / 2 AS j_stat,
       |  CAST(CAST(nn AS HUGEINT) * nn - sn2 AS DOUBLE) / 4 AS j_null,
-      |  CASE WHEN CAST(nn AS HUGEINT) * nn * (2 * nn + 3) - sn23 = 0
-      |    THEN CAST(0 AS DOUBLE)
+      |  CASE WHEN nn < 3 OR var_j <= 0 THEN CAST(0 AS DOUBLE)
       |    ELSE floor(((CAST(j2 AS DOUBLE) / 2
       |        - CAST(CAST(nn AS HUGEINT) * nn - sn2 AS DOUBLE) / 4)
-      |      / sqrt(CAST(CAST(nn AS HUGEINT) * nn * (2 * nn + 3) - sn23
-      |          AS DOUBLE) / 72))
+      |      / sqrt(var_j))
       |      * 1000000 + 0.5) / 1000000 END AS z
-      |FROM j CROSS JOIN tot""".stripMargin
+      |FROM j CROSS JOIN tot CROSS JOIN vv""".stripMargin
   ) { (s, d) =>
     val o = Tables.orders(s, d)
       .select(date_trunc("month", to_date(col("o_orderdate"))).as("mon"),
@@ -188,20 +213,40 @@ object AnalyticsOps15 {
       .filter(col("mon") < col("mon_b"))
       .agg(sum(dec(col("cb"))
         * (lit(2) * (col("cum") - col("cnt")) + col("cnt"))).as("j2"))
+    // pooled tie counts t_j per value cell (value-range-bounded —
+    // the same grid the dense frame rides)
+    val tv = c.groupBy(col("v")).agg(sum(col("cnt")).cast("long").as("tc"))
+    val tt = tv.agg(
+      sum(dec(col("tc")) * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+        .as("t25"),
+      sum(dec(col("tc")) * (col("tc") - 1) * (col("tc") - 2)).as("t3"),
+      sum(dec(col("tc")) * (col("tc") - 1)).as("t2"))
     val tot = mn.agg(sum(col("n")).cast("long").as("nn"),
       sum(dec(col("n")) * col("n")).as("sn2"),
-      sum(dec(col("n")) * col("n") * (lit(2) * col("n") + 3)).as("sn23"))
+      sum(dec(col("n")) * (col("n") - 1) * (lit(2) * col("n") + 5))
+        .as("n25"),
+      sum(dec(col("n")) * (col("n") - 1) * (col("n") - 2)).as("n3"),
+      sum(dec(col("n")) * (col("n") - 1)).as("n2"))
     val months = mn.agg(count(lit(1)).as("n_months"))
-    val varNum = dec(col("nn")) * col("nn") * (lit(2) * col("nn") + 3) -
-      col("sn23")
+    // Hollander-Wolfe tie-corrected variance; the two Σ-products can
+    // reach N^6 so they multiply in DOUBLE (mirrored token order)
+    val varJ = (dec(col("nn")) * (col("nn") - 1)
+        * (lit(2) * col("nn") + 5) - col("n25") - col("t25"))
+        .cast("double") / 72 +
+      col("n3").cast("double") * col("t3").cast("double") /
+        (lit(36) * col("nn").cast("double") * (col("nn") - 1)
+          * (col("nn") - 2)) +
+      col("n2").cast("double") * col("t2").cast("double") /
+        (lit(8) * col("nn").cast("double") * (col("nn") - 1))
     val jNull = (dec(col("nn")) * col("nn") - col("sn2")).cast("double") / 4
-    j.crossJoin(broadcast(tot)).crossJoin(broadcast(months))
+    j.crossJoin(broadcast(tot)).crossJoin(broadcast(tt))
+      .crossJoin(broadcast(months))
       .select(col("nn").as("n_orders"), col("n_months"),
         (col("j2").cast("double") / 2).as("j_stat"),
         jNull.as("j_null"),
-        when(varNum === dec(lit(0)), lit(0.0))
+        when(col("nn") < 3 || varJ <= 0, lit(0.0))
           .otherwise(floor(((col("j2").cast("double") / 2 - jNull)
-            / sqrt(varNum.cast("double") / 72)) * 1000000L + 0.5)
+            / sqrt(varJ)) * 1000000L + 0.5)
             / 1000000L).as("z"))
   }
 

@@ -44,6 +44,26 @@ object AnalyticsOps20 {
   private val Sqrt2 = 1.4142135623730951
   private val Ln2 = 0.6931471805599453
 
+  /** Acklam inverse-normal coefficients, tail branch only (q287's
+    * quantile chain; |rel err| < 1.15e-9, valid for p < 0.02425 —
+    * always true at alpha/(2n) with n >= 2). */
+  private val AkC1 = -7.784894002430293e-03
+  private val AkC2 = -3.223964580411365e-01
+  private val AkC3 = -2.400758277161838e+00
+  private val AkC4 = -2.549732539343734e+00
+  private val AkC5 = 4.374664141464968e+00
+  private val AkC6 = 2.938163982698783e+00
+  private val AkD1 = 7.784695709041462e-03
+  private val AkD2 = 3.224671290700398e-01
+  private val AkD3 = 2.445134137142996e+00
+  private val AkD4 = 3.754408661907416e+00
+
+  /** c * z^k spelled coefficient-first left-assoc — ONE spelling for
+    * engine and oracle so the mirrored doubles round identically. */
+  private def zp(c: Int, k: Int): Column =
+    (1 to k).foldLeft(lit(c): Column)((a, _) => a * col("z"))
+  private def zpSql(c: Int, k: Int): String = c.toString + (" * z" * k)
+
   /** erfc(x/sqrt2) = two-sided normal tail, as a Column (the q254
     * polynomial verbatim, x >= 0). */
   private def erfc2(x: Column): Column = {
@@ -64,22 +84,36 @@ object AnalyticsOps20 {
       s"exp(-(($x) / $Sqrt2) * (($x) / $Sqrt2))"
 
   /** Grubbs' extreme-studentized-deviate test per event type — G =
-    * max|v - mean| / s with the Bonferroni-adjusted normal tail p =
-    * min(1, n * erfc(G/sqrt2)) (the exact Grubbs critical value needs
-    * a t quantile; the normal-tail Bonferroni bound is the stated,
-    * slightly conservative approximation — same A&S polynomial as
-    * q254). Unlike q105's MAD fences (which flag a SET), Grubbs asks
-    * about THE single most extreme value — the "one broken sensor
-    * reading" question — and reports which side it sits on.
+    * max|v - mean| / s, tested against the EXACT Grubbs critical
+    * value (Grubbs 1969):
+    *   G_crit = ((n-1)/sqrt(n)) * sqrt(t² / (n-2+t²)),
+    *   t = t-quantile(1 - α/(2n), ν = n-2) at α = 0.05,
+    * with the t quantile evaluated by the standard two-stage
+    * deterministic chain mirrored in both engines: Acklam's rational
+    * normal-quantile approximation (|rel err| < 1.15e-9; α/(2n) ≤
+    * 0.0125 < 0.02425 for n ≥ 2, so ONLY the tail branch is ever
+    * taken — one closed form, no CASE split) followed by the
+    * Cornish-Fisher t expansion (A&S 26.7.5, four 1/ν correction
+    * terms — error O(ν⁻⁵), negligible at stream-sized n). The r12
+    * convention reported only the Bonferroni-NORMAL tail p =
+    * min(1, n·erfc(G/√2)) — a stated conservative bound; it is KEPT
+    * as p_bonf beside the new g_crit05/is_outlier columns (same A&S
+    * polynomial as q254). Unlike q105's MAD fences (which flag a
+    * SET), Grubbs asks about THE single most extreme value — the
+    * "one broken sensor reading" question — and reports which side
+    * it sits on.
     *
     * Exactness: the maximizing deviation is at an extreme of the
     * value range, so G needs only min/max/moment sums — all exact
     * integers on the cents grid; ties break to the high side
-    * (stated); one mirrored double chain; zero variance degrades to
-    * G = 0, p = 1.
+    * (stated); the G and G_crit chains are mirrored doubles written
+    * in identical token order (coefficient-first power spellings);
+    * zero variance degrades to G = 0, p = 1; n < 3 degrades to
+    * g_crit05 = 0, is_outlier = 0 (the test needs ν ≥ 1).
     *
-    * Scale shape: ONE events pass -> per-type min/max/n/s1/s2. No
-    * window, no join, no cells even. */
+    * Scale shape: ONE events pass -> per-type min/max/n/s1/s2; the
+    * critical value is per-type scalar algebra. No window, no join,
+    * no cells even. */
   val q287Grubbs: QueryDef = QueryDef.withOracle(
     s"""WITH ev AS (
       |  SELECT event_type AS t,
@@ -103,14 +137,46 @@ object AnalyticsOps20 {
       |      AS extreme_cents,
       |    CASE WHEN vv <= 0 THEN CAST(0 AS DOUBLE)
       |      ELSE greatest(mx - mu, mu - mn) / sqrt(vv) END AS gg
-      |  FROM g)
+      |  FROM g),
+      |k AS (
+      |  SELECT t, n, extreme_cents, gg,
+      |    sqrt(-2 * ln(0.05 / (2.0 * n))) AS qk,
+      |    CAST(n - 2 AS DOUBLE) AS nu
+      |  FROM s),
+      |zz AS (
+      |  SELECT t, n, extreme_cents, gg, nu,
+      |    -((((($AkC1 * qk + $AkC2) * qk + $AkC3) * qk + $AkC4) * qk
+      |        + $AkC5) * qk + $AkC6)
+      |      / (((($AkD1 * qk + $AkD2) * qk + $AkD3) * qk + $AkD4) * qk
+      |        + 1) AS z
+      |  FROM k),
+      |tf AS (
+      |  SELECT t, n, extreme_cents, gg,
+      |    z + (${zpSql(1, 3)} + ${zpSql(1, 1)}) / (4 * nu)
+      |      + (${zpSql(5, 5)} + ${zpSql(16, 3)} + ${zpSql(3, 1)})
+      |        / (96 * nu * nu)
+      |      + (${zpSql(3, 7)} + ${zpSql(19, 5)} + ${zpSql(17, 3)}
+      |          - ${zpSql(15, 1)}) / (384 * nu * nu * nu)
+      |      + (${zpSql(79, 9)} + ${zpSql(776, 7)} + ${zpSql(1482, 5)}
+      |          - ${zpSql(1920, 3)} - ${zpSql(945, 1)})
+      |        / (92160 * nu * nu * nu * nu) AS tq
+      |  FROM zz),
+      |gc AS (
+      |  SELECT t, n, extreme_cents, gg,
+      |    (n - 1) / sqrt(CAST(n AS DOUBLE))
+      |      * sqrt(tq * tq / (n - 2 + tq * tq)) AS gcrit
+      |  FROM tf)
       |SELECT t AS event_type, n, CAST(extreme_cents AS BIGINT)
       |    AS extreme_cents,
       |  floor(gg * 1000000 + 0.5) / 1000000 AS g_stat,
+      |  CASE WHEN n < 3 THEN CAST(0 AS DOUBLE)
+      |    ELSE floor(gcrit * 1000000 + 0.5) / 1000000 END AS g_crit05,
+      |  CAST(CASE WHEN n >= 3 AND gg > gcrit THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_outlier,
       |  CASE WHEN gg <= 0 THEN CAST(1 AS DOUBLE)
       |    ELSE floor(least(1.0, n * ${erfc2Sql("gg")})
       |      * 1000000000 + 0.5) / 1000000000 END AS p_bonf
-      |FROM s""".stripMargin
+      |FROM gc""".stripMargin
   ) { (s, d) =>
     val m = Tables.events(s, d).select(col("event_type").as("t"), cents)
       .groupBy(col("t"))
@@ -129,9 +195,38 @@ object AnalyticsOps20 {
       when(col("vv") <= 0, lit(0.0))
         .otherwise(greatest(col("mx") - col("mu"), col("mu") - col("mn"))
           / sqrt(col("vv"))).as("gg"))
-    ss.select(col("t").as("event_type"), col("n"),
+    // the critical-value chain: Acklam tail-branch normal quantile at
+    // alpha/(2n), Cornish-Fisher t correction, then Grubbs' G_crit —
+    // every step a mirrored double in the oracle's token order
+    val kf = ss
+      .withColumn("qk",
+        sqrt(lit(-2) * log(lit(0.05) / (lit(2.0) * col("n")))))
+      .withColumn("nu", (col("n") - 2).cast("double"))
+    val zf = kf.withColumn("z",
+      -(((((lit(AkC1) * col("qk") + AkC2) * col("qk") + AkC3)
+          * col("qk") + AkC4) * col("qk") + AkC5) * col("qk") + AkC6) /
+        ((((lit(AkD1) * col("qk") + AkD2) * col("qk") + AkD3)
+          * col("qk") + AkD4) * col("qk") + 1))
+    val tf = zf.withColumn("tq",
+      col("z") + (zp(1, 3) + zp(1, 1)) / (lit(4) * col("nu"))
+        + (zp(5, 5) + zp(16, 3) + zp(3, 1))
+          / (lit(96) * col("nu") * col("nu"))
+        + (zp(3, 7) + zp(19, 5) + zp(17, 3) - zp(15, 1))
+          / (lit(384) * col("nu") * col("nu") * col("nu"))
+        + (zp(79, 9) + zp(776, 7) + zp(1482, 5) - zp(1920, 3)
+          - zp(945, 1))
+          / (lit(92160) * col("nu") * col("nu") * col("nu")
+            * col("nu")))
+    val gcrit = (col("n") - 1) / sqrt(col("n").cast("double")) *
+      sqrt(col("tq") * col("tq") / (col("n") - 2 + col("tq") * col("tq")))
+    tf.select(col("t").as("event_type"), col("n"),
       col("extreme_cents").cast("long").as("extreme_cents"),
       (floor(col("gg") * 1000000L + 0.5) / 1000000L).as("g_stat"),
+      when(col("n") < 3, lit(0.0))
+        .otherwise(floor(gcrit * 1000000L + 0.5) / 1000000L)
+        .as("g_crit05"),
+      when(col("n") >= 3 && col("gg") > gcrit, lit(1))
+        .otherwise(lit(0)).cast("long").as("is_outlier"),
       when(col("gg") <= 0, lit(1.0))
         .otherwise(floor(least(lit(1.0), col("n") * erfc2(col("gg")))
           * 1000000000L + 0.5) / 1000000000L).as("p_bonf"))
