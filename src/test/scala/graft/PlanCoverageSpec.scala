@@ -118,10 +118,42 @@ class PlanCoverageSpec extends SparkSpec {
     }
   }
 
+  /** The structural half of every windowExempt claim (r12 verdict
+    * #2: "the blanket trusts prose, not plans"). Each exemption
+    * below argues its low-card window runs over a COLLAPSED frame;
+    * that is a plan property, so the blanket now verifies it: no
+    * data-sized leaf may be reachable from the Window's child
+    * without crossing an Aggregate (the "runs over the AGGREGATE"
+    * claims), a literal limit cap <= 1024 (the limit-then-rank
+    * claims, q249), or bottoming out in a LocalRelation/
+    * OneRowRelation (literal dimension tables, q139's stage dim).
+    * A future edit that invalidates a prose argument now FAILS the
+    * blanket instead of passing on stale text. */
+  private def windowGuarded(
+      w: org.apache.spark.sql.catalyst.plans.logical.Window): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LeafNode, LocalLimit, LocalRelation,
+      LogicalPlan, OneRowRelation}
+    def guarded(n: LogicalPlan): Boolean = n match {
+      case _: Aggregate => true
+      case GlobalLimit(Literal(k: Int, _), _) if k <= 1024 => true
+      case LocalLimit(Literal(k: Int, _), _) if k <= 1024 => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case _: LeafNode => false
+      case other => other.children.forall(guarded)
+    }
+    guarded(w.child)
+  }
+
   /** Blanket queries allowed a suspicious-looking window, with the
     * reason (all: the window runs over a METADATA-sized frame — the
     * per-prefix-partition offs/counts rollup of the two-phase idiom,
-    * one row per shuffle partition — not over data). */
+    * one row per shuffle partition — not over data). Each entry's
+    * structural claim is verified by `windowGuarded` in the blanket
+    * scan — the prose here carries the WHY, the plan check carries
+    * the proof. */
   private val windowExempt: Map[String, String] = Map(
     "q139_filter_cascade" -> ("the unpartitioned cumulative-survivors " +
       "window runs over the 4-row stage dimension joined to a ≤5-row " +
@@ -198,10 +230,12 @@ class PlanCoverageSpec extends SparkSpec {
       CacheHygiene.sweep(spark)
       val p = qe.explainString(ExplainMode.fromString("formatted"))
       val cart = p.contains("CartesianProduct")
-      val badWin = !windowExempt.contains(name) &&
-        lowCardWindows(qe.optimizedPlan).nonEmpty
+      val wins = lowCardWindows(qe.optimizedPlan)
       if (cart) Some(s"$name(cartesian)")
-      else if (badWin) Some(s"$name(low-card window)")
+      else if (windowExempt.contains(name) && !wins.forall(windowGuarded))
+        Some(s"$name(exempt window's collapsed-input claim violated)")
+      else if (!windowExempt.contains(name) && wins.nonEmpty)
+        Some(s"$name(low-card window)")
       else None
     }
     assert(offenders.isEmpty,
@@ -258,5 +292,40 @@ class PlanCoverageSpec extends SparkSpec {
     assert(!lowCardWindows(
       { CacheHygiene.sweep(spark); cappedTop.queryExecution.optimizedPlan })
       .nonEmpty, "TakeOrdered cap without a rank must pass")
+  }
+
+  test("the exemption guard verifies structure, not prose (planted fixtures)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    def guards(df: org.apache.spark.sql.DataFrame): Seq[Boolean] = {
+      CacheHygiene.sweep(spark)
+      lowCardWindows(df.queryExecution.optimizedPlan).map(windowGuarded)
+    }
+    val scan = Tables.lineitem(spark, sf("sf0.001"))
+    // the violated-claim shape: a global window DIRECTLY over the
+    // data-sized scan — an exemption whose "runs over the aggregate"
+    // prose this plan contradicts must now fail the blanket
+    val bare = scan
+      .withColumn("r", row_number().over(W.orderBy("l_orderkey")))
+    assert(guards(bare) == Seq(false),
+      "a global window straight over a parquet scan must be UNGUARDED")
+    // the claimed shape: the same window over the day-style AGGREGATE
+    val agg = scan.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .withColumn("r", row_number().over(W.orderBy("l_returnflag")))
+    assert(guards(agg) == Seq(true),
+      "a global window over an aggregate of the scan must be guarded")
+    // the limit-then-rank shape (q249's claim): cap before the rank
+    val capped = scan.orderBy(col("l_extendedprice").desc).limit(50)
+      .withColumn("r", row_number().over(W.orderBy(col("l_extendedprice").desc)))
+    assert(guards(capped) == Seq(true),
+      "a global window over a <=1024-row limit cap must be guarded")
+    // an agg SIBLING does not launder a raw-scan input: agg JOIN scan
+    // under the window still reaches the leaf uncollapsed
+    val half = scan.groupBy(col("l_returnflag")).agg(count(lit(1)).as("c"))
+    val joined = scan.join(broadcast(half), Seq("l_returnflag"))
+      .withColumn("r", row_number().over(W.orderBy("l_orderkey")))
+    assert(guards(joined) == Seq(false),
+      "an aggregate sibling must not guard a window that still sees the scan")
   }
 }
