@@ -155,9 +155,15 @@ object Bench {
     val entries = results
       .sortBy { case (_, v, _) => -v } // slowest (and any -1 last) first
       .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-    // chars; leaves ~420 for wrapper (incl. the ~70-char anchor
-    // object) + sbt trailer inside the driver's ~2000-char tail window
-    val MapBudget = 1480
+    // chars; leaves ~620 for wrapper (incl. the ~70-char anchor
+    // object and a <=260-char suspect_host block) + sbt trailer
+    // inside the driver's ~2000-char tail window. FULLMAP lifts the
+    // budget for the committed quiet-host artifact runs, so the
+    // suspect_host baseline covers EVERY query, not just the slowest
+    // budget-page (the driver-facing line stays budgeted).
+    val MapBudget =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_FULLMAP")) Int.MaxValue
+      else 1280
     // strict prefix of the slowest-first order: stop at the first
     // non-fitting entry so "omitted_fastest" means what it says
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -189,6 +195,45 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val sfName = sfDir.split('/').last
+    // r12 verdict #1: median-vs-min only sees load that moves BETWEEN a
+    // query's three runs; load that persists across all three (the r12
+    // q193 case — 91.6 s in all driver runs vs 8.5 s quiet, no flag)
+    // sailed through. The committed quiet-host artifact is the
+    // reference a sustained-contention check needs: same code, so a
+    // query whose median is >= 3x its quiet entry (and >= 1 s absolute)
+    // is the HOST, not the code — flagged as suspect_host. The
+    // baseline is the newest committed artifacts/BENCH_r*_local.json
+    // whose sf matches this run's (absent/mismatched -> check off).
+    val (quietRef, quietMap): (String, Map[String, Double]) =
+      try {
+        val cands = Option(new java.io.File("artifacts").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.matches("BENCH_r\\d+_local\\.json"))
+          .sortBy(_.getName)
+        cands.lastOption.map { f =>
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (!txt.contains(s""""sf":"$sfName"""))
+            ("", Map.empty[String, Double])
+          else ("" + f.getName,
+            """"(q[0-9a-z_]+)":([0-9]+\.?[0-9]*)""".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }.getOrElse(("", Map.empty[String, Double]))
+      } catch { case _: Throwable => ("", Map.empty[String, Double]) }
+    val suspectAll = results
+      .filter { case (k, v, _) => v >= 1.0 &&
+        quietMap.get(k).exists(b => b > 0 && v >= 3 * b && v - b >= 1.0) }
+      .sortBy { case (k, v, _) => -(v / quietMap(k)) }
+      .map { case (k, v, _) =>
+        "\"" + k + "\":[" + fmt(v) + "," + fmt(quietMap(k)) + "]" }
+    val suspectKept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sUsed = 0
+    suspectAll.foreach { e =>
+      if (sUsed + e.length + 1 <= 200) { suspectKept += e; sUsed += e.length + 1 }
+    }
+    val suspectJson =
+      if (quietRef.isEmpty || suspectAll.isEmpty) ""
+      else s""""suspect_host":${suspectKept.mkString("{", ",", "}")},"suspect_host_n":${suspectAll.size},"quiet_ref":"$quietRef","""
     // memo_build_sec: cold canonical-frame builds paid up front (see
     // the prime above); absent entirely under SPARK_GRAFT_NO_MEMO so
     // the JSON states which protocol produced the per-query numbers
@@ -210,7 +255,7 @@ object Bench {
     val anchorJson =
       s""""anchor_sec":{"q":"$AnchorQuery","samples":[${anchorSamples.map(fmt).mkString(",")}]},"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorJson$memoJson$noisyJson"queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"median"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$anchorJson$memoJson$noisyJson$suspectJson"queries":${kept.mkString("{", ",", "}")},"n_queries":${results.size},"failed":$failed,"omitted_fastest":$omitted,"sf":"$sfName","runs":$runs,"agg":"median"}"""
     println(line)
     spark.stop()
   }
