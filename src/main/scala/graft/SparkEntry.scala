@@ -54,6 +54,7 @@ object SparkEntry {
     operators.AnalyticsOps22.all,
     operators.AnalyticsOps23.all,
     operators.AnalyticsOps24.all,
+    operators.EvalOps.all,
     operators.SmartHomeOps.all)
 
   private lazy val defs: Map[String, QueryDef] =

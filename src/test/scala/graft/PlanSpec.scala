@@ -1461,6 +1461,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // grid × sources
   }
 
+  test("q307/q309: the k-fold sweep is one pass — cell joins broadcast") {
+    // leave-fold-out from totals: the ONLY data-sized work is the one
+    // (group, fold) cell aggregation; margins and SSE are cell algebra
+    // behind broadcast joins — a SortMergeJoin here would mean a fold
+    // loop re-shuffled data it already had in cells
+    // explicit plan("...") calls: the coverage spec's lock extraction
+    // reads these literally — a loop variable would leave the two
+    // queries in the blanket instead of the locked set
+    for (p <- Seq(plan("q307_kfold_cv"), plan("q309_group_kfold"))) {
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // partial+final on the cell aggregation
+      assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    }
+  }
+
+  test("q308: incremental gold keeps/merges via broadcast anti/semi joins") {
+    val p = plan("q308_incremental_gold")
+    // untouched days pass through a broadcast ANTI join; touched base
+    // cells route to the merge through a broadcast SEMI join — the
+    // touched-day set is the broadcast side in both (<= |days| rows)
+    assert(p.contains("BroadcastHashJoin LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the base+delta cell merge may sort-merge: both inputs are
+    // (day, type) cell frames (time-range-bounded metadata)
+  }
+
   test("lake scans carry date PartitionFilters (pruning, not full scans)") {
     import graft.etl.{BronzeToSilver, EtlConfig, Fixtures, Lake}
     // the date predicates in readBronze/readSilver must prune at the
