@@ -199,11 +199,15 @@ object EvalOps {
     * states both grain sizes.
     *
     * Exactness and scale shape: q307's leave-fold-out-from-totals
-    * algebra verbatim with (priority, fold) cells — ONE orders pass,
-    * cell algebra after; the customer count is an exact distinct per
-    * fold (keyed shuffle on the 5-value fold is fine: the heavy
-    * count-distinct partial aggregation happens map-side per
-    * (fold, custkey) before the 5-row final). */
+    * algebra verbatim, but the single orders pass lands on the
+    * (priority, fold, custkey) ENTITY-GRAIN cell frame first — the
+    * one keyed shuffle that is genuinely data-sized (an entity-count
+    * report must touch every entity once, by definition) — and BOTH
+    * consumers derive from it: the (priority, fold) moment cells by
+    * a tiny second collapse, the per-fold distinct-customer count
+    * over cell rows (≤ 5x|customers|, partial-agg collapsed
+    * map-side). What is cached is that aggregation output, never the
+    * projected fact table. */
   val q309GroupKfold: QueryDef = QueryDef.withOracle(
     s"""WITH o AS (
       |  SELECT o_orderpriority AS prio,
@@ -239,14 +243,23 @@ object EvalOps {
       |    * 1000000 + 0.5) / 1000000 AS rmse
       |FROM e JOIN k ON k.fold = e.fold""".stripMargin
   ) { (s, d) =>
+    // ONE orders pass -> the (prio, fold, custkey) ENTITY-GRAIN cell
+    // frame; both consumers (moment cells, per-fold customer count)
+    // derive from it, so the fact table is scanned once and what is
+    // cached is the aggregation OUTPUT (bounded by |customers| x 5),
+    // never the raw fact — the q252 "the natural-key groupBy IS the
+    // work" posture
     val o = Tables.orders(s, d).select(
       col("o_orderpriority").as("prio"),
       foldOf("o_custkey", 5).as("fold"), col("o_custkey"),
       floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
-      .cache() // cells and the per-fold customer count share the pass
-    val c = o.groupBy(col("prio"), col("fold"))
+    val pc = o.groupBy(col("prio"), col("fold"), col("o_custkey"))
       .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s1"),
         sum(dec(col("v")) * col("v")).as("s2"))
+      .cache() // entity cells, read by both derivations
+    val c = pc.groupBy(col("prio"), col("fold"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"))
     val m = c.groupBy(col("prio"))
       .agg(sum(col("n")).cast("long").as("nm"), sum(col("s1")).as("s1m"))
     val t = c.join(m, Seq("prio"))
@@ -260,7 +273,7 @@ object EvalOps {
         sum(col("s2") * lit(100000000L)
           - lit(2) * dec(col("tm4")) * col("s1") * 10000
           + dec(col("n")) * col("tm4") * col("tm4")).as("sse8"))
-    val k = o.groupBy(col("fold"))
+    val k = pc.groupBy(col("fold"))
       .agg(countDistinct(col("o_custkey")).as("n_test_customers"))
     e.join(k, Seq("fold"))
       .select(col("fold"), col("n_test"), col("n_test_customers"),
