@@ -388,9 +388,15 @@ object AnalyticsOps16 {
       .select((col("l_suppkey") * 2).as("s"),
         (col("o_custkey") * 2 + 1).as("c"))
       .distinct()
-    val e = pair.select(col("s").as("src"), col("c").as("dst"))
-      .union(pair.select(col("c").as("src"), col("s").as("dst")))
-      .distinct()
+    // both directions emit map-side off the DISTINCT (s, c) frame:
+    // supplier and customer ids live in disjoint namespaces (2k vs
+    // 2k+1), so the mirrored stream is distinct by construction and
+    // the old union + second global distinct exchange bought nothing
+    // (r13 port; guide §2.4)
+    val e = pair.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("x"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"))
       .cache() // edge list feeds the degree rollup and both attaches
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("d"))

@@ -505,17 +505,11 @@ object AnalyticsOps18 {
       |FROM nk LEFT JOIN ek ON ek.k = nk.k
       |WHERE nk.n_nodes >= 2""".stripMargin
   ) { (s, d) =>
-    val bp = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val ok = bp.groupBy(col("o")).agg(count(lit(1)).as("nb"))
-      .filter(col("nb").between(2, 1000)).select(col("o"))
-    val qb = bp.join(ok, Seq("o"))
-    val b2 = qb.toDF("o2", "p2")
-    val e = qb.join(b2, col("o") === col("o2") && col("p") < col("p2"))
-      .groupBy(col("p").as("u"), col("p2").as("v"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select(col("u"), col("v"))
+    // the edge list IS q86's capped map-side pair generator (r13
+    // port; guide §2.4) — the old inline distinct / sizes / join-back
+    // / self-join chain re-paid four data-sized exchanges for it
+    val e = GraphOps.basketPairs(s, d).filter(col("n_orders") >= 2)
+      .select(col("part_a").as("u"), col("part_b").as("v"))
       .cache() // edge list reused by the degree agg and the em cells
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))

@@ -336,18 +336,15 @@ object AnalyticsOps19 {
         expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x)")
           .as("emb"))
       .cache() // one pass feeds pair cells and component sums
-    val pg = c.select(col("label"), explode(expr(
-        """flatten(transform(sequence(0, size(emb) - 1), i ->
-          |  transform(sequence(i, size(emb) - 1), j ->
-          |    struct(i AS i, j AS j,
-          |      CAST(floor(emb[i] * emb[j] * 1000000000D + 0.5D)
-          |        AS BIGINT) AS fp))))""".stripMargin)).as("t"))
+    // r13: per-label gram cells via the GramCells aggregate (one FMA
+    // loop per row, 128-bit accumulation emitted as decimal(38,0) —
+    // the q304 int64-headroom convention preserved by construction);
+    // identical summands, exact in any partial/merge order
+    val pg = c.groupBy(col("label"))
+      .agg(graft.functions.GramAggregate.gramCells(col("emb")).as("cells"))
+      .select(col("label"), explode(col("cells")).as("t"))
       .select(col("label"), col("t.i").as("i"), col("t.j").as("j"),
-        col("t.fp").as("fp"))
-      .groupBy(col("label"), col("i"), col("j"))
-      // decimal from the start (the q304 sse3 int64-headroom class):
-      // n 1e-9-scale product terms overflow long near n ~ 1e10
-      .agg(count(lit(1)).as("n"), sum(dec(col("fp"))).as("sfp"))
+        col("t.n").as("n"), col("t.fp").as("sfp"))
     val sg = c.select(col("label"), explode(expr(
         """transform(sequence(0, size(emb) - 1), i ->
           |  struct(i AS i,

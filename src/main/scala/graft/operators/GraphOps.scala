@@ -121,6 +121,49 @@ object GraphOps {
     * oracle SQL so semantics stay exact when it binds). */
   val DefaultMaxBasket: Int = 1000
 
+  /** Size-capped distinct-item baskets: one row per group with the
+    * SORTED distinct item array, 2 ≤ |is| ≤ maxBasket. ONE exchange
+    * (partial collect_set dedups map-side) that every basket-grain
+    * consumer — the pair generator, per-item basket counts, basket
+    * totals — reads instead of re-deriving distinct rows + sizes +
+    * join-back (the r13 port: that older chain cost three data-sized
+    * exchanges before any pair was ever emitted; guide §2.4). Per-key
+    * aggregate state is the basket's distinct-item set — bounded by
+    * the same domain argument as q41's shingle postings (TPC-H baskets
+    * are ≤ ~13 items; the cap is mirrored in the oracle SQL for
+    * adversarial inputs, and ObjectHashAggregate falls back to
+    * sort-based aggregation rather than OOM when a pathological key
+    * exceeds memory). */
+  private[operators] def cappedBaskets(groupedItems: DataFrame,
+      group: String, item: String,
+      maxBasket: Int = DefaultMaxBasket): DataFrame =
+    groupedItems
+      .groupBy(col(group))
+      .agg(sort_array(collect_set(col(item))).as("is"))
+      .filter(size(col("is")).between(2, maxBasket))
+
+  /** Unordered co-occurrence pair counts from a [[cappedBaskets]]
+    * frame: the i<j generators run map-side on the sorted array, and
+    * the only shuffle keys by the pair itself. */
+  private[operators] def basketPairCounts(baskets: DataFrame): DataFrame =
+    baskets
+      .select(posexplode(col("is")).as(Seq("i", "item_a")), col("is"))
+      .select(col("item_a"),
+        explode(slice(col("is"), col("i") + 2, size(col("is")))).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+
+  /** Directed co-occurrence partner stream from a [[cappedBaskets]]
+    * frame: every ordered (p, q), p ≠ q, item pair of every basket,
+    * emitted map-side — the input shape the per-item distinct-partner
+    * aggregates (q148 exact, q160 HLL) consume without ever paying
+    * the base-table self-join. */
+  private[operators] def directedPartners(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(col("is")).as("p"), col("is"))
+      .select(col("p"), explode(col("is")).as("q"))
+      .filter(col("p") =!= col("q"))
+
   /** Co-occurrence pair counts over any (group, item) frame: for each
     * unordered item pair, the number of groups containing both. The
     * 100 TB shape is the q41 posting-list pattern — ONE shuffle
@@ -131,17 +174,9 @@ object GraphOps {
     * skewable join key. */
   def coOccurrencePairs(groupedItems: DataFrame, group: String, item: String,
       maxBasket: Int = DefaultMaxBasket): DataFrame =
-    groupedItems
-      .groupBy(col(group))
-      .agg(sort_array(collect_set(col(item))).as("is"))
-      .filter(size(col("is")).between(2, maxBasket))
-      .select(posexplode(col("is")).as(Seq("i", "item_a")), col("is"))
-      .select(col("item_a"),
-        explode(slice(col("is"), col("i") + 2, size(col("is")))).as("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("n_groups"))
+    basketPairCounts(cappedBaskets(groupedItems, group, item, maxBasket))
 
-  private def basketPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[operators] def basketPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     coOccurrencePairs(
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -367,15 +402,20 @@ object GraphOps {
       |FROM rules
       |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin
   ) { (s, d) =>
-    val qb = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val sizes = qb.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
-    val okb = qb.join(sizes, "o")
-    val nBaskets = okb.agg(countDistinct(col("o")).as("n_baskets"))
-    val cnt = okb.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val e = basketPairs(s, d).filter(col("n_orders") >= 2)
+    // ONE basket-grain exchange feeds the basket total, the per-item
+    // counts AND the pair generator (r13 port — the old cnt/nBaskets
+    // legs re-derived distinct rows + sizes + a join-back beside the
+    // basketPairs call; guide §2.4)
+    val baskets = cappedBaskets(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      group = "o", item = "p").cache()
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val cnt = baskets.select(explode(col("is")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = basketPairCounts(baskets)
+      .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+        col("n_groups").as("n_orders"))
+      .filter(col("n_orders") >= 2)
     val dir = e.select(explode(array(
         struct(col("part_a").as("antecedent"), col("part_b").as("consequent"),
           col("n_orders").as("n_ab")),
@@ -437,13 +477,19 @@ object GraphOps {
       |FROM r WHERE rnk <= 3""".stripMargin
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val qb = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val sizes = qb.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
-    val cnt = qb.join(sizes, "o").groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val e = basketPairs(s, d).filter(col("n_orders") >= 2)
+    // ONE basket-grain exchange feeds both the per-item counts and
+    // the pair generator (r13: the cnt leg used to re-derive distinct
+    // rows + sizes + a join-back — three more data-sized exchanges
+    // and a second lineitem scan for the same numbers)
+    val baskets = cappedBaskets(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      group = "o", item = "p").cache()
+    val cnt = baskets.select(explode(col("is")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = basketPairCounts(baskets)
+      .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+        col("n_groups").as("n_orders"))
+      .filter(col("n_orders") >= 2)
     // both directions emit map-side — a union's branches would each
     // replay the pair aggregation (the q101 fix)
     val dir = e.select(explode(array(
@@ -579,15 +625,13 @@ object GraphOps {
       |  CAST(max(degree) AS BIGINT) AS max_degree
       |FROM deg GROUP BY 1""".stripMargin
   ) { (s, d) =>
-    val bp = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val ok = bp.groupBy(col("o")).agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, 1000)).select(col("o"))
-    val qb = bp.join(ok, Seq("o"))
-    qb.select(col("o"), col("p"))
-      .join(qb.select(col("o"), col("p").as("q")), Seq("o"))
-      .filter(col("p") =!= col("q"))
+    // the directed partner stream is generated map-side off the
+    // basket arrays (r13 port; guide §2.4): the old distinct → sizes
+    // → join-back → self-join chain paid four data-sized exchanges
+    // before the distinct-partner aggregate ever ran
+    directedPartners(cappedBaskets(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      group = "o", item = "p"))
       .groupBy(col("p")).agg(countDistinct(col("q")).as("degree"))
       .groupBy((length(bin(col("degree"))) - 1).cast("long")
         .as("log2_bucket"))
@@ -655,15 +699,13 @@ object GraphOps {
       |  CAST(max(deg_est) AS BIGINT) AS max_deg_est
       |FROM f GROUP BY 1""".stripMargin
   ) { (s, d) =>
-    val bp = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val ok = bp.groupBy(col("o")).agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, 1000)).select(col("o"))
-    val qb = bp.join(ok, Seq("o"))
-    val regs = qb.select(col("o"), col("p"))
-      .join(qb.select(col("o"), col("p").as("q")), Seq("o"))
-      .filter(col("p") =!= col("q"))
+    // same map-side partner stream as q148 (r13 port): HLL register
+    // state is a pure max over the partners' hash values, so the
+    // per-basket emission order / multiplicity change cannot perturb
+    // a single register bit
+    val regs = directedPartners(cappedBaskets(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        group = "o", item = "p"))
       .groupBy(col("p"))
       .agg(graft.functions.SketchAggregates
         .hllRegisters(col("q").cast("string"), 8).as("regs"))
@@ -750,22 +792,26 @@ object GraphOps {
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val Cut = 946684800000000L // 2000-01-01 00:00 UTC epoch-µs
-    val bp = Tables.orders(s, d)
+    // ONE basket-grain exchange (collect_set dedups map-side) serves
+    // train and test branches (r13 port; guide §2.4): the old shape
+    // cached distinct (o, p, is_train) ROWS and still paid per branch
+    // a size aggregate + a join-back + (train) the base self-join —
+    // four more data-sized exchanges for the same pair stream
+    val ob = Tables.orders(s, d)
       .select(col("o_orderkey").as("o"),
         (unix_micros(col("o_orderdate")) < Cut).as("is_train"))
       .join(Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
         Seq("o"))
-      .select(col("o"), col("p"), col("is_train")).distinct()
-      .cache() // one orders⋈lineitem replay for train + test branches
-    val tr = bp.filter(col("is_train")).select(col("o"), col("p"))
-    val ok = tr.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, DefaultMaxBasket)).select(col("o"))
-    val qb = tr.join(ok, Seq("o"))
-    val cnt = qb.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val e = qb.toDF("o", "pa").join(qb.toDF("o", "pb"), Seq("o"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+      .groupBy(col("o"), col("is_train"))
+      .agg(sort_array(collect_set(col("p"))).as("is"))
+      .cache()
+    val trb = ob.filter(col("is_train") &&
+      size(col("is")).between(2, DefaultMaxBasket))
+    val cnt = trb.select(explode(col("is")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = basketPairCounts(trb)
+      .toDF("pa", "pb", "nab")
       .filter(col("nab") >= 2)
     val dir = e.select(explode(array(
         struct(col("pa").as("item"), col("pb").as("nbr"), col("nab")),
@@ -782,10 +828,9 @@ object GraphOps {
         Window.partitionBy(col("item"))
           .orderBy(col("sim").desc, col("nbr"))))
       .filter(col("rnk") <= 3).select(col("item"), col("nbr"))
-    val te = bp.filter(!col("is_train")).select(col("o"), col("p"))
-    val tok = te.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") >= 2).select(col("o"))
-    val ti = te.join(tok, Seq("o")).cache() // consumed 3×: cand, hit, count
+    val teb = ob.filter(!col("is_train") && size(col("is")) >= 2)
+    val ti = teb.select(col("o"), explode(col("is")).as("p"))
+      .cache() // consumed 3×: cand, hit, count
     val cand = ti.join(nbrs, col("p") === col("item"))
       .select(col("o"), col("p"), col("nbr")).distinct()
     val warm = cand.select(col("o"), col("p")).distinct()
@@ -793,7 +838,7 @@ object GraphOps {
       .join(ti.select(col("o"), col("p").as("nbr")), Seq("o", "nbr"),
         "leftsemi")
       .select(col("o"), col("p")).distinct()
-    val nb = tok.agg(count(lit(1)).as("n_test_baskets"))
+    val nb = teb.agg(count(lit(1)).as("n_test_baskets"))
     val ni = ti.agg(count(lit(1)).as("n_items"))
     val nw = warm.agg(count(lit(1)).as("n_items_warm"))
     val nh = hit.agg(count(lit(1)).as("n_hits"))
@@ -904,41 +949,43 @@ object GraphOps {
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val Cut = 946684800000000L // 2000-01-01 00:00 UTC epoch-µs
-    val bp = Tables.orders(s, d)
-      .select(col("o_orderkey").as("o"),
-        (unix_micros(col("o_orderdate")) < Cut).as("is_train"))
-      .join(Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
-        Seq("o"))
-      .select(col("o"), col("p"), col("is_train")).distinct()
-      .cache() // one orders⋈lineitem replay for train + test branches
     // deterministic 25% basket samples: the shared 60-bit md5 recipe,
     // non-negative, so % == pmod and both engines pick the SAME
     // baskets; train/test orders are disjoint, one recipe serves both
     def sampled(o: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       conv(substring(md5(o.cast("string")), 1, 15), 16, 10)
         .cast("long") % 4 === 0
-    val tr = bp.filter(col("is_train")).select(col("o"), col("p"))
-    val ok = tr.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, DefaultMaxBasket))
-      .filter(sampled(col("o"))).select(col("o"))
-    val qb = tr.join(ok, Seq("o"))
-    val cnt = qb.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val te = bp.filter(!col("is_train")).select(col("o"), col("p"))
-    val sk = te.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") >= 2)
+    // the sample is a pure per-order predicate, so it commutes with
+    // every downstream per-order filter — applying it BEFORE the
+    // basket exchange (r13 move; guide §2.3) cuts the one data-sized
+    // shuffle 4× instead of sampling the already-shuffled stream; the
+    // basket-grain restructure itself is q182's (one collect_set
+    // exchange serves both branches, pairs generate map-side)
+    val ob = Tables.orders(s, d)
+      .select(col("o_orderkey").as("o"),
+        (unix_micros(col("o_orderdate")) < Cut).as("is_train"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        Seq("o"))
       .filter(sampled(col("o")))
-      .select(col("o"))
-    val ti = te.join(sk, Seq("o")).cache() // consumed 3×: cand, hit, count
+      .groupBy(col("o"), col("is_train"))
+      .agg(sort_array(collect_set(col("p"))).as("is"))
+      .cache()
+    val trb = ob.filter(col("is_train") &&
+      size(col("is")).between(2, DefaultMaxBasket))
+    val cnt = trb.select(explode(col("is")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val teb = ob.filter(!col("is_train") && size(col("is")) >= 2)
+    val ti = teb.select(col("o"), explode(col("is")).as("p"))
+      .cache() // consumed 3×: cand, hit, count
     val ev = ti.select(col("p")).distinct()
     // q182's exact pair recipe on the sampled baskets (undirected
     // pa<pb agg, mirror after); the eval-item restriction lands
     // POST-agg, pruning rank/join work for lists nothing will score
     // at zero stream cost (pre-agg it was measured useless: ~17%
     // selectivity at a doubled directed stream — see scaladoc)
-    val e = qb.toDF("o", "pa").join(qb.toDF("o", "pb"), Seq("o"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+    val e = basketPairCounts(trb)
+      .toDF("pa", "pb", "nab")
       .filter(col("nab") >= 2)
     val dir = e.select(explode(array(
         struct(col("pa").as("item"), col("pb").as("nbr"), col("nab")),
@@ -963,7 +1010,7 @@ object GraphOps {
       .join(ti.select(col("o"), col("p").as("nbr")), Seq("o", "nbr"),
         "leftsemi")
       .select(col("o"), col("p")).distinct()
-    val nb = sk.agg(count(lit(1)).as("n_test_baskets"))
+    val nb = teb.agg(count(lit(1)).as("n_test_baskets"))
     val ni = ti.agg(count(lit(1)).as("n_items"))
     val nw = warm.agg(count(lit(1)).as("n_items_warm"))
     val nh = hit.agg(count(lit(1)).as("n_hits"))
@@ -1049,17 +1096,18 @@ object GraphOps {
         : org.apache.spark.sql.Column =
       conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
         .cast("long") % m === 0
-    val bp = Tables.lineitem(s, d)
+    // q193's basket-grain shape with the sample filter pushed to the
+    // source (r13 port; guide §2.3/§2.4): one 4×-reduced collect_set
+    // exchange feeds the per-item counts and the map-side pair
+    // generator — no distinct / sizes / join-back / self-join chain
+    val baskets = cappedBaskets(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val ok = bp.groupBy(col("o")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz").between(2, DefaultMaxBasket))
-      .filter(sampledMod(col("o"), 4)).select(col("o"))
-    val qb = bp.join(ok, Seq("o"))
-    val cnt = qb.groupBy(col("p")).agg(count(lit(1)).as("n"))
-    val e = qb.toDF("o", "pa").join(qb.toDF("o", "pb"), Seq("o"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nab"))
+      .filter(sampledMod(col("o"), 4)),
+      group = "o", item = "p").cache()
+    val cnt = baskets.select(explode(col("is")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val e = basketPairCounts(baskets)
+      .toDF("pa", "pb", "nab")
       .filter(col("nab") >= 2)
     val dir = e.select(explode(array(
         struct(col("pa").as("item"), col("pb").as("nbr"), col("nab")),

@@ -142,18 +142,18 @@ object Relational4 {
       |  CAST(sum(fp) AS DOUBLE) / count(*) / 1000000000 AS gram
       |FROM p GROUP BY 1, 2""".stripMargin
   ) { (s, d) =>
+    // r13: the d(d+1)/2 per-row struct explode + hash-agg probe per
+    // product is now ONE fused-multiply-add loop inside the GramCells
+    // TypedImperativeAggregate (identical int64 summands quantized by
+    // the same IEEE ops, so any partial/merge order is exact — see
+    // GramAggregate scaladoc); the cells explode AFTER the aggregate,
+    // 2080 rows total instead of 2080 per vector
     Tables.embeddings(s, d)
-      .select(expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x)")
-        .as("emb"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(emb) - 1), i ->
-          |  transform(sequence(i, size(emb) - 1), j ->
-          |    struct(i AS i, j AS j,
-          |      CAST(floor(emb[i] * emb[j] * 1000000000D + 0.5D) AS BIGINT)
-          |        AS fp))))""".stripMargin)).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.fp").as("fp"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("fp")).as("gram_fp"))
+      .select(expr("CAST(embedding AS ARRAY<DOUBLE>)").as("emb"))
+      .agg(graft.functions.GramAggregate.gramCells(col("emb")).as("cells"))
+      .select(explode(col("cells")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.n").as("n"),
+        col("t.fp").cast("long").as("gram_fp"))
       .select(col("i"), col("j"), col("n"), col("gram_fp"),
         (col("gram_fp").cast("double") / col("n") / 1000000000L).as("gram"))
   }

@@ -604,13 +604,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q144: gram matrix shuffles ONE pre-combined (i,j) aggregate") {
+  test("q144: gram matrix shuffles ONE pre-combined gram state") {
     val p = plan("q144_gram_matrix")
-    // the d(d+1)/2 products explode map-side and MUST pre-combine
-    // before the exchange — the shuffle carries ≤2080·P rows however
-    // many vectors flow through
+    // r13 shape: the d(d+1)/2 products run as a fused loop inside the
+    // GramCells TypedImperativeAggregate, which MUST pre-combine
+    // map-side and merge across the exchange (ObjectHashAggregate
+    // partial/final) — the shuffle carries one constant-size state
+    // per partition however many vectors flow through; the cells
+    // explode AFTER the aggregate (one Generate over ≤2080 rows)
+    assert(p.toLowerCase.contains("gramcells"), p)
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
     assert(nodes(p, "Generate") >= 1, p)
-    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(nodes(p, "Exchange") == 1, p)
     assert(!p.contains("Join"), p)
   }
