@@ -534,8 +534,17 @@ object AnalyticsOps5 {
       |  CAST(cms_est - true_cnt AS BIGINT) AS overcount
       |FROM est""".stripMargin
   ) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    // r13: hash DISTINCT tokens, not occurrences — the (r, j) cell
+    // counts are sums of per-token counts either way (exact same
+    // integers), so the md5 parity recipe runs |vocab|×4 times
+    // instead of |corpus tokens|×4 (~25× fewer at sf0.1), and the
+    // token-count aggregate is shared with the top-20 pick (one
+    // tokenization pass + one token-keyed exchange total; guide §2.3
+    // "aggregate before you shuffle")
+    val tokCnt = Tables.documents(s, d)
       .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+      .cache()
     // Column operators, not toString-interpolated expr (the epochDay
     // convention): safe under aliased/qualified inputs. Hash is a
     // positive 60-bit int, so % == pmod here.
@@ -543,10 +552,11 @@ object AnalyticsOps5 {
       conv(substring(md5(concat(r.cast("string"), lit(":"), tok)),
         1, 15), 16, 10).cast("long") % lit(1024L)
     val rs = explode(expr("array(0, 1, 2, 3)")).as("r")
-    val cells = toks.select(col("tok"), rs)
-      .select(col("r"), cell(col("r"), col("tok")).as("j"))
-      .groupBy(col("r"), col("j")).agg(count(lit(1)).as("c"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    val cells = tokCnt.select(col("tok"), col("true_cnt"), rs)
+      .select(col("r"), cell(col("r"), col("tok")).as("j"),
+        col("true_cnt"))
+      .groupBy(col("r"), col("j")).agg(sum(col("true_cnt")).as("c"))
+    val top = tokCnt
       .orderBy(col("true_cnt").desc, col("tok")).limit(20)
     top.select(col("tok"), col("true_cnt"), rs)
       .select(col("tok"), col("true_cnt"), col("r"),

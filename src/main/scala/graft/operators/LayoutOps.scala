@@ -245,6 +245,10 @@ object LayoutOps {
         Seq(col("t"), col("event_id")), "rn")
       .crossJoin(broadcast(n))
       .select(col("user_id"), col("h"), expr("((rn - 1) * 64) div n").as("f"))
+      // r13: three consumers (bloom build, zone maps, probe truth)
+      // each replayed the md5 + two-phase global rank pass — one
+      // materialization instead of three (guide §5, reuse-vs-recompute)
+      .cache()
     val js = explode(sequence(lit(0), lit(2))).as("j")
     val bloom = fl.select(col("f"), col("h"), js)
       .select(col("f"), expr("(h >> (12 * j)) & 4095").as("p"))

@@ -742,7 +742,13 @@ object TextOps {
             "array(concat(s1, s2))) " +
             "ELSE concat(acc, array(x)) END)"))
         .select(col("word"), col("cnt"), col("syms"))
-        .localCheckpoint(true)
+        // LAZY checkpoint (r13; the q49 loop idiom): the next round's
+        // best-pair job — or the encode consumer after the last round
+        // — materializes it, so each round runs ONE job instead of
+        // two; the lineage cut per round (the measured ~16 s driver
+        // re-analysis bug this chain exists to prevent) is identical
+        // once materialized
+        .localCheckpoint(false)
     }
     (rules.reverse, state)
   }
