@@ -21,6 +21,47 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The suite must finish inside the verify driver's budget (the r13 run
+// was cut off mid-suite). Suites are independent — each gets its own
+// SparkSession conf scope and unique temp dirs — so run them in FOUR
+// forked JVMs concurrently: greedy bin-packing by measured suite cost
+// (quiet-host timings, round 14) keeps the groups balanced; unknown
+// suites round-robin onto the lightest bin. 4 × local[4] = 16 cores,
+// well inside the 32-core box; each fork gets the same javaOptions.
+val testGroupCount = 4
+val suiteWeights: Map[String, Int] = Map(
+  "graft.streaming.TelemetryStreamsSpec" -> 10,
+  "graft.operators.SimilarityDedupSpec" -> 63,
+  "graft.functions.SketchAggregatesSpec" -> 31,
+  "graft.operators.AnalyticsOps10Spec" -> 31,
+  "graft.PlanCoverageSpec" -> 29,
+  "graft.PlanSpec" -> 28,
+  "graft.operators.AnalyticsOps15Spec" -> 27,
+  "graft.operators.AnalyticsOps13Spec" -> 24,
+  "graft.operators.AnalyticsOps8Spec" -> 22,
+  "graft.operators.AnalyticsOps22Spec" -> 20,
+  "graft.operators.CurationOpsSpec" -> 18,
+  "graft.etl.PropertySpec" -> 17)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val bins = Array.fill(testGroupCount)(
+    (0L, List.newBuilder[sbt.TestDefinition]))
+  // heaviest first into the lightest bin; ties and unknowns (weight 5)
+  // follow in sorted-name order so the split is deterministic
+  tests.sortBy(t => (-suiteWeights.getOrElse(t.name, 5), t.name))
+    .foreach { t =>
+      val i = bins.indices.minBy(bins(_)._1)
+      val (w, b) = bins(i)
+      b += t
+      bins(i) = (w + suiteWeights.getOrElse(t.name, 5), b)
+    }
+  bins.toSeq.zipWithIndex.map { case ((_, b), i) =>
+    Tests.Group(s"g$i", b.result(), Tests.SubProcess(opts))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -7,7 +7,6 @@ import graft.SparkSpec
 import graft.etl.Fixtures
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 class TelemetryStreamsSpec extends SparkSpec {
 
@@ -106,9 +105,19 @@ class TelemetryStreamsSpec extends SparkSpec {
       ev("d2", 2, "high_temperature"))
 
     val streaks = TelemetryStreams.alertStreaks(source.toDS(), minStreak = 3)
+    // alertStreaks keeps processing-time timeout state, so the query
+    // NEVER settles on its own: under AvailableNow it churns empty
+    // micro-batches until the awaitTermination deadline (the old shape
+    // burned a flat 120 s of suite budget — thousands of checkpoint
+    // deltas of nothing), and processAllAvailable never returns for
+    // the same reason. The assertions depend only on data-driven
+    // output, so poll the sink for the expected single row and stop.
     val q = streaks.writeStream.format("memory").queryName("streaks")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .outputMode("append").start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (spark.table("streaks").isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q.stop()
     val out = spark.table("streaks").as[TelemetryStreams.AlertStreak].collect()
     // d1: one streak reaches 3 (fires once, at the 3rd consecutive);
     // d2 never reaches 3
