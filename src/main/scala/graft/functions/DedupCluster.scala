@@ -81,12 +81,25 @@ object DedupCluster {
     // subtree (q44's LSH bucket self-join), every round would re-nest
     // that subtree. The checkpoint makes the edge list the loop's
     // leaf.
+    // repartition(dst) BEFORE the checkpoint: LogicalRDD preserves the
+    // hash partitioning, so every round's edges⋈labels join re-uses
+    // the edge side as-is and only the (smaller) label frame moves —
+    // the old leaf was (src, dst)-partitioned from the distinct and
+    // paid an edge-sized exchange per round (guide §2.4).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("canonical_id"))
+    // The loop runs over EDGE ENDPOINTS only: a doc with no near-dup
+    // edge can never change its label, yet the old shape dragged every
+    // singleton through every round's joins — per-round frames were
+    // O(|docs|) when the moving part is O(|endpoints|), and near-dup
+    // endpoints are typically a small fraction of a corpus. Singletons
+    // re-attach once, after the fixpoint, as canonical_id = doc_id
+    // (exactly the label they would have carried through every round).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
     var prevCp: DataFrame = null // superseded-checkpoint release handle
     var changed = true
     var i = 0
@@ -147,7 +160,21 @@ object DedupCluster {
         s"DedupCluster.canonicalize did not converge in $maxIter rounds — " +
           "a component has diameter > maxIter; raise maxIter")
     }
-    labels
+    // singletons (docs with no edge) re-attach with themselves as
+    // canonical — ONE left join instead of one per round. The frame
+    // returned must stay a compact leaf that survives cache sweeps
+    // (the memoCanonical contract), so the union is checkpointed too;
+    // the loop's last checkpoint is then released like any superseded
+    // round.
+    val full = docs
+      .join(labels.withColumnRenamed("canonical_id", "__canon"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__canon"), col("doc_id")).as("canonical_id"))
+      .localCheckpoint(false)
+    val _ = full.count() // materialize before releasing the loop leaf
+    if (prevCp ne null) releaseCheckpoint(prevCp)
+    full
   }
 
   /** Full near-dup removal: keep one row per cluster (the canonical

@@ -301,6 +301,215 @@ object TextExpressions {
     org.apache.spark.sql.GraftColumnBridge.column(
       SimHash64(org.apache.spark.sql.GraftColumnBridge.expression(tokens)))
 
+  /** MinHash signature over a per-doc shingle ARRAY, map-side (q42's
+    * signature builder): slot i is min over the array of
+    * xxhash64(i, s) — BIT-IDENTICAL to the old
+    * explode → groupBy(doc_id).agg(min(xxhash64(lit(i), s)) × k)
+    * shape (the two-child xxhash64 chains seed 42 through the int
+    * literal, precomputed per slot below; min over longs is the same
+    * signed min), but with no Generate and NO exchange: doc rows are
+    * already signature-grain. Null only for an empty array (the old
+    * shape emitted no group — callers filter ≥3 tokens so it cannot
+    * occur in the pipeline). */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_minhash_sig needs array<string>, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any =
+      TextExpressions.minhashSig(a.asInstanceOf[ArrayData], numHashes)
+
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"""
+           |${ev.value} = graft.functions.TextExpressions.minhashSig(
+           |  $x, $numHashes);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Per-slot seeds: xxhash64(i, s) hashes the int literal i first
+    * (seed 42), then chains the result into the string hash — so
+    * slot i's effective string seed is hashInt(i, 42), a constant. */
+  private val minhashSeedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  private def minhashSeeds(k: Int): Array[Long] =
+    minhashSeedCache.computeIfAbsent(k,
+      _ => Array.tabulate(k)(i => XXH64.hashInt(i, 42L)))
+
+  /** Static kernel behind [[MinHashSig]] (also called from generated
+    * code — keep the signature stable). Returns null iff the array is
+    * empty or all-null. */
+  def minhashSig(arr: ArrayData, numHashes: Int): ArrayData = {
+    val seeds = minhashSeeds(numHashes)
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), seeds(j))
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-doc k-gram xxhash64 sequence, map-side in one kernel call
+    * (q57's fixture frame): slot i is
+    * xxhash64(concat_ws(' ', toks[i..i+k−1])) — bit-identical to the
+    * old transform(sequence(...), i -> xxhash64(concat_ws(...)))
+    * shape (same UTF-8 bytes, same seed-42 hash), but the ~|toks|
+    * interpreted lambda calls and per-window concat Column trees are
+    * one tight loop inside whole-stage codegen. Callers filter
+    * size ≥ k. */
+  case class KgramHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_kgram_hashes needs array<string>, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any =
+      TextExpressions.kgramHashes(a.asInstanceOf[ArrayData], k)
+
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"${ev.value} = graft.functions.TextExpressions.kgramHashes($x, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  /** Static kernel behind [[KgramHashes]] (also called from generated
+    * code — keep the signature stable). */
+  def kgramHashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val out = new Array[Long](m)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(SpaceSep, parts: _*)
+      out(i) = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct W-window minima over a hash sequence, map-side (q57's
+    * winnowing fingerprints): the distinct-set of
+    * array_min(slice(h, i+1, w)) for i in 0..max(len−w, 0) — same
+    * values, same first-occurrence order as the old
+    * array_distinct(transform(..., array_min(slice(...)))) chain,
+    * without a per-window slice allocation + interpreted lambda. */
+  case class WinnowMinima(child: Expression, w: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case t =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_winnow_minima needs array<bigint>, got ${t.sql}")
+      }
+
+    override def nullSafeEval(a: Any): Any =
+      TextExpressions.winnowMinima(a.asInstanceOf[ArrayData], w)
+
+    override def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, x =>
+        s"${ev.value} = graft.functions.TextExpressions.winnowMinima($x, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Static kernel behind [[WinnowMinima]] (also called from generated
+    * code — keep the signature stable). */
+  def winnowMinima(h: ArrayData, w: Int): ArrayData = {
+    val n = h.numElements()
+    val m = java.lang.Math.max(n - w, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      var mn = Long.MaxValue
+      val end = java.lang.Math.min(i + w, n)
+      var j = i
+      while (j < end) {
+        val v = h.getLong(j)
+        if (v < mn) mn = v
+        j += 1
+      }
+      if (end > i) { val _ = seen.add(mn) }
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def kgramHashesCol(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      KgramHashes(org.apache.spark.sql.GraftColumnBridge.expression(tokens), k))
+
+  def winnowMinimaCol(hashes: Column, w: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WinnowMinima(org.apache.spark.sql.GraftColumnBridge.expression(hashes), w))
+
+  def minhashSigCol(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MinHashSig(org.apache.spark.sql.GraftColumnBridge.expression(shingles),
+        numHashes))
+
   def rollingFingerprint(tokens: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       RollingFingerprint(org.apache.spark.sql.GraftColumnBridge.expression(tokens)))

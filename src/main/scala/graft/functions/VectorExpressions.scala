@@ -262,6 +262,142 @@ object VectorExpressions {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Map-side argmax-cosine centroid assignment (q56/q81): given a
+    * vector and the FULL centroid table as one array column (a 1-row
+    * broadcast), returns struct(cent_id, sim) of the most-similar
+    * centroid, ties to the MIN cent_id — exactly the
+    * max_by(struct(cent_id, …), struct(sim, −cent_id)) the old shape
+    * computed over an exploded cross join + groupBy(vec_id), except
+    * vec_id is unique so that group-by only ever collapsed the k rows
+    * this kernel now folds in place: the per-round n-row exchange is
+    * gone. Cosine is the exact DotProduct/SquaredNorm chain (double
+    * accumulation, dot / (√‖a‖²·√‖b‖²) in that IEEE op order) and the
+    * sim comparison mirrors Spark's nanSafeCompareDoubles, so the
+    * argmax — including NaN and exact ties — is bit-identical to the
+    * struct-ordering max. Null (→ no output row, like the empty cross
+    * join) only when the centroid array is empty. */
+  case class BestCentroid(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cent_id", LongType, nullable = false),
+      StructField("sim", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    private def centElemFloat: Boolean = right.dataType match {
+      case ArrayType(StructType(fs), _) if fs.length == 2 =>
+        fs(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val lOk = left.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      val rOk = right.dataType match {
+        case ArrayType(StructType(fs), _) if fs.length == 2 =>
+          fs(0).dataType == LongType && (fs(1).dataType match {
+            case ArrayType(FloatType | DoubleType, _) => true
+            case _ => false
+          })
+        case _ => false
+      }
+      if (lOk && rOk)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_best_centroid needs (array<float|double>, " +
+          s"array<struct<bigint, array<float|double>>>), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorExpressions.bestCentroid(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], elemIsFloat(left), centElemFloat)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // static kernel, one call per row (the HyperplaneSignature
+      // pattern): the k·dim loop runs as plain JVM code and the stage
+      // stays in whole-stage codegen
+      nullSafeCodeGen(ctx, ev, (x, y) =>
+        s"""
+           |${ev.value} = graft.functions.VectorExpressions.bestCentroid(
+           |  $x, $y, ${elemIsFloat(left)}, $centElemFloat);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Spark's nanSafeCompareDoubles semantics (NaN greatest,
+    * NaN == NaN, ±0.0 equal) — the ordering struct-max comparison
+    * uses for DoubleType, mirrored so [[bestCentroid]]'s argmax can
+    * never diverge from the old max_by. */
+  @inline private def nanSafeCompare(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+
+  /** Static kernel behind [[BestCentroid]] (also called from generated
+    * code — keep the signature stable). Returns null iff `cents` is
+    * empty. */
+  def bestCentroid(emb: ArrayData, cents: ArrayData,
+      embFloat: Boolean, centFloat: Boolean)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val k = cents.numElements()
+    if (k == 0) return null
+    val n = emb.numElements()
+    var sa = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (embFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      sa += v * v
+      i += 1
+    }
+    val na = java.lang.Math.sqrt(sa)
+    var bestId = 0L
+    var bestSim = 0.0
+    var any = false
+    var c = 0
+    while (c < k) {
+      val row = cents.getStruct(c, 2)
+      val id = row.getLong(0)
+      val ce = row.getArray(1)
+      val nb = ce.numElements()
+      val m = java.lang.Math.min(n, nb)
+      var dot = 0.0
+      var j = 0
+      while (j < m) {
+        val x = if (embFloat) emb.getFloat(j).toDouble else emb.getDouble(j)
+        val y = if (centFloat) ce.getFloat(j).toDouble else ce.getDouble(j)
+        dot += x * y
+        j += 1
+      }
+      var sb = 0.0
+      j = 0
+      while (j < nb) {
+        val y = if (centFloat) ce.getFloat(j).toDouble else ce.getDouble(j)
+        sb += y * y
+        j += 1
+      }
+      val sim = dot / (na * java.lang.Math.sqrt(sb))
+      val cmp = if (any) nanSafeCompare(sim, bestSim) else 1
+      if (cmp > 0 || (cmp == 0 && id < bestId)) {
+        bestId = id; bestSim = sim; any = true
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestSim))
+  }
+
   /** splitmix64 finalizer → ±1 weight for (plane, dim). */
   @inline def planeWeight(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong
@@ -287,4 +423,6 @@ object VectorExpressions {
   }
   def lshSignature(a: Column, tables: Int, bits: Int): Column =
     asCol(HyperplaneSignature(exprOf(a), tables, bits))
+  def bestCentroid(emb: Column, cents: Column): Column =
+    asCol(BestCentroid(exprOf(emb), exprOf(cents)))
 }

@@ -181,9 +181,15 @@ object AnalyticsOps11 {
       .agg(count(lit(1)).as("a"))
       .cache() // one tokenization pass; both margins re-agg the cells
     val ns = c.groupBy(col("source")).agg(sum(col("a")).cast("long").as("ng"))
-    val mw = c.groupBy(col("word")).agg(sum(col("a")).cast("long").as("mw"))
     val tot = c.agg(sum(col("a")).cast("long").as("n"))
-    val sc = c.join(mw, Seq("word"))
+    // word margin as a partition window over the cells themselves
+    // (guide §2.4): same sum over the same cells as the old
+    // groupBy(word) margin frame, but the separate margin aggregate
+    // and the cell⋈margin re-shuffle collapse into the one word-keyed
+    // exchange the attachment needed anyway
+    val sc = c
+      .withColumn("mw", sum(col("a")).over(
+        Window.partitionBy(col("word"))).cast("long"))
       .join(broadcast(ns), Seq("source"))
       .crossJoin(broadcast(tot))
       // decimal, not int64: a·N reaches ~1e25 at fleet token counts

@@ -208,11 +208,20 @@ object AnalyticsOps15 {
       .select(col("mon"), col("v"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val w = f.withColumn("cum", sum(col("cnt")).over(
       Window.partitionBy(col("mon")).orderBy(col("v"))).cast("long"))
-    val b = c.select(col("mon").as("mon_b"), col("v"), col("cnt").as("cb"))
-    val j = b.join(w, Seq("v"))
-      .filter(col("mon") < col("mon_b"))
-      .agg(sum(dec(col("cb"))
-        * (lit(2) * (col("cum") - col("cnt")) + col("cnt"))).as("j2"))
+    // earlier-months term as a SECOND window over the dense frame
+    // (partition v, order mon, rows < current) instead of re-joining
+    // the 150k-cell frame against the |months|×|grid| frame on v —
+    // the join probed and re-emitted the full dense frame (guide
+    // §2.4); distributivity over exact decimal ints keeps j2
+    // bit-identical: Σ_b cb·Σ_{m<m_b}(2(cum−cnt)+cnt) term for term.
+    val wp = Window.partitionBy(col("v")).orderBy(col("mon"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j = w
+      .withColumn("presum",
+        sum(dec(lit(2) * (col("cum") - col("cnt")) + col("cnt"))).over(wp))
+      .filter(col("cnt") > 0) // the b-cells: rows where a real cell sits
+      .agg(sum(dec(col("cnt")) * coalesce(col("presum"), dec(lit(0))))
+        .as("j2"))
     // pooled tie counts t_j per value cell (value-range-bounded —
     // the same grid the dense frame rides)
     val tv = c.groupBy(col("v")).agg(sum(col("cnt")).cast("long").as("tc"))

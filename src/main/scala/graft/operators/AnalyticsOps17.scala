@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-12 tranche five: the remaining text-curation metrics a
@@ -96,12 +97,20 @@ object AnalyticsOps17 {
           |  THEN transform(sequence(1, size(tk) - 3), i ->
           |    array_join(slice(tk, i, 4), ' '))
           |  ELSE array() END""".stripMargin)).as("gram"))
+      // ONE (source, gram)-keyed exchange serves the per-doc cell
+      // aggregate, the source-pool margin AND its attachment (guide
+      // §2.4): hash(source, gram) clusters the (doc, source, gram)
+      // groups, the pool count cs is a partition-local window over the
+      // same cells, and the old shape's THREE extra data exchanges —
+      // sg's aggregate, plus both sides of the dg⋈sg re-shuffle — are
+      // gone. Values are identical: the window sum is sg's sum over
+      // exactly the same cells.
+      .repartition(col("source"), col("gram"))
       .groupBy(col("doc_id"), col("source"), col("gram"))
       .agg(count(lit(1)).as("cd"))
-      .cache() // one gram pass; the pool margin and the join reuse it
-    val sg = dg.groupBy(col("source"), col("gram"))
-      .agg(sum(col("cd")).cast("long").as("cs"))
-    val p = dg.join(sg, Seq("source", "gram"))
+    val p = dg
+      .withColumn("cs", sum(col("cd")).over(
+        Window.partitionBy(col("source"), col("gram"))).cast("long"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(when(col("cs") - col("cd") > 0, col("cd")).otherwise(0L))
         .cast("long").as("m"),

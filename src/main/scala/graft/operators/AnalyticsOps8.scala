@@ -243,7 +243,16 @@ object AnalyticsOps8 {
       .join(broadcast(p.select(col("sa"), col("sb"))), Seq("sb"))
       .select(col("sa"), col("sb"), col("v"), lit(0L).as("ca"), col("cb"))
     val wn = Window.partitionBy(col("sa"), col("sb")).orderBy(col("v"))
+    // ONE pair-keyed exchange serves both the merge aggregate and the
+    // rank window (guide §2.4: two operations keyed the same way share
+    // one exchange): hash(sa, sb) satisfies the aggregate's
+    // (sa, sb, v) clustering AND the window's (sa, sb) partitioning,
+    // where the default plan exchanged the pair-replicated cell
+    // stream twice. Each (sa, sb, v) key holds ≤ 2 union rows, so the
+    // map-side partial aggregate the explicit repartition skips was
+    // collapsing nothing.
     val w = ua.unionByName(ub)
+      .repartition(col("sa"), col("sb"))
       .groupBy(col("sa"), col("sb"), col("v"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
       .withColumn("t", col("ca") + col("cb"))

@@ -110,7 +110,10 @@ object ClusteringOps {
       |    + 0.5) / 10000 AS cent_norm
       |FROM cents2""".stripMargin
   ) { (s, d) =>
+    // cache: the feature frame feeds the seed filter and both
+    // assignment rounds (guide §5 reuse — one scan, not three)
     val c = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .cache()
     val cents2 = twoRoundCentroids(c,
       kmeansDivisor(SimilarityOps.corpusCount(s, d)))
     cents2.select(
@@ -120,16 +123,33 @@ object ClusteringOps {
         / 10000).as("cent_norm"))
   }
 
-  /** argmax-cosine assignment (tiebreak: min cent_id), embedding
-    * carried inside the max_by value so it never re-joins. */
+  /** Centroid table collapsed to ONE row carrying the whole table as
+    * an array — the broadcast side of the map-side assignment. */
+  private def centsAsRow(cents: DataFrame): DataFrame =
+    cents.agg(collect_list(struct(col("cent_id"), col("cent_emb")))
+      .as("cents"))
+
+  /** argmax-cosine assignment (tiebreak: min cent_id), computed
+    * MAP-SIDE: vec_id is unique, so the old
+    * crossJoin → groupBy(vec_id).max_by only ever collapsed the k
+    * centroid rows of one vector — k rows that BestCentroid now folds
+    * in one kernel call per row, with bit-identical cosine doubles
+    * and the same (sim, −cent_id) argmax order. The per-round
+    * exchange of every (vec_id, embedding) row is gone; the only
+    * exchange left in a round is the k-row centroid update. The
+    * isNotNull filter mirrors the empty-cross-join case (no centroids
+    * → no assigned rows). */
   private def assign(c: DataFrame, cents: DataFrame): DataFrame =
-    c.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        VectorExpressions.cosine(col("embedding"), col("cent_emb")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("embedding")),
-        struct(col("sim"), (-col("cent_id")).as("ng"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
+    c.crossJoin(broadcast(centsAsRow(cents)))
+      // size(cents) > 0 ⟺ best is non-null (the empty-cross-join
+      // case), but as a filter it costs an array-length read — an
+      // isNotNull(best) filter was pushed into the join condition and
+      // re-evaluated the whole k·dim kernel per row (§4.4 duplication)
+      .filter(size(col("cents")) > 0)
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.bestCentroid(col("embedding"), col("cents"))
+          .as("best"))
+      .select(col("vec_id"), col("embedding"),
         col("best.cent_id").as("cent_id"))
 
   /** quantized-exact centroid mean; also returns member counts. */
@@ -188,16 +208,18 @@ object ClusteringOps {
       |      FROM a3)
       |WHERE rk = 1""".stripMargin
   ) { (s, d) =>
+    // cache: seed filter + two centroid rounds + the final assignment
+    // all read this one frame (guide §5 reuse)
     val c = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .cache()
     val cents2 = twoRoundCentroids(c,
       kmeansDivisor(SimilarityOps.corpusCount(s, d)))
       .select(col("cent_id"), col("cent_emb"))
-    c.crossJoin(broadcast(cents2))
-      .select(col("vec_id"), col("cent_id"),
-        VectorExpressions.cosine(col("embedding"), col("cent_emb")).as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("sim")),
-        struct(col("sim"), (-col("cent_id")).as("ng"))).as("best"))
+    c.crossJoin(broadcast(centsAsRow(cents2)))
+      .filter(size(col("cents")) > 0) // see assign: cheap null guard
+      .select(col("vec_id"),
+        VectorExpressions.bestCentroid(col("embedding"), col("cents"))
+          .as("best"))
       .select(col("vec_id"), col("best.cent_id").as("cluster_id"),
         col("best.sim").as("sim"))
       .groupBy(col("cluster_id"))

@@ -35,10 +35,13 @@ object CurationOps {
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
       .filter(size(col("toks")) >= WinnowK)
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, size(toks) - $WinnowK),
-           |  i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])))"""
-          .stripMargin).as("h"))
+      // one kernel call per doc (spec-pinned bit-identical to the old
+      // transform + xxhash64(concat_ws(...)) lambda chain): the
+      // ~|toks| interpreted lambda invocations and per-window concat
+      // expression trees were the whole cost of this map-only frame
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.kgramHashesCol(col("toks"), WinnowK)
+          .as("h"))
 
   /** Winnowing document fingerprints: per doc, the distinct minima of
     * all W-wide windows over the k-gram hash sequence (docs with fewer
@@ -58,10 +61,13 @@ object CurationOps {
       |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min FROM fp""".stripMargin
   ) { (s, d) =>
     winnowKgramsFrame(s, d)
-      .select(col("doc_id"), array_distinct(expr(
-        s"""transform(sequence(0, greatest(size(h) - $WinnowW, 0)),
-           |  i -> array_min(slice(h, i + 1, $WinnowW)))""".stripMargin))
-        .as("fps"))
+      // same values / first-occurrence order as the old
+      // array_distinct(transform(…, array_min(slice(…)))) chain, one
+      // kernel call per doc instead of ~|h| interpreted lambdas each
+      // allocating a W-slice
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.winnowMinimaCol(col("h"), WinnowW)
+          .as("fps"))
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("fp_min"))
   }

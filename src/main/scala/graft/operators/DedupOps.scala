@@ -93,10 +93,27 @@ object DedupOps {
     df.select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
       .filter(size(col("toks")) >= 3)
 
+  /** Per-doc DISTINCT 3-token shingle ARRAY (docs with ≥3 tokens):
+    * (doc_id, shs) — the map-side dedup a document's shingles get for
+    * free (array_distinct), shared by the exploded view below and the
+    * in-place MinHash signature kernel. */
+  private def shingleArrays(df: DataFrame): DataFrame =
+    tokenized(df)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shs"))
+
   /** Distinct 3-token shingles per doc: (doc_id, s). The dedup is
     * map-side (array_distinct on the per-doc shingle array) — a
     * document's shingles never need a shuffle to dedup, so consumers
-    * get per-doc-distinct rows without the global DISTINCT exchange. */
+    * get per-doc-distinct rows without the global DISTINCT exchange.
+    *
+    * Deliberately NOT written as shingleArrays + explode: keeping the
+    * HOF chain INSIDE the generator lets Generate evaluate it in
+    * place, while a separate Project materializes the whole shingle
+    * array as an unsafe row first — an r14 A/B measured the split
+    * shape 3-5× slower on every exploded-shingle consumer (q39 0.72 →
+    * 3.83 s, q149 0.85 → 4.13 s) with identical results. */
   private[operators] def shingles(df: DataFrame): DataFrame =
     tokenized(df)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -209,24 +226,28 @@ object DedupOps {
   private val NumHashes = 16
   private val Bands = 4 // 4 bands × 4 rows
 
-  /** Per-doc MinHash signature as array<long>: for seed i, the min of
-    * xxhash64(i || shingle) over the doc's shingle set. */
-  private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val sigCols: Seq[Column] = (0 until NumHashes).map { i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
-
   /** Per-doc MinHash signatures over the corpus — the engine-specific
     * piece of q42 (xxhash64 seeds live in the engine). Verify dumps it
     * so the DuckDB oracle can re-derive banding, candidate join, and
-    * the estimate from the signatures alone. */
+    * the estimate from the signatures alone.
+    *
+    * MAP-ONLY since r14: the signature rides the per-doc shingle
+    * array through TextExpressions.MinHashSig — bit-identical min of
+    * xxhash64(i, shingle) per slot (spec-pinned vs the old
+    * explode → groupBy(doc_id).agg(min × 16) shape), with the
+    * Generate and the doc-keyed exchange gone (guide §2.4: the
+    * group-by keyed on the already-unique doc_id was a pure
+    * re-partition of signature-grain rows). */
   def minhashSigFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    minhashSignatures(shingles(Tables.documents(s, d)))
+    shingleArrays(Tables.documents(s, d))
+      // size > 0 ⟺ the kernel's null case (tokenized() already
+      // guarantees ≥1 shingle; the guard is belt-and-braces) — an
+      // isNotNull(sig) filter would be pushed below the projection
+      // and re-run the 16-hash kernel per row (§4.4 duplication)
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.minhashSigCol(col("shs"), NumHashes)
+          .as("sig"))
 
   /** Per-doc SimHash signatures — q43's engine-specific piece. */
   def simhashFrame(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =

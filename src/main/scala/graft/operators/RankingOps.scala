@@ -109,25 +109,37 @@ object RankingOps {
   private def bm25Agg(s: org.apache.spark.sql.SparkSession, d: String,
       queryTerms: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, d)
-    // ONE tokenization pass builds the filtered postings WITH n_tok
-    // riding the explode (kills the doc-length join), cached so df
-    // derives from it — the r9 plan audit found this helper
-    // tokenizing the corpus FOUR times (tf, df's re-derive, the
-    // length scan, avgdl); only avgdl's full-corpus length scan
-    // genuinely needs a second pass
-    val tf = docs
+    // ONE tokenization pass, period (r13 verdict #6 closed the last
+    // straggler): the explode aggregates per doc into per-term
+    // conditional counts PLUS n_tok, so tf, df, n_docs AND avgdl all
+    // derive from the cached per-doc frame — the r9 shape still paid
+    // a second full-corpus split() for avgdl; this one doesn't. The
+    // per-doc frame is one narrow row per document (doc_id is unique,
+    // so the group-by collapses map-side and the exchange carries
+    // |docs| rows of 2 + |queryTerms| integers, no strings).
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = docs
       .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
         explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("n_tok"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .cache() // ≤ |queryTerms| rows per matched doc
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(tfCols.head, tfCols.tail: _*)
+      .cache() // one narrow row per doc, read by tf / df / g below
+    // (doc, term, tf) rows for matched terms only — the old tf frame
+    val tf = perDoc
+      .select(col("doc_id"), col("n_tok"),
+        explode(map_from_arrays(
+          array(queryTerms.map(lit(_)): _*),
+          array(queryTerms.indices.map(i => col(s"tf_$i")): _*)))
+          .as(Seq("term", "tf")))
+      .filter(col("tf") > 0)
     // df counts DOCUMENTS containing the term (per-doc-distinct rows)
     val dfF = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val g = docs.agg(
+    val g = perDoc.agg(
       count(lit(1)).as("n_docs"),
-      (sum(size(split(col("text"), " ", -1)).cast("long")).cast("double")
+      (sum(col("n_tok").cast("long")).cast("double")
         / count(lit(1)).cast("double")).as("avgdl"))
     // arithmetic mirrored operation-for-operation with the oracle SQL:
     // idf · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)), k1=1.2 b=0.75
